@@ -1,0 +1,79 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {...}, "sf": ...}. Protocol (BASELINE.md): per query one warm-up
+at sf0.001 has already warmed the JVM; here each query runs once timed from
+action start to completion of a driver-side count/collect.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "agg_groupby",
+    "join_multiway",
+    "join_broadcast",
+    "win_topk_group",
+    "win_running",
+    "sort_multi",
+    "limit_topk",
+    "set_except_all",
+    "join_self",
+    "join_asof",
+    "dedup_subset",
+    "agg_pivot",
+]
+# LLM-pipeline + function bundles join the headline set as they land.
+OPTIONAL = [
+    "dedup_exact",
+    "dedup_near_minhash",
+    "sim_topk_bruteforce",
+    "text_tfidf",
+    "fn_string_regex",
+    "udf_grouped_map",
+    "stream_tumbling_batch",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as em
+    from data_transform_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = em.queries()
+    names = [n for n in HEADLINE + OPTIONAL if n in qs]
+
+    # JVM/codegen warm-up on the smallest tier
+    for n in names[:3]:
+        qs[n](spark, "/root/testdata/sf0.001").count()
+
+    timings: dict[str, float] = {}
+    for n in names:
+        t0 = time.time()
+        qs[n](spark, sf_dir).count()
+        timings[n] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

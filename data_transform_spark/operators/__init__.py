@@ -1,0 +1,11 @@
+"""Importing this package registers all §2 operators into the registry."""
+
+from data_transform_spark.operators import (  # noqa: F401
+    aggregates,
+    joins,
+    projections,
+    scans,
+    setops,
+    sorts,
+    windows,
+)

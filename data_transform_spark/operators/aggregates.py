@@ -1,0 +1,322 @@
+"""§2.D — aggregations (SURVEY.md).
+
+Spark plans every groupBy as partial (map-side) + final aggregation
+automatically — at 100 TB that map-side combine is what keeps the shuffle
+small, so these stay pure DataFrame ops. Float-summing aggregates are rounded
+on BOTH sides (oracle-parity rule §5.3.1): double addition is non-associative
+and Spark's partition-parallel sum order differs from DuckDB's sequential one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_transform_spark.io import load_table
+from data_transform_spark.registry import register
+
+
+@register(
+    "agg_global",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           sum(l_quantity) AS sum_qty,
+           ROUND(sum(l_extendedprice), 2) AS sum_price,
+           ROUND(avg(l_extendedprice), 4) AS avg_price,
+           min(l_shipdate) AS min_ship,
+           max(l_shipdate) AS max_ship
+    FROM lineitem
+    """,
+)
+def agg_global(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),  # integral doubles: exact
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+@register(
+    "agg_groupby",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           ROUND(sum(l_extendedprice), 2) AS sum_base_price,
+           ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(avg(l_quantity), 6) AS avg_qty,
+           ROUND(avg(l_extendedprice), 4) AS avg_price,
+           ROUND(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_groupby(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary — the flagship aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_custs,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_count_distinct(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register("agg_approx_distinct")  # rows-only: HLL sketch differs from DuckDB's
+def agg_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++); accuracy asserted in pytest vs exact."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+@register(
+    "agg_sum_distinct",
+    oracle="SELECT l_returnflag, sum(DISTINCT l_quantity) AS sum_dist_qty FROM lineitem GROUP BY l_returnflag",
+)
+def agg_sum_distinct(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(F.sum_distinct(F.col("l_quantity")).alias("sum_dist_qty"))
+
+
+@register(
+    "agg_minmax_by",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, o_totalprice) AS top_order,
+           arg_min(o_orderkey, o_totalprice) AS bottom_order,
+           ROUND(max(o_totalprice), 2) AS top_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_minmax_by(spark, sf_dir):
+    """argmax/argmin; per-group price extrema verified unique in the fixture."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("top_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("bottom_order"),
+        F.round(F.max("o_totalprice"), 2).alias("top_price"),
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="SELECT n_regionkey, list(n_name ORDER BY n_name) AS names FROM nation GROUP BY n_regionkey",
+)
+def agg_collect(spark, sf_dir):
+    """collect_list order is nondeterministic → always sort_array (§5.3.2)."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(F.sort_array(F.collect_list("n_name")).alias("names"))
+
+
+@register(
+    "agg_string",
+    oracle="SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS name_csv FROM nation GROUP BY n_regionkey",
+)
+def agg_string(spark, sf_dir):
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("name_csv")
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev(l_quantity), 6) AS sd_qty,
+           ROUND(stddev_pop(l_quantity), 6) AS sdp_qty,
+           ROUND(var_samp(l_quantity), 6) AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.stddev_pop("l_quantity"), 6).alias("sdp_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qp"),
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT l_linestatus,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           ROUND(median(l_extendedprice), 4) AS med
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_percentile(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90"),
+        F.round(F.median("l_extendedprice"), 4).alias("med"),
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT c_nationkey, count(*) AS n_cust, ROUND(avg(c_acctbal), 4) AS avg_bal
+    FROM customer GROUP BY c_nationkey HAVING count(*) > 50
+    """,
+)
+def agg_having(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"), F.round(F.avg("c_acctbal"), 4).alias("avg_bal"))
+        .filter(F.col("n_cust") > 50)
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_grouping_sets")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty, count(*) AS n
+        FROM li_grouping_sets
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "agg_countif",
+    oracle="""
+    SELECT event_type,
+           count(*) FILTER (WHERE value > 100) AS n_big,
+           count(*) FILTER (WHERE user_id % 2 = 0) AS n_even_user,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_countif(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 100).alias("n_big"),
+        F.count_if(F.col("user_id") % 2 == 0).alias("n_even_user"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_bool",
+    oracle="""
+    SELECT event_type,
+           bool_and(value > 0) AS all_positive,
+           bool_or(value > 400) AS any_huge
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bool(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bool_and(F.col("value") > 0).alias("all_positive"),
+        F.bool_or(F.col("value") > 400).alias("any_huge"),
+    )
+
+
+PIVOT_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    """Pivot with an explicit value list (determinism + single-pass plan)."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").pivot("event_type", PIVOT_EVENT_TYPES).count()
+    # pivot-count yields NULL for absent combos; oracle's FILTER yields 0
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in PIVOT_EVENT_TYPES],
+    )

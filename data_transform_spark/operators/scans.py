@@ -1,0 +1,108 @@
+"""§2.A — scans, sources, sinks (SURVEY.md).
+
+Parquet is the native format: footer schemas, columnar scan, predicate
+pushdown and column pruning all arrive for free via Catalyst. Sinks write to
+the repo-local scratch dir and read back, so round-trip fidelity is itself
+hash-checked against the original table's oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from data_transform_spark.io import load_table, path_of
+from data_transform_spark.registry import register
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+
+
+@register("scan_parquet", oracle="SELECT * FROM customer")
+def scan_parquet(spark, sf_dir):
+    """Plain parquet scan; schema from the footer."""
+    return load_table(spark, sf_dir, "customer")
+
+
+@register("scan_events_ns", oracle="SELECT * FROM events")
+def scan_events_ns(spark, sf_dir):
+    """ns-timestamp scan via the nanosAsLong + timestamp_micros recipe."""
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "scan_pruned",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem WHERE l_quantity > 45
+    """,
+)
+def scan_pruned(spark, sf_dir):
+    """Projection + predicate reach the parquet scan (verified in test_plans)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+@register("sink_parquet", oracle="SELECT * FROM customer")
+def sink_parquet(spark, sf_dir):
+    """Parquet write + read-back round trip (hash-checked vs the original)."""
+    out = f"{SCRATCH}/sink_parquet"
+    load_table(spark, sf_dir, "customer").write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+@register("sink_partitioned", oracle="SELECT * FROM lineitem")
+def sink_partitioned(spark, sf_dir):
+    """Hive-partitioned write; partition values come back from dir names.
+
+    At scale this layout is what enables static + dynamic partition pruning.
+    """
+    out = f"{SCRATCH}/sink_partitioned"
+    li = load_table(spark, sf_dir, "lineitem")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    df = spark.read.parquet(out)
+    # partitionBy moves the column last and infers type; restore name/type/order
+    return df.select(*[F.col(c.name).cast(c.dataType) for c in li.schema])
+
+
+@register("sink_csv_json", oracle="SELECT * FROM nation")
+def sink_csv_json(spark, sf_dir):
+    """CSV then JSON round trip with explicit schemas (no inference)."""
+    nation = load_table(spark, sf_dir, "nation")
+    csv_out = f"{SCRATCH}/sink_csv"
+    json_out = f"{SCRATCH}/sink_json"
+    nation.write.mode("overwrite").option("header", True).csv(csv_out)
+    back = spark.read.schema(nation.schema).option("header", True).csv(csv_out)
+    back.write.mode("overwrite").json(json_out)
+    return spark.read.schema(nation.schema).json(json_out)
+
+
+@register("source_stream_file", oracle="SELECT * FROM events")
+def source_stream_file(spark, sf_dir):
+    """Structured Streaming file source over events, drained with AvailableNow.
+
+    The batch read of the same file is the oracle — stream == batch is the
+    core Structured Streaming guarantee we rely on for every §2.I op.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path_of(sf_dir, "events")).schema
+    # the file source requires a directory: stage the fixture into scratch
+    src_dir = f"{SCRATCH}/stream_src_events_{os.path.basename(sf_dir.rstrip('/'))}"
+    os.makedirs(src_dir, exist_ok=True)
+    staged = f"{src_dir}/events.parquet"
+    if not os.path.exists(staged):
+        import shutil
+
+        shutil.copyfile(path_of(sf_dir, "events"), staged)
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(src_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    name = "source_stream_file_mem"
+    q = stream.writeStream.format("memory").queryName(name).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.table(name)

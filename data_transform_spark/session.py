@@ -1,0 +1,56 @@
+"""SparkSession construction + the session configs every query relies on.
+
+The driver hands us an existing SparkSession, so anything we require must be
+settable at runtime (``spark.conf.set``) — ``configure_session`` applies those.
+``get_spark`` builds a session for local tests/bench, sized by env vars:
+``SPARK_GRAFT_CPUS`` (default 32) and shuffle partitions matched to cores.
+
+At cluster scale the same code runs unchanged: shuffle partitions should be
+set to ~2-3x total executor cores (AQE coalesces down), and
+``spark.sql.files.maxPartitionBytes`` left at 128m so a 100 TB scan yields
+~800k well-sized input splits.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs the engine depends on (applied to driver sessions too).
+RUNTIME_CONFS = {
+    # Deterministic timestamp semantics; fixtures are NTZ on both engines.
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet has INT64 TIMESTAMP(NANOS) — Spark 4 errors without this;
+    # read as long ns then timestamp_micros(ts div 1000) (FIXTURES.md recipe).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Arrow for all pandas_udf / toPandas boundaries.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply required runtime confs to an externally-provided session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable on this build: proceed, loaders re-assert
+    return spark
+
+
+def get_spark(app_name: str = "data-transform-spark") -> SparkSession:
+    """Local session for tests/bench; honors SPARK_GRAFT_CPUS."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return configure_session(builder.getOrCreate())
