@@ -21,6 +21,7 @@ _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
+import data_transform_spark.functions  # noqa: E402,F401 — populates registry
 import data_transform_spark.operators  # noqa: E402,F401 — populates registry
 from data_transform_spark.plans.flagship import flagship  # noqa: E402
 from data_transform_spark.registry import ORACLES, QUERIES  # noqa: E402

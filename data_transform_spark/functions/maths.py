@@ -1,0 +1,74 @@
+"""§2.H — math + hash function bundles (SURVEY.md).
+
+Transcendentals (exp/ln/log10/sqrt/pow) are rounded to 6 dp on both sides:
+JVM StrictMath vs C libm may differ in the last ulp. floor/ceil are cast to
+BIGINT on the DuckDB side (it returns DOUBLE, Spark returns LONG). bround
+(half-even) has no DuckDB twin and is excluded from the oracle (§2.H note).
+xxhash64 differs from DuckDB's hash → fn_hash carries md5/sha256 only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_transform_spark.io import load_table
+from data_transform_spark.registry import register
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1) AS r1,
+           CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+           abs(l_discount - 0.05) AS ab,
+           round(sqrt(l_extendedprice), 6) AS sq,
+           round(exp(l_discount), 6) AS ex,
+           round(ln(l_extendedprice), 6) AS lg,
+           round(log10(l_extendedprice), 6) AS l10,
+           round(pow(l_quantity, 2), 6) AS p2,
+           mod(CAST(l_quantity AS BIGINT), 7) AS md,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg
+    FROM lineitem
+    """,
+)
+def fn_math(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(price, 1).alias("r1"),
+        F.floor(price).alias("fl"),
+        F.ceil(price).alias("ce"),
+        F.abs(F.col("l_discount") - 0.05).alias("ab"),
+        F.round(F.sqrt(price), 6).alias("sq"),
+        F.round(F.exp("l_discount"), 6).alias("ex"),
+        F.round(F.log(price), 6).alias("lg"),
+        F.round(F.log10(price), 6).alias("l10"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("p2"),
+        (F.col("l_quantity").cast("long") % 7).alias("md"),
+        F.signum(F.col("l_discount") - 0.05).alias("sg"),
+    )
+
+
+@register(
+    "fn_hash",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           sha256(text) AS text_sha256,
+           md5(concat(lang, '|', source)) AS meta_md5
+    FROM documents
+    """,
+)
+def fn_hash(spark, sf_dir):
+    """Content addressing — the primitive under exact dedup (§2.K)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+        F.md5(F.concat(F.col("lang"), F.lit("|"), F.col("source"))).alias("meta_md5"),
+    )

@@ -1,0 +1,102 @@
+"""§2.H — string function bundles (SURVEY.md).
+
+All built-in Column functions (JVM-side, codegen'd). Dialect traps handled
+per §5.3: DuckDB regexp_replace needs the 'g' flag to match Spark's
+replace-all; initcap has no DuckDB twin and is excluded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_transform_spark.io import load_table
+from data_transform_spark.registry import register
+
+
+@register(
+    "fn_string_basic",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS up,
+           lower(p_brand) AS lo,
+           trim(concat('  ', p_name, ' ')) AS trimmed,
+           substring(p_name, 2, 4) AS sub,
+           length(p_name) AS len,
+           concat(p_brand, ':', p_type) AS cat,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded,
+           rpad(p_brand, 12, '.') AS rpadded,
+           reverse(p_name) AS rev,
+           left(p_name, 3) AS l3,
+           right(p_name, 3) AS r3,
+           repeat(p_brand, 2) AS rep,
+           split_part(p_name, ' ', 2) AS second_word,
+           instr(p_name, 'e') AS epos,
+           translate(p_name, 'aeiou', 'AEIOU') AS vowelup,
+           ascii(p_name) AS first_code
+    FROM part
+    """,
+)
+def fn_string_basic(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+        F.substring("p_name", 2, 4).alias("sub"),
+        F.length("p_name").alias("len"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("cat"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded"),
+        F.rpad("p_brand", 12, ".").alias("rpadded"),
+        F.reverse("p_name").alias("rev"),
+        F.left(F.col("p_name"), F.lit(3)).alias("l3"),
+        F.right(F.col("p_name"), F.lit(3)).alias("r3"),
+        F.repeat("p_brand", 2).alias("rep"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("second_word"),
+        F.instr(F.col("p_name"), "e").alias("epos"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("vowelup"),
+        F.ascii("p_name").alias("first_code"),
+    )
+
+
+@register(
+    "fn_string_regex",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_tok,
+           regexp_replace(text, '\b(a|the)\b', '_', 'g') AS no_articles,
+           len(string_split_regex(text, '\s+')) AS n_tokens
+    FROM documents
+    """,
+)
+def fn_string_regex(spark, sf_dir):
+    """regexp bundle; DuckDB regexp_replace gets 'g' to match Spark's all-matches."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+) ([a-z]+)", 2).alias("second_tok"),
+        F.regexp_replace("text", r"\b(a|the)\b", "_").alias("no_articles"),
+        F.size(F.split("text", r"\s+")).alias("n_tokens"),
+    )
+
+
+@register(
+    "fn_string_fuzzy",
+    oracle="""
+    SELECT p_partkey, p_name,
+           levenshtein(p_name, 'red widget') AS lev_to_ref,
+           levenshtein(split_part(p_name, ' ', 1), split_part(p_name, ' ', 2)) AS lev_words
+    FROM part
+    """,
+)
+def fn_string_fuzzy(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        "p_name",
+        F.levenshtein(F.col("p_name"), F.lit("red widget")).alias("lev_to_ref"),
+        F.levenshtein(
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)),
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)),
+        ).alias("lev_words"),
+    )

@@ -1,0 +1,174 @@
+"""§2.J — UDF / UDAF / UDTF surface (SURVEY.md; patterns from SNIPPETS.md).
+
+Hierarchy, fastest first: built-in Column fns (never leave the JVM) →
+Arrow-batched pandas UDFs (vectorized, §2.J default) → row-at-a-time Python
+UDF (kept only to prove the surface; never used in hot paths). Every UDF here
+is pure + deterministic so Catalyst may collapse/reorder it, and each has a
+pure-SQL oracle twin.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from data_transform_spark.io import load_table
+from data_transform_spark.registry import register
+
+
+@register(
+    "udf_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 + l_tax) AS taxed_price
+    FROM lineitem WHERE l_quantity > 40
+    """,
+)
+def udf_scalar(spark, sf_dir):
+    """Row-at-a-time Python UDF (the slow path — here only to cover the API)."""
+
+    @F.udf("double")
+    def taxed(price: float, tax: float) -> float:
+        return price * (1 + tax)
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 40)
+    return li.select(
+        "l_orderkey", "l_linenumber", taxed("l_extendedprice", "l_tax").alias("taxed_price")
+    )
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT event_id, value * 1.07 + 1.0 AS adjusted
+    FROM events
+    """,
+)
+def udf_pandas_scalar(spark, sf_dir):
+    """Vectorized Arrow-batched scalar UDF (pandas in, pandas out)."""
+
+    @F.pandas_udf("double")
+    def adjust(v: pd.Series) -> pd.Series:
+        return v * 1.07 + 1.0
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", adjust("value").alias("adjusted"))
+
+
+@register(
+    "udf_pandas_agg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS weighted_avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udf_pandas_agg(spark, sf_dir):
+    """Vectorized grouped-agg pandas UDF (a UDAF without JVM code)."""
+
+    @F.pandas_udf("double")
+    def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
+        return round(float((price * qty).sum() / qty.sum()), 6)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        weighted_avg("l_extendedprice", "l_quantity").alias("weighted_avg_price")
+    )
+
+
+@register(
+    "udf_grouped_map",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND((value - avg(value) OVER (PARTITION BY user_id))
+                 / stddev_samp(value) OVER (PARTITION BY user_id), 6) AS znorm
+    FROM events
+    """,
+)
+def udf_grouped_map(spark, sf_dir):
+    """applyInPandas per-group transform: z-normalize value within each user."""
+
+    def znorm(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        z = ((v - v.mean()) / v.std(ddof=1)).round(6)
+        return pd.DataFrame(
+            {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "znorm": z}
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").applyInPandas(
+        znorm, "user_id long, event_id long, znorm double"
+    )
+
+
+@register(
+    "udf_map_in_pandas",
+    oracle="""
+    SELECT event_id, user_id, value * 2.0 AS doubled
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def udf_map_in_pandas(spark, sf_dir):
+    """Whole-partition Arrow-batched map (schema-changing, filter + project)."""
+
+    def transform(batches):
+        for pdf in batches:
+            out = pdf[pdf["event_type"] == "purchase"]
+            yield pd.DataFrame(
+                {
+                    "event_id": out["event_id"],
+                    "user_id": out["user_id"],
+                    "doubled": out["value"] * 2.0,
+                }
+            )
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.mapInPandas(transform, "event_id long, user_id long, doubled double")
+
+
+@register(
+    "udtf_tokenize",
+    oracle="""
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS token,
+           unnest(generate_series(0, len(string_split(text, ' ')) - 1)) AS pos
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def udtf_tokenize(spark, sf_dir):
+    """Python UDTF: one input row → one row per token (lateral join)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: long, token: string, pos: int")
+    class Tokenize:
+        def eval(self, doc_id: int, text: str):
+            for i, tok in enumerate(text.split(" ")):
+                yield doc_id, tok, i
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d.createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        "SELECT t.* FROM docs_for_udtf, LATERAL tokenize_udtf(doc_id, text) t"
+    )
+
+
+@register(
+    "udf_sql_registered",
+    oracle="""
+    SELECT o_orderkey, o_totalprice * 0.9 AS discounted
+    FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def udf_sql_registered(spark, sf_dir):
+    """UDF registered for SQL callers (spark.udf.register + spark.sql)."""
+    spark.udf.register("discount10", lambda p: p * 0.9, "double")
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_for_udf")
+    return spark.sql(
+        """
+        SELECT o_orderkey, discount10(o_totalprice) AS discounted
+        FROM orders_for_udf WHERE o_orderstatus = 'P'
+        """
+    )

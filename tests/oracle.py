@@ -14,6 +14,7 @@ from __future__ import annotations
 import math
 import sys
 from datetime import date, datetime
+from decimal import Decimal
 
 import duckdb
 import numpy as np
@@ -47,6 +48,8 @@ def _canon_cell(v) -> str:
     """Canonical string for one cell — identical across Spark/DuckDB pandas output."""
     if v is None:
         return "<NULL>"
+    if isinstance(v, Decimal):
+        v = float(v)
     if isinstance(v, (np.floating, float)):
         f = float(v)
         if math.isnan(f):
