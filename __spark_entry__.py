@@ -23,6 +23,8 @@ if _REPO_ROOT not in sys.path:
 
 import data_transform_spark.functions  # noqa: E402,F401 — populates registry
 import data_transform_spark.operators  # noqa: E402,F401 — populates registry
+import data_transform_spark.pipeline  # noqa: E402,F401 — populates registry
+import data_transform_spark.streaming  # noqa: E402,F401 — populates registry
 from data_transform_spark.plans.flagship import flagship  # noqa: E402
 from data_transform_spark.registry import ORACLES, QUERIES  # noqa: E402
 from data_transform_spark.session import configure_session  # noqa: E402

@@ -33,8 +33,14 @@ HEADLINE = [
 OPTIONAL = [
     "dedup_exact",
     "dedup_near_minhash",
+    "dedup_simhash",
     "sim_topk_bruteforce",
+    "sim_topk_blocked",
+    "sim_knn_classify",
+    "embed_normalize",
     "text_tfidf",
+    "text_tokenize",
+    "text_fingerprint",
     "fn_string_regex",
     "udf_grouped_map",
     "stream_tumbling_batch",

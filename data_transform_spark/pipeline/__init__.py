@@ -1,0 +1,9 @@
+"""LLM-data-pipeline operators (SURVEY.md §2.K) — dedup, similarity,
+text analysis, multimodal columns. Importing registers all keys."""
+
+from data_transform_spark.pipeline import (  # noqa: F401
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)

@@ -1,0 +1,345 @@
+"""§2.K — embedding similarity search (SURVEY.md; PAPERS.md is all about
+top-k similarity at scale).
+
+Cosine is computed with the SAME sequential fold on both engines
+(Spark F.aggregate over zip_with vs DuckDB list_aggregate over list_transform
+of list_zip, all in DOUBLE) so scores are bit-identical and hash-checkable.
+
+Scale ladder for 100 TB:
+  * bruteforce  — broadcast the (small) query set, crossJoin the corpus:
+    correct baseline, O(|Q|·|C|). Only for small |Q|.
+  * blocked     — mapInPandas numpy matmul per Arrow batch against the
+    broadcast query matrix: same O() but ~50x constant via BLAS; the right
+    brute-force shape when |Q| fits in executor memory.
+  * lsh         — random-hyperplane signatures bucket the corpus; only
+    same-bucket candidates are scored (sublinear candidates; recall<1,
+    golden-tested). The scale path when |Q| is large.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_transform_spark.io import load_table
+from data_transform_spark.registry import register
+
+TOPK = 5
+N_QUERIES = 20  # vec_id < 20 are the query vectors
+PAIR_TAU = 0.4
+
+
+def _dot(a, b):
+    """Sequential-fold dot product in double — bit-identical across engines."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _cos(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+# DuckDB twin of the same fold (kept as one SQL fragment used by both keys).
+_SQL_DOT = (
+    "list_aggregate(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]), 'sum')"
+)
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"CAST({_SQL_DOT.format(a=a, b=b)} AS DOUBLE) / "
+        f"(sqrt(CAST({_SQL_DOT.format(a=a, b=a)} AS DOUBLE)) * "
+        f"sqrt(CAST({_SQL_DOT.format(a=b, b=b)} AS DOUBLE)))"
+    )
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_sql_cos("q.emb", "c.emb")} AS score
+        FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, round(score, 6) AS score
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) <= {TOPK}
+    """,
+)
+def sim_topk_bruteforce(spark, sf_dir):
+    """Top-k cosine neighbors for each query vector (broadcast queries)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos(F.col("q_emb"), F.col("emb")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .select("query_id", "neighbor_id", F.round("score", 6).alias("score"))
+    )
+
+
+@register(
+    "sim_topk_blocked",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_sql_cos("q.emb", "c.emb")} AS score
+        FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, round(score, 4) AS score
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY round(score, 4) DESC, neighbor_id) <= {TOPK}
+    """,
+)
+def sim_topk_blocked(spark, sf_dir):
+    """Blocked brute force: numpy matmul per Arrow batch (the fast CPU shape).
+
+    Queries are collected once (small by contract), normalized, and shipped in
+    the closure; each corpus partition is scored as one BLAS gemm. Scores are
+    rounded to 4 dp and ranked on the ROUNDED value so the float32-vs-double
+    summation-order difference cannot reorder the top-k.
+    """
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in qrows])
+    qm = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qm_n = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def score_batches(batches):
+        for pdf in batches:
+            cm = np.array(list(pdf["embedding"]), dtype=np.float64)
+            if len(cm) == 0:
+                continue
+            cm_n = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            scores = qm_n @ cm_n.T  # |Q| x |batch|
+            n_q, n_c = scores.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, n_c),
+                    "neighbor_id": np.tile(pdf["vec_id"].to_numpy(), n_q),
+                    "score": scores.reshape(-1),
+                }
+            )
+
+    scored = e.select("vec_id", "embedding").mapInPandas(
+        score_batches, "query_id long, neighbor_id long, score double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.withColumn("score", F.round("score", 4))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .select("query_id", "neighbor_id", "score")
+    )
+
+
+@register(
+    "sim_pairs_threshold",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_sql_cos("a.emb", "b.emb")}, 6) AS score
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_sql_cos("a.emb", "b.emb")} >= {PAIR_TAU}
+    """,
+)
+def sim_pairs_threshold(spark, sf_dir):
+    """All pairs with cosine >= tau (id_a < id_b).
+
+    Brute-force all-pairs is fixture-scale only; at 100 TB this query runs on
+    the LSH-bucketed candidates (sim_ann_lsh machinery) instead.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"))
+    cos = _cos(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("score_raw", cos)
+        .filter(F.col("score_raw") >= PAIR_TAU)
+        .select("id_a", "id_b", F.round("score_raw", 6).alias("score"))
+    )
+
+
+@register(
+    "sim_knn_classify",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    expl AS (
+        SELECT label, unnest(emb) AS v,
+               unnest(generate_series(1, len(emb))) AS pos
+        FROM e
+    ),
+    cent AS (
+        SELECT label AS c_label, list(cv ORDER BY pos) AS c_emb
+        FROM (SELECT label, pos, round(avg(v), 8) AS cv FROM expl GROUP BY label, pos)
+        GROUP BY label
+    ),
+    dists AS (
+        SELECT e.vec_id, e.label AS true_label, c.c_label,
+               CAST(list_aggregate(list_transform(list_zip(e.emb, c.c_emb),
+                    p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS DOUBLE) AS dist
+        FROM e CROSS JOIN cent c
+    )
+    SELECT vec_id, true_label, c_label AS pred_label, round(dist, 6) AS dist
+    FROM dists
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) = 1
+    """,
+)
+def sim_knn_classify(spark, sf_dir):
+    """Nearest-centroid classification (labels 0-9).
+
+    Centroids: posexplode → per-(label,dim) mean, ROUNDED to 8 dp on both
+    engines so the partial-agg summation-order difference cannot leak into
+    the distances; then a broadcast join of 10 centroids against the corpus.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    expl = e.select("label", F.posexplode("emb").alias("pos", "v"))
+    cent_long = expl.groupBy("label", "pos").agg(F.round(F.avg("v"), 8).alias("cv"))
+    cent = (
+        cent_long.groupBy(F.col("label").alias("c_label"))
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "cv"))).alias("pc"))
+        .select("c_label", F.col("pc.cv").alias("c_emb"))
+    )
+    sqdiff = F.aggregate(
+        F.zip_with("emb", "c_emb", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    dists = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", F.col("label").alias("true_label"), "c_label", sqdiff.alias("dist")
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "c_label")
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "true_label", F.col("c_label").alias("pred_label"),
+                F.round("dist", 6).alias("dist"))
+    )
+
+
+@register(
+    "embed_normalize",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(CAST(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> x * x), 'sum') AS DOUBLE)), 6) AS norm,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> round(x / sqrt(CAST(list_aggregate(list_transform(
+                      CAST(embedding AS DOUBLE[]), y -> y * y), 'sum') AS DOUBLE)), 6)) AS unit
+    FROM embeddings
+    """,
+)
+def embed_normalize(spark, sf_dir):
+    """L2-normalize the embedding column (double space, rounded elements)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(_dot(emb, emb))
+    return e.select(
+        "vec_id",
+        F.round(norm, 6).alias("norm"),
+        F.transform(emb, lambda x: F.round(x / norm, 6)).alias("unit"),
+    )
+
+
+N_TABLES = 8  # independent LSH hash tables
+BITS_PER_TABLE = 6  # hyperplanes per table (64 buckets each)
+
+
+@register("sim_ann_lsh")  # rows-only: recall<1 by design; golden-tested
+def sim_ann_lsh(spark, sf_dir):
+    """ANN top-k via multi-table random-hyperplane LSH.
+
+    One table of b bits has P(collide) = (1 - theta/pi)^b — far too selective
+    alone — so candidates are unioned across N_TABLES independent tables
+    (standard LSH amplification: recall 1-(1-p^b)^T). Planes are seeded
+    (numpy RandomState(42)) and shipped as literals, so buckets are
+    deterministic everywhere. Exact cosine is computed only within buckets;
+    recall vs sim_topk_bruteforce is asserted in tests/test_pipeline.py.
+    At scale: more bits per table (smaller buckets), more tables (recall).
+    """
+    rng = np.random.RandomState(42)
+    planes = rng.randn(N_TABLES * BITS_PER_TABLE, 64)
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+
+    def table_bucket(t: int):
+        bits = None
+        for j in range(BITS_PER_TABLE):
+            plane = F.array(*[F.lit(float(v)) for v in planes[t * BITS_PER_TABLE + j]])
+            bit = F.when(_dot(F.col("emb"), plane) > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            term = F.shiftleft(bit, j)
+            bits = term if bits is None else bits.bitwiseOR(term)
+        return bits
+
+    sig = e.select(
+        "vec_id",
+        "emb",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), table_bucket(t).alias("bucket"))
+                    for t in range(N_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "emb", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+
+    q = sig.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("tbl").alias("q_tbl"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = (
+        F.broadcast(q)
+        .join(
+            sig,
+            (F.col("q_tbl") == F.col("tbl"))
+            & (F.col("q_bucket") == F.col("bucket"))
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_cos(F.col("q_emb"), F.col("emb")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .select("query_id", "neighbor_id", "score")
+    )

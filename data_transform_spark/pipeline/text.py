@@ -1,0 +1,197 @@
+"""§2.K — text analysis over the documents corpus (SURVEY.md).
+
+Tokenization, TF-IDF, quality scoring, token counting, fingerprinting,
+language filtering — all pure built-in Column expressions (no Python in the
+hot path), each with an exact DuckDB twin. At 100 TB these are
+embarrassingly parallel scans plus one token-keyed shuffle for DF/IDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_transform_spark.io import load_table
+from data_transform_spark.registry import register
+
+
+@register(
+    "text_tokenize",
+    oracle="""
+    SELECT doc_id, t AS token, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+    GROUP BY doc_id, t
+    """,
+)
+def text_tokenize(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "text_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|\S')) AS n_bpe_ish,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counts (pre-tokenizer word splits)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|\S"), 0)).alias("n_bpe_ish"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@register(
+    "text_stats",
+    oracle="""
+    SELECT lang, source,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars,
+           ROUND(avg(n_chars), 6) AS avg_chars,
+           count(*) FILTER (WHERE n_chars = length(text)) AS n_chars_consistent
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_stats(spark, sf_dir):
+    """Corpus stats per (lang, source); validates n_chars == length(text)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.count_if(F.col("n_chars") == F.length("text")).alias("n_chars_consistent"),
+    )
+
+
+@register(
+    "text_lang_filter",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE lang IN ('en', 'de') AND n_chars > 100
+    """,
+)
+def text_lang_filter(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(F.col("lang").isin("en", "de") & (F.col("n_chars") > 100)).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "text_quality",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               len(list_filter(string_split(text, ' '), x -> x IN ('a', 'the'))) AS n_stop,
+               length(text) AS n_chars
+        FROM documents
+    )
+    SELECT doc_id, n_tok, n_distinct,
+           ROUND(n_distinct * 1.0 / n_tok, 6) AS type_token_ratio,
+           ROUND(n_stop * 1.0 / n_tok, 6) AS stopword_ratio,
+           ROUND((n_chars - n_tok + 1) * 1.0 / n_tok, 6) AS avg_word_len,
+           ROUND(n_distinct * 1.0 / n_tok, 6) *
+               (CASE WHEN n_tok BETWEEN 20 AND 200 THEN 1.0 ELSE 0.5 END) AS quality_score
+    FROM t
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Heuristic doc-quality features: TTR, stopword ratio, length gates."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda x: x.isin("a", "the")))
+    ttr = F.round(n_distinct * 1.0 / n_tok, 6)
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        n_distinct.alias("n_distinct"),
+        ttr.alias("type_token_ratio"),
+        F.round(n_stop * 1.0 / n_tok, 6).alias("stopword_ratio"),
+        F.round((F.length("text") - n_tok + 1) * 1.0 / n_tok, 6).alias("avg_word_len"),
+        (ttr * F.when(n_tok.between(20, 200), 1.0).otherwise(0.5)).alias("quality_score"),
+    )
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY doc_id, token
+    ),
+    dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token,
+           ROUND((tf.cnt * 1.0 / dl.doc_len) *
+                 (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+    FROM tf JOIN dl USING (doc_id) JOIN df USING (token) CROSS JOIN n
+    """,
+)
+def text_tfidf(spark, sf_dir):
+    """TF-IDF: tf = cnt/doc_len, idf = ln((N+1)/(df+1)) + 1 (smoothed).
+
+    Two token-keyed aggregations + broadcast of the tiny DF table; at scale
+    DF fits in memory whenever the vocabulary does (word-level: always).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # tiny scalar; at scale use a broadcast count
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_len"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    tfidf = (F.col("cnt") * 1.0 / F.col("doc_len")) * (
+        F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "token")
+        .select("doc_id", "token", F.round(tfidf, 6).alias("tfidf"))
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(0, list_transform(string_split(text, ' '),
+                   t -> CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Order-sensitive rolling-hash document fingerprint (mod 1e9+7).
+
+    Token → stable 32-bit int via md5 prefix (identical in both engines),
+    folded left-to-right — a cheap shingle-order-aware content signature.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok_ints = F.transform(
+        F.split("text", " "),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    )
+    fp = F.aggregate(
+        tok_ints, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % 1000000007
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))

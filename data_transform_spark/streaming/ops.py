@@ -1,0 +1,291 @@
+"""§2.I — Structured Streaming over the events table (SURVEY.md).
+
+Every operator is a real stream: file source → transformation → memory sink,
+drained with Trigger.AvailableNow. Because the same transformation applied in
+batch is semantically identical (the core Structured Streaming guarantee),
+each key's DuckDB batch twin is a full hash-check oracle — except watermark
+late-data semantics, which SQL cannot express (rows-only + ordered-chunk
+pytest).
+
+Windowed aggregations run in COMPLETE output mode: with AvailableNow the
+watermark only advances after the final batch, so append mode would hold
+back every open window; complete mode emits the full, final state — equal to
+the batch result. At production scale the same queries run in append mode
+with a real watermark, emitting windows continuously as they finalize.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import functions as F
+
+from data_transform_spark.io import path_of
+from data_transform_spark.operators.scans import SCRATCH
+from data_transform_spark.registry import register
+
+
+def stage_events_dir(sf_dir: str) -> str:
+    """Copy the events fixture into a scratch dir (file source needs a dir)."""
+    src_dir = f"{SCRATCH}/stream_events_{os.path.basename(sf_dir.rstrip('/'))}"
+    os.makedirs(src_dir, exist_ok=True)
+    staged = f"{src_dir}/events.parquet"
+    if not os.path.exists(staged):
+        shutil.copyfile(path_of(sf_dir, "events"), staged)
+    return src_dir
+
+
+def events_stream(spark, sf_dir: str):
+    """readStream over events with the ns-timestamp recipe applied."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path_of(sf_dir, "events")).schema
+    return (
+        spark.readStream.schema(raw_schema)
+        .parquet(stage_events_dir(sf_dir))
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
+def run_to_memory(sdf, output_mode: str):
+    """Drain a streaming DataFrame into a memory sink; return the result table."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+@register(
+    "stream_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
+           count(*) AS n, ROUND(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark, sf_dir):
+    """Tumbling 1-hour windowed aggregate, executed as a real stream."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("window.start").alias("w_start"), "event_type", "n", "sum_value")
+    )
+    return run_to_memory(agg, "complete")
+
+
+@register(
+    "stream_sliding",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL 15 MINUTE AS w_start,
+           count(*) AS n, ROUND(sum(value), 4) AS sum_value
+    FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k
+    GROUP BY 1
+    """,
+)
+def stream_sliding(spark, sf_dir):
+    """Sliding window (1h every 15min): each event lands in exactly 4 windows."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("window.start").alias("w_start"), "n", "sum_value")
+    )
+    return run_to_memory(agg, "complete")
+
+
+@register(
+    "stream_session",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    )
+    SELECT user_id, min(ts) AS w_start, count(*) AS n, ROUND(sum(value), 4) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session(spark, sf_dir):
+    """Session windows (10-min gap) per user; batch twin = gaps-and-islands.
+
+    Spark closes a session when the next event is >= gap after the previous
+    one, hence the ``>=`` in the twin's new-session condition.
+    """
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.session_window("ts", "10 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("session_window.start").alias("w_start"), "user_id", "n", "sum_value")
+    )
+    return run_to_memory(agg, "complete")
+
+
+@register("stream_watermark")  # rows-only: late-data drop is not SQL-expressible
+def stream_watermark(spark, sf_dir):
+    """Windowed agg under a 1-hour watermark with out-of-order file batches.
+
+    The fixture is re-staged as time-ordered chunks plus a deliberately late
+    chunk; maxFilesPerTrigger=1 makes each file its own micro-batch so the
+    watermark advances between them and drops the too-late rows. Asserted
+    against the batch count in tests/test_streaming.py.
+    """
+    import pandas as pd
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = f"{SCRATCH}/stream_wm_{os.path.basename(sf_dir.rstrip('/'))}"
+    if not os.path.exists(f"{src}/_ready"):
+        os.makedirs(src, exist_ok=True)
+        pdf = pd.read_parquet(path_of(sf_dir, "events")).sort_values("ts")
+        n = len(pdf)
+        # chunks 0-2: first 75% in ts order; chunk 3: a slice from the middle
+        # (now far behind the watermark) + the final 25%
+        c0, c1, c2 = pdf.iloc[: n // 4], pdf.iloc[n // 4 : n // 2], pdf.iloc[n // 2 : 3 * n // 4]
+        late = pdf.iloc[n // 4 : n // 4 + 50]  # re-delivered old rows
+        c3 = pd.concat([late, pdf.iloc[3 * n // 4 :]])
+        for i, chunk in enumerate([c0, c1, c2, c3]):
+            chunk.to_parquet(f"{src}/chunk_{i}.parquet", index=False)
+        open(f"{src}/_ready", "w").close()
+
+    raw_schema = spark.read.parquet(path_of(sf_dir, "events")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("w_start"), "n")
+    )
+    return run_to_memory(agg, "append")
+
+
+@register(
+    "stream_dedup",
+    oracle="SELECT DISTINCT event_id, user_id, event_type FROM events",
+)
+def stream_dedup(spark, sf_dir):
+    """Streaming dedup within the watermark horizon (state auto-expires)."""
+    dedup = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return run_to_memory(dedup, "append")
+
+
+@register(
+    "stream_stateful",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, ROUND(sum(value), 4) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful(spark, sf_dir):
+    """Arbitrary stateful op: per-user running counters via
+    applyInPandasWithState (state survives across micro-batches; with
+    AvailableNow's single batch the emitted state equals the batch agg)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)]}
+        )
+
+    out = (
+        events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, sum_value double",
+            stateStructType="n long, s double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_to_memory(out, "update")
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name, e.value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def stream_static_join(spark, sf_dir):
+    """Stream ⋈ broadcast static dimension (per-batch hash join, no state)."""
+    from data_transform_spark.io import load_table
+
+    customer = load_table(spark, sf_dir, "customer")
+    joined = (
+        events_stream(spark, sf_dir)
+        .join(F.broadcast(customer), F.col("user_id") == F.col("c_custkey"))
+        .select("event_id", "user_id", "c_name", "value")
+    )
+    return run_to_memory(joined, "append")
+
+
+@register("stream_sink", oracle="SELECT * FROM events")
+def stream_sink(spark, sf_dir):
+    """foreachBatch → parquet sink, then read back (exactly-once per batch)."""
+    out = f"{SCRATCH}/stream_sink_out_{uuid.uuid4().hex[:8]}"
+
+    def write_batch(batch_df, batch_id: int):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
+@register(
+    "stream_tumbling_batch",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
+           count(*) AS n, ROUND(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_batch(spark, sf_dir):
+    """Batch twin of stream_tumbling (same plan minus the state store) —
+    doubles as the hypertable-style time-bucket rollup and the bench entry."""
+    from data_transform_spark.io import load_table
+
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("window.start").alias("w_start"), "event_type", "n", "sum_value")
+    )

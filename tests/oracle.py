@@ -67,8 +67,8 @@ def _canon_cell(v) -> str:
         return v.isoformat()
     if isinstance(v, date):
         return v.isoformat()
-    if isinstance(v, bytes):
-        return "0x" + v.hex()
+    if isinstance(v, (bytes, bytearray)):
+        return "0x" + bytes(v).hex()
     if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(_canon_cell(x) for x in v) + "]"
     if isinstance(v, dict):

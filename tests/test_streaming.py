@@ -1,0 +1,62 @@
+"""Streaming parity + late-data tests (SURVEY.md §5.2.5)."""
+
+import __spark_entry__  # noqa: F401
+from data_transform_spark.registry import QUERIES
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_stream_equals_batch_tumbling(spark, sf_dir):
+    """The core Structured Streaming guarantee: stream result == batch twin."""
+    stream = QUERIES["stream_tumbling"](spark, sf_dir)
+    batch = QUERIES["stream_tumbling_batch"](spark, sf_dir)
+    assert _rows(stream) == _rows(batch)
+
+
+def test_watermark_drops_late_rows(spark, sf_dir):
+    """Re-delivered old rows behind the watermark must NOT inflate counts."""
+    import pyspark.sql.functions as F
+
+    from data_transform_spark.io import load_table
+
+    result = {r["w_start"]: r["n"] for r in QUERIES["stream_watermark"](spark, sf_dir).collect()}
+    batch = {
+        r["w_start"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("w_start"), "n")
+        .collect()
+    }
+    assert result, "watermark query emitted nothing"
+    # every emitted window count equals the batch count — the 50 re-delivered
+    # late rows (which would inflate their window) were dropped
+    for w, n in result.items():
+        assert n == batch[w], f"window {w}: stream={n} batch={batch[w]}"
+
+
+def test_stream_dedup_no_duplicates(spark, sf_dir):
+    rows = QUERIES["stream_dedup"](spark, sf_dir).collect()
+    ids = [r["event_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+
+
+def test_stream_stateful_matches_batch_agg(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from data_transform_spark.io import load_table
+
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in QUERIES["stream_stateful"](spark, sf_dir).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("s"))
+        .collect()
+    }
+    assert got == want
