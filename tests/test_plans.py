@@ -1,0 +1,64 @@
+"""Plan-shape guards (SURVEY.md §5.2.6) — cheap asserts that the physical
+plans keep the properties that matter at 100 TB: pushdown reaches the scan,
+small dimensions broadcast, aggregates are partial+final, top-k never does a
+global sort. A regression here is a silent 10-100x at scale even when every
+value still hash-matches."""
+
+import contextlib
+import io
+
+import __spark_entry__  # noqa: F401
+from data_transform_spark.registry import QUERIES
+
+
+def plan_of(spark, key, sf_dir):
+    df = QUERIES[key](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_and_projection_pushed_to_scan(spark, sf_dir):
+    p = plan_of(spark, "scan_pruned", sf_dir)
+    assert "GreaterThan(l_quantity,45.0)" in p, "filter not pushed to parquet"
+    # pruned read schema: only the 3 projected columns + the filter column
+    read_schema = [line for line in p.splitlines() if "ReadSchema" in line][0]
+    assert "l_extendedprice" in read_schema
+    assert "l_shipdate" not in read_schema, "column pruning failed"
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    p = plan_of(spark, "join_broadcast", sf_dir)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p, "dim join fell back to SMJ"
+
+
+def test_multiway_star_broadcasts_dims(spark, sf_dir):
+    p = plan_of(spark, "join_multiway", sf_dir)
+    assert p.count("BroadcastHashJoin") >= 3, "star dims should broadcast"
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    p = plan_of(spark, "limit_topk", sf_dir)
+    assert "TakeOrderedAndProject" in p, "ORDER BY+LIMIT should be per-partition top-k"
+
+
+def test_groupby_is_partial_plus_final(spark, sf_dir):
+    p = plan_of(spark, "agg_groupby", sf_dir)
+    assert p.count("HashAggregate") >= 2, "missing map-side partial aggregate"
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    import re
+
+    p = plan_of(spark, "join_asof", sf_dir)
+    # union + window implementation must shuffle exactly once (on user_id);
+    # count operator-detail entries, the tree section repeats each node
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
+    assert n_exchanges == 1, f"as-of join should shuffle once:\n{p}"
+
+
+def test_events_scan_uses_ns_recipe(spark, sf_dir):
+    df = QUERIES["scan_events_ns"](spark, sf_dir)
+    assert dict(df.dtypes)["ts"].startswith("timestamp"), df.dtypes
