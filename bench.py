@@ -17,6 +17,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "agg_groupby",
+    "tpch_q3",
+    "tpch_q6",
     "join_multiway",
     "join_broadcast",
     "win_topk_group",

@@ -1,0 +1,198 @@
+"""Composite showcase queries + training-pipeline utilities.
+
+TPC-H-shaped composites prove multi-operator plans end-to-end; the hash
+sample/shard ops are the deterministic (engine- and run-stable) building
+blocks a 100 TB training-data pipeline needs for reproducible splits. All
+derived hashing goes through md5 (identical hex in both engines) — never
+engine-native hash functions, which differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_transform_spark.io import load_table
+from data_transform_spark.registry import register
+
+
+@register(
+    "tpch_q3",
+    oracle="""
+    SELECT l.l_orderkey,
+           ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark, sf_dir):
+    """Q3-shaped: unshipped-order revenue — filter → 3-way join → agg → top-k."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q6",
+    oracle="""
+    SELECT ROUND(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark, sf_dir):
+    """Q6-shaped: forecast-revenue scan — the pure pushdown+scan benchmark."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.02, 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "sample_hash",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10 = 0
+    """,
+)
+def sample_hash(spark, sf_dir):
+    """Deterministic ~10% sample by content-stable hash bucket.
+
+    Unlike df.sample(), this is reproducible across engines, runs, partitions
+    and cluster sizes — the property training-data splits actually need.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
+        % 10
+    )
+    return d.filter(bucket == 0).select("doc_id", "lang")
+
+
+@register(
+    "shard_assign",
+    oracle="""
+    SELECT shard, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM (
+        SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS shard,
+               n_chars
+        FROM documents
+    )
+    GROUP BY shard
+    """,
+)
+def shard_assign(spark, sf_dir):
+    """Stable shard assignment (md5 % n_shards) + per-shard size accounting —
+    the repartition key for deterministic dataset materialization."""
+    d = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
+        % 8
+    ).alias("shard")
+    return (
+        d.select(shard, "n_chars")
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@register(
+    "expr_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_variant,
+           CAST(json_extract(props, '$.k') AS BIGINT) * 2 AS k_doubled
+    FROM events
+    """,
+)
+def expr_variant(spark, sf_dir):
+    """Spark 4 VARIANT ingestion: parse_json + typed variant_get extraction
+    (the open-ended-schema path for semi-structured event payloads)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "bigint")
+    return ev.select("event_id", k.alias("k_variant"), (k * 2).alias("k_doubled"))
+
+
+@register(
+    "win_nth",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           nth_value(o_orderkey, 2) OVER w AS second_order,
+           count(*) OVER (PARTITION BY o_custkey) AS n_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_nth(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wc = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        F.count(F.lit(1)).over(wc).alias("n_orders"),
+    )
+
+
+@register(
+    "fn_format",
+    oracle="""
+    SELECT printf('%05d|%s|%.2f', CAST(c_custkey AS INT), c_mktsegment, c_acctbal) AS formatted,
+           concat_ws('/', c_name, c_mktsegment) AS joined
+    FROM customer
+    """,
+)
+def fn_format(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.format_string("%05d|%s|%.2f", F.col("c_custkey"), F.col("c_mktsegment"), F.col("c_acctbal")).alias(
+            "formatted"
+        ),
+        F.concat_ws("/", F.col("c_name"), F.col("c_mktsegment")).alias("joined"),
+    )

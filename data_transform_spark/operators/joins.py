@@ -259,6 +259,46 @@ def join_asof(spark, sf_dir):
     )
 
 
+def salted_join(left, right, left_key: str, right_key: str, n_salts: int = 8):
+    """Skew-resistant equi-join: replicate the build side across n_salts and
+    scatter the probe side by a deterministic salt (md5 of the key), so one
+    hot key spreads over n_salts reducers instead of stalling one task.
+
+    Result is identical to a plain inner join; only the shuffle layout
+    changes. At 100 TB this (or AQE's skewJoin) is mandatory for power-law
+    keys; n_salts scales with the observed skew factor.
+    """
+    salt = (
+        F.conv(F.substring(F.md5(F.col(left_key).cast("string")), 1, 4), 16, 10).cast("long")
+        % n_salts
+    )
+    salted_left = left.withColumn("_salt", salt)
+    salted_right = right.crossJoin(
+        F.broadcast(
+            left.sparkSession.range(n_salts).select(F.col("id").alias("_salt"))
+        )
+    )
+    joined = salted_left.join(
+        salted_right,
+        (F.col(left_key) == F.col(right_key)) & (salted_left["_salt"] == salted_right["_salt"]),
+    )
+    return joined.drop("_salt")
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def join_skew_salted(spark, sf_dir):
+    """Salted join, hash-checked equal to the plain join (layout-only change)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    return salted_join(ev, c, "user_id", "c_custkey").select("event_id", "user_id", "c_name")
+
+
 @register(
     "join_interval",
     oracle="""

@@ -59,6 +59,32 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     assert n_exchanges == 1, f"as-of join should shuffle once:\n{p}"
 
 
+def test_partition_pruning_on_partitioned_sink(spark, sf_dir):
+    """The hive-layout sink must enable partition pruning on read-back."""
+    from data_transform_spark.operators.scans import SCRATCH
+
+    QUERIES["sink_partitioned"](spark, sf_dir).count()  # materialize layout
+    df = spark.read.parquet(f"{SCRATCH}/sink_partitioned").filter("l_returnflag = 'A'")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "PartitionFilters" in p
+    pf_line = [line for line in p.splitlines() if "PartitionFilters" in line][0]
+    assert "l_returnflag" in pf_line, f"partition filter not pruned: {pf_line}"
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from data_transform_spark.io import load_table
+    from data_transform_spark.operators.joins import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    plain = ev.join(c, ev.user_id == c.c_custkey).select("event_id", "c_name")
+    salted = salted_join(ev, c, "user_id", "c_custkey").select("event_id", "c_name")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
 def test_events_scan_uses_ns_recipe(spark, sf_dir):
     df = QUERIES["scan_events_ns"](spark, sf_dir)
     assert dict(df.dtypes)["ts"].startswith("timestamp"), df.dtypes
