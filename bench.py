@@ -58,8 +58,10 @@ def main() -> None:
     qs = em.queries()
     names = [n for n in HEADLINE + OPTIONAL if n in qs]
 
-    # JVM/codegen warm-up on the smallest tier
-    for n in names[:3]:
+    # JVM + whole-stage-codegen warm-up: run every query once at the smoke SF
+    # so sf0.1 timings measure execution, not one-time Janino compilation
+    # (the generated-code cache is keyed on source text, which is identical)
+    for n in names:
         qs[n](spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}

@@ -1,0 +1,130 @@
+"""Public convenience API — the reusable transformations behind the
+registered queries, importable directly by library users:
+
+    from data_transform_spark import api
+    pairs = api.minhash_near_dups(docs_df)          # near-dup candidate pairs
+    topk  = api.cosine_topk(emb_df, query_df, k=10) # exact top-k neighbors
+
+Each function takes/returns plain DataFrames so they compose with arbitrary
+user pipelines; none of them collect to the driver (see SCALING.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_transform_spark.operators.joins import salted_join  # noqa: F401  (re-export)
+from data_transform_spark.pipeline.dedup import (  # noqa: F401  (re-export)
+    minhash_signatures,
+    simhash_fingerprints,
+)
+from data_transform_spark.pipeline.similarity import _cos, _dot
+
+
+def dedup_exact_by(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep the canonical (min id) row per exact content hash."""
+    w = Window.partitionBy(F.md5(F.col(content_col))).orderBy(id_col)
+    return df.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+
+
+def minhash_near_dups(docs: DataFrame, tau: float = 0.5) -> DataFrame:
+    """Near-duplicate pairs (doc_a < doc_b, est_jaccard >= tau) via LSH.
+
+    ``docs`` needs (doc_id, text). See pipeline.dedup for the full pipeline;
+    this thin wrapper exists so users can run it on their own corpus df.
+    """
+    from data_transform_spark.pipeline import dedup as _d
+
+    sig = _d.minhash_signatures(docs)
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("sig", j * 2 + k + 1) for k in range(2)]
+                        ).alias("bucket"),
+                    )
+                    for j in range(_d.N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    return cand.select(
+        "doc_a", "doc_b", (agree / F.lit(float(_d.N_HASHES))).alias("est_jaccard")
+    ).filter(F.col("est_jaccard") >= tau)
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    ``corpus``: (vec_id, embedding array); ``queries``: (query_id, embedding).
+    Queries are broadcast — keep them small; for large query sets use the
+    LSH/blocked variants (pipeline.similarity).
+    """
+    c = corpus.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    q = queries.select(
+        "query_id", F.col("embedding").cast("array<double>").alias("q_emb")
+    )
+    scored = F.broadcast(q).join(c, F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cos(F.col("q_emb"), F.col("emb")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
+    return scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+
+
+def l2_normalize(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """Replace an array<float/double> column with its unit-norm version."""
+    emb = F.col(col).cast("array<double>")
+    norm = F.sqrt(_dot(emb, emb))
+    return df.withColumn(col, F.transform(emb, lambda x: x / norm))
+
+
+def tfidf(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, token, tfidf) with smoothed idf = ln((N+1)/(df+1)) + 1."""
+    n_docs = docs.count()
+    tok = docs.select(id_col, F.explode(F.split(text_col, " ")).alias("token"))
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("cnt"))
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("doc_len"))
+    df_ = tok.groupBy("token").agg(F.countDistinct(id_col).alias("df"))
+    expr = (F.col("cnt") / F.col("doc_len")) * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0)
+    return tf.join(dl, id_col).join(F.broadcast(df_), "token").select(
+        id_col, "token", expr.alias("tfidf")
+    )
+
+
+def sessionize(events: DataFrame, key: str = "user_id", ts: str = "ts",
+               gap_minutes: int = 10) -> DataFrame:
+    """Assign a session_id per key using the gaps-and-islands pattern
+    (batch twin of session_window — works on any bounded frame)."""
+    w = Window.partitionBy(key).orderBy(ts)
+    # NTZ won't cast straight to long in Spark 4; hop through timestamp
+    # (identity under the engine-wide UTC session timezone)
+    sec = F.col(ts).cast("timestamp").cast("long")
+    gap = sec - F.lag(sec).over(w)
+    new_s = F.when(gap.isNull() | (gap >= gap_minutes * 60), 1).otherwise(0)
+    run = Window.partitionBy(key).orderBy(ts).rowsBetween(Window.unboundedPreceding, 0)
+    return events.withColumn("session_id", F.sum(new_s).over(run))

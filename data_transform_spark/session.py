@@ -26,6 +26,10 @@ RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Arrow for all pandas_udf / toPandas boundaries.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Wide aggregates (64-bucket simhash, 16-hash minhash, pivots) exceed the
+    # default 100-field whole-stage-codegen limit and silently fall back to
+    # interpreted mode — measured 2x slower. Keep them codegen'd.
+    "spark.sql.codegen.maxFields": "300",
 }
 
 

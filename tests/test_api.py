@@ -1,0 +1,73 @@
+"""Public API facade tests — the composable library surface."""
+
+import pyspark.sql.functions as F
+
+from data_transform_spark import api
+from data_transform_spark.io import load_table
+
+
+def test_dedup_exact_by_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(3, "same"), (1, "same"), (2, "other")], "doc_id long, text string"
+    )
+    out = api.dedup_exact_by(df, "text", "doc_id").collect()
+    assert sorted((r["doc_id"], r["text"]) for r in out) == [(1, "same"), (2, "other")]
+
+
+def test_minhash_near_dups_finds_planted_dup(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "totally different words here now ok fine yes")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in api.minhash_near_dups(df).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_cosine_topk_ranks_identical_vector_first(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    # plant a query equal to vec 7's embedding: its top neighbor must be 7
+    q = e.filter("vec_id = 7").select(
+        F.lit(9999).alias("query_id"), F.col("embedding")
+    )
+    top = api.cosine_topk(e, q, k=1).collect()
+    assert top[0]["neighbor_id"] == 7
+    assert abs(top[0]["score"] - 1.0) < 1e-9
+
+
+def test_l2_normalize_unit_norm(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").limit(10)
+    out = api.l2_normalize(e)
+    norms = out.select(
+        F.aggregate(F.col("embedding"), F.lit(0.0), lambda s, x: s + x * x).alias("n2")
+    ).collect()
+    for r in norms:
+        assert abs(r["n2"] - 1.0) < 1e-9
+
+
+def test_sessionize_splits_on_gap(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:05:00"),
+        (1, "2024-01-01 01:00:00"),  # > 10 min gap -> new session
+        (2, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string").select(
+        "user_id", F.col("ts_s").cast("timestamp_ntz").alias("ts")
+    )
+    out = {(r["user_id"], str(r["ts"])): r["session_id"] for r in api.sessionize(df).collect()}
+    assert out[(1, "2024-01-01 00:00:00")] == 1
+    assert out[(1, "2024-01-01 00:05:00")] == 1
+    assert out[(1, "2024-01-01 01:00:00")] == 2
+    assert out[(2, "2024-01-01 00:00:00")] == 1
+
+
+def test_tfidf_matches_registered_query(spark, sf_dir):
+    import __spark_entry__  # noqa: F401
+    from data_transform_spark.registry import QUERIES
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = api.tfidf(docs).withColumn("tfidf", F.round("tfidf", 6))
+    want = QUERIES["text_tfidf"](spark, sf_dir)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
