@@ -33,7 +33,7 @@ def fn_array(spark, sf_dir):
     emb = F.col("embedding")
     return e.select(
         "vec_id",
-        F.size(emb).alias("dim"),
+        F.size(emb).cast("long").alias("dim"),
         F.element_at(emb, 1).alias("first_el"),
         F.slice(emb, 1, 3).alias("head3"),
         F.sort_array(F.slice(emb, 1, 5)).alias("sorted_head"),
@@ -96,7 +96,7 @@ def fn_explode(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
-    ).select("doc_id", "token", "pos")
+    ).select("doc_id", "token", F.col("pos").cast("long").alias("pos"))
 
 
 @register(
@@ -111,4 +111,6 @@ def fn_explode(spark, sf_dir):
 def fn_sequence(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     seq = F.sequence(F.lit(1), F.col("l_linenumber"))
-    return li.select("l_orderkey", "l_linenumber", seq.alias("seq"), F.size(seq).alias("seq_len"))
+    return li.select(
+        "l_orderkey", "l_linenumber", seq.alias("seq"), F.size(seq).cast("long").alias("seq_len")
+    )

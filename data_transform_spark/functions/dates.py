@@ -27,16 +27,18 @@ from data_transform_spark.registry import register
 )
 def fn_date_extract(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
+    # every extract is cast to long: Spark emits int32, DuckDB BIGINT, and a
+    # strict schema comparison would flag the width (§5.3 addendum)
     return ev.select(
         "event_id",
-        F.year("ts").alias("y"),
-        F.month("ts").alias("mo"),
-        F.dayofmonth("ts").alias("d"),
-        F.hour("ts").alias("h"),
-        F.minute("ts").alias("mi"),
-        F.second("ts").alias("s"),
-        F.weekofyear("ts").alias("wk"),
-        F.dayofweek("ts").alias("dow"),  # 1=Sunday; oracle adds +1 to match
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("mo"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+        F.minute("ts").cast("long").alias("mi"),
+        F.second("ts").cast("long").alias("s"),
+        F.weekofyear("ts").cast("long").alias("wk"),
+        F.dayofweek("ts").cast("long").alias("dow"),  # 1=Sunday; oracle +1
     )
 
 
@@ -67,7 +69,7 @@ def fn_date_arith(spark, sf_dir):
         F.datediff(
             F.lit("2002-01-01 00:00:00").cast("timestamp_ntz").cast("date"),
             F.col("l_shipdate").cast("date"),
-        ).alias("days_to_2002"),
+        ).cast("long").alias("days_to_2002"),
     )
 
 

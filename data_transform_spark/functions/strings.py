@@ -44,7 +44,7 @@ def fn_string_basic(spark, sf_dir):
         F.lower("p_brand").alias("lo"),
         F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
         F.substring("p_name", 2, 4).alias("sub"),
-        F.length("p_name").alias("len"),
+        F.length("p_name").cast("long").alias("len"),
         F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("cat"),
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded"),
         F.rpad("p_brand", 12, ".").alias("rpadded"),
@@ -53,9 +53,9 @@ def fn_string_basic(spark, sf_dir):
         F.right(F.col("p_name"), F.lit(3)).alias("r3"),
         F.repeat("p_brand", 2).alias("rep"),
         F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("second_word"),
-        F.instr(F.col("p_name"), "e").alias("epos"),
+        F.instr(F.col("p_name"), "e").cast("long").alias("epos"),
         F.translate("p_name", "aeiou", "AEIOU").alias("vowelup"),
-        F.ascii("p_name").alias("first_code"),
+        F.ascii("p_name").alias("first_code"),  # both engines emit int32
     )
 
 
@@ -76,7 +76,7 @@ def fn_string_regex(spark, sf_dir):
         "doc_id",
         F.regexp_extract("text", r"([a-z]+) ([a-z]+)", 2).alias("second_tok"),
         F.regexp_replace("text", r"\b(a|the)\b", "_").alias("no_articles"),
-        F.size(F.split("text", r"\s+")).alias("n_tokens"),
+        F.size(F.split("text", r"\s+")).cast("long").alias("n_tokens"),
     )
 
 
@@ -94,9 +94,9 @@ def fn_string_fuzzy(spark, sf_dir):
     return p.select(
         "p_partkey",
         "p_name",
-        F.levenshtein(F.col("p_name"), F.lit("red widget")).alias("lev_to_ref"),
+        F.levenshtein(F.col("p_name"), F.lit("red widget")).cast("long").alias("lev_to_ref"),
         F.levenshtein(
             F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)),
             F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)),
-        ).alias("lev_words"),
+        ).cast("long").alias("lev_words"),
     )

@@ -140,7 +140,7 @@ def udtf_tokenize(spark, sf_dir):
     """Python UDTF: one input row → one row per token (lateral join)."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="doc_id: long, token: string, pos: int")
+    @udtf(returnType="doc_id: long, token: string, pos: long")
     class Tokenize:
         def eval(self, doc_id: int, text: str):
             for i, tok in enumerate(text.split(" ")):

@@ -111,7 +111,7 @@ def sample_hash(spark, sf_dir):
 @register(
     "shard_assign",
     oracle="""
-    SELECT shard, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM (
         SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS shard,
                n_chars

@@ -26,7 +26,10 @@ from data_transform_spark.registry import register
 def win_row_number(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return o.select("o_orderkey", "o_custkey", F.row_number().over(w).alias("rn"))
+    # rank-family outputs are cast to long: Spark emits int32, DuckDB BIGINT
+    return o.select(
+        "o_orderkey", "o_custkey", F.row_number().over(w).cast("long").alias("rn")
+    )
 
 
 @register(
@@ -48,11 +51,11 @@ def win_rank(spark, sf_dir):
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
         F.round(F.percent_rank().over(w), 6).alias("prnk"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
     )
 
 

@@ -45,7 +45,7 @@ def multimodal_binary(spark, sf_dir):
         "doc_id",
         F.lower(F.hex(payload)).alias("payload_hex"),
         F.lit("text/plain").alias("mime"),
-        F.octet_length(payload).alias("byte_len"),
+        F.octet_length(payload).cast("long").alias("byte_len"),
         F.md5("text").alias("checksum"),
     )
 

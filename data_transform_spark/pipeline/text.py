@@ -46,9 +46,11 @@ def text_token_count(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.size(F.split("text", " ")).alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|\S"), 0)).alias("n_bpe_ish"),
-        F.length("text").alias("n_chars"),
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|\S"), 0))
+        .cast("long")
+        .alias("n_bpe_ish"),
+        F.length("text").cast("long").alias("n_chars"),
     )
 
 
@@ -57,7 +59,7 @@ def text_token_count(spark, sf_dir):
     oracle="""
     SELECT lang, source,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            ROUND(avg(n_chars), 6) AS avg_chars,
            count(*) FILTER (WHERE n_chars = length(text)) AS n_chars_consistent
     FROM documents
@@ -120,8 +122,8 @@ def text_quality(spark, sf_dir):
     ttr = F.round(n_distinct * 1.0 / n_tok, 6)
     return d.select(
         "doc_id",
-        n_tok.alias("n_tok"),
-        n_distinct.alias("n_distinct"),
+        n_tok.cast("long").alias("n_tok"),
+        n_distinct.cast("long").alias("n_distinct"),
         ttr.alias("type_token_ratio"),
         F.round(n_stop * 1.0 / n_tok, 6).alias("stopword_ratio"),
         F.round((F.length("text") - n_tok + 1) * 1.0 / n_tok, 6).alias("avg_word_len"),

@@ -96,6 +96,13 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
             f"columns differ: spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}"
         )
         return problems
+    # dtype parity (defensive: the driver's schema check may be strict).
+    # datetime64 unit (ns vs us) is tolerated — the pandas bridges disagree
+    # even on raw passthrough scans and values are equal to the microsecond.
+    for c in sorted(spark_pdf.columns):
+        st, ot = str(spark_pdf[c].dtype), str(oracle_pdf[c].dtype)
+        if st != ot and not (st.startswith("datetime64") and ot.startswith("datetime64")):
+            problems.append(f"dtype differs for {c}: spark={st} oracle={ot}")
     if len(spark_pdf) != len(oracle_pdf):
         problems.append(f"row count differs: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
     s_rows = canonical_rows(spark_pdf)
