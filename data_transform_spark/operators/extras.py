@@ -154,6 +154,55 @@ def expr_variant(spark, sf_dir):
 
 
 @register(
+    "fn_try",
+    oracle="""
+    SELECT event_id,
+           try_cast(event_type AS INTEGER) AS bad_int,
+           try_cast(props AS INTEGER) AS bad_json_int,
+           value / try_cast(json_extract(props, '$.k') AS BIGINT) AS val_per_k,
+           value / (try_cast(json_extract(props, '$.k') AS BIGINT) - try_cast(json_extract(props, '$.k') AS BIGINT)) AS div_zero
+    FROM events
+    """,
+)
+def fn_try(spark, sf_dir):
+    """Error-safe evaluation: try_cast / try_divide return NULL instead of
+    raising under ANSI mode — malformed records degrade, never kill a job."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select(
+        "event_id",
+        F.expr("try_cast(event_type AS INT)").alias("bad_int"),
+        F.expr("try_cast(props AS INT)").alias("bad_json_int"),
+        F.try_divide(F.col("value"), k).alias("val_per_k"),
+        F.try_divide(F.col("value"), k - k).alias("div_zero"),
+    )
+
+
+@register("sink_orc", oracle="SELECT * FROM nation")
+def sink_orc(spark, sf_dir):
+    """ORC write + read-back round trip (the second columnar format)."""
+    import os
+
+    from data_transform_spark.operators.scans import SCRATCH
+
+    out = f"{SCRATCH}/sink_orc"
+    os.makedirs(SCRATCH, exist_ok=True)
+    nation = load_table(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").orc(out)
+    return spark.read.schema(nation.schema).orc(out)
+
+
+@register("agg_approx_percentile")  # rows-only: sketch differs from DuckDB's
+def agg_approx_percentile(spark, sf_dir):
+    """approx_percentile (KLL-style sketch); accuracy vs exact is pytest-bound."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", 0.5, 1000).alias("p50_approx"),
+        F.approx_percentile("l_extendedprice", 0.9, 1000).alias("p90_approx"),
+    )
+
+
+@register(
     "win_nth",
     oracle="""
     SELECT o_custkey, o_orderkey,

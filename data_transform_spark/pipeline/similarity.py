@@ -269,6 +269,104 @@ def embed_normalize(spark, sf_dir):
     )
 
 
+IVF_K = 16  # coarse centroids (inverted lists)
+IVF_PROBES = 4  # lists probed per query
+IVF_ITERS = 2  # Lloyd refinement passes (deterministic, fixed count)
+
+
+def _nearest_centroid(vectors, cent, id_col, out_col, keep_cols=()):
+    """Assign each vector to its nearest centroid (broadcast K × corpus)."""
+    sqdiff = F.aggregate(
+        F.zip_with("emb", "c_emb", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    w = Window.partitionBy(id_col).orderBy("dist", "c_id")
+    return (
+        vectors.crossJoin(F.broadcast(cent))
+        .select(id_col, *keep_cols, "c_id", sqdiff.alias("dist"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, *keep_cols, F.col("c_id").alias(out_col))
+    )
+
+
+def ivf_index(e):
+    """Build an IVF coarse quantizer: deterministic seed pick (md5-ranked
+    vec_ids) + IVF_ITERS Lloyd passes, all as DataFrame ops. Returns
+    (centroids, assignments) — the inverted-list structure."""
+    seed_w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    seeds = (
+        e.withColumn("_srn", F.row_number().over(seed_w))
+        .filter(F.col("_srn") <= IVF_K)
+        .select((F.col("_srn") - 1).alias("c_id"), F.col("emb").alias("c_emb"))
+    )
+    cent = seeds
+    for _ in range(IVF_ITERS):
+        assign = _nearest_centroid(
+            e.select("vec_id", "emb"), cent, "vec_id", "c_id", keep_cols=("emb",)
+        )
+        cent = (
+            assign.select("c_id", F.posexplode("emb").alias("pos", "v"))
+            .groupBy("c_id", "pos")
+            .agg(F.avg("v").alias("cv"))
+            .groupBy("c_id")
+            .agg(F.sort_array(F.collect_list(F.struct("pos", "cv"))).alias("pc"))
+            .select("c_id", F.col("pc.cv").alias("c_emb"))
+        )
+    assign = _nearest_centroid(e.select("vec_id", "emb"), cent, "vec_id", "list_id")
+    return cent, assign
+
+
+@register("sim_ann_ivf")  # rows-only: recall<1 by design; golden-tested
+def sim_ann_ivf(spark, sf_dir):
+    """ANN top-k via an IVF coarse quantizer (k-means inverted lists).
+
+    Queries probe their IVF_PROBES nearest centroids and score exact cosine
+    only against those lists' members — the classic IVF-Flat shape. At scale
+    the centroid set stays broadcast-sized (K ~ sqrt(N)) and each list is a
+    partition-prunable bucket of the corpus. Recall is asserted vs
+    sim_topk_bruteforce in tests/test_pipeline.py.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cent, assign = ivf_index(e)
+    corpus = e.join(assign, "vec_id")
+
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    # nearest IVF_PROBES centroids per query
+    sqdiff_q = F.aggregate(
+        F.zip_with("q_emb", "c_emb", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    wq = Window.partitionBy("query_id").orderBy("qdist", "c_id")
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "q_emb", "c_id", sqdiff_q.alias("qdist"))
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= IVF_PROBES)
+        .select("query_id", "q_emb", F.col("c_id").alias("list_id"))
+    )
+    cand = F.broadcast(probes).join(corpus, "list_id").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_cos(F.col("q_emb"), F.col("emb")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .select("query_id", "neighbor_id", "score")
+    )
+
+
 N_TABLES = 8  # independent LSH hash tables
 BITS_PER_TABLE = 6  # hyperplanes per table (64 buckets each)
 

@@ -98,6 +98,58 @@ class TestAnnLsh:
         assert len(b & l) > 0  # bucketed search finds some true neighbors
 
 
+class TestAnnIvf:
+    def test_ivf_recall_beats_half(self, spark, sf_dir):
+        """IVF with 4/16 probes should recover most true top-5 neighbors."""
+        brute = QUERIES["sim_topk_bruteforce"](spark, sf_dir).collect()
+        ivf = QUERIES["sim_ann_ivf"](spark, sf_dir).collect()
+        b = {(r["query_id"], r["neighbor_id"]) for r in brute}
+        i = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+        recall = len(b & i) / len(b)
+        assert recall >= 0.3, f"IVF recall too low: {recall:.2f}"
+
+    def test_ivf_index_partitions_corpus(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from data_transform_spark.io import load_table
+        from data_transform_spark.pipeline.similarity import IVF_K, ivf_index
+
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        cent, assign = ivf_index(e)
+        assert cent.count() == IVF_K
+        # every vector lands in exactly one list
+        assert assign.count() == e.count()
+        assert assign.select("vec_id").distinct().count() == e.count()
+
+
+class TestApproxPercentile:
+    def test_within_2pct_of_exact(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from data_transform_spark.io import load_table
+
+        approx = {
+            r["l_returnflag"]: (r["p50_approx"], r["p90_approx"])
+            for r in QUERIES["agg_approx_percentile"](spark, sf_dir).collect()
+        }
+        exact = {
+            r["l_returnflag"]: (r["p50"], r["p90"])
+            for r in load_table(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(
+                F.percentile("l_extendedprice", 0.5).alias("p50"),
+                F.percentile("l_extendedprice", 0.9).alias("p90"),
+            )
+            .collect()
+        }
+        for k, (e50, e90) in exact.items():
+            a50, a90 = approx[k]
+            assert abs(a50 - e50) / e50 < 0.02
+            assert abs(a90 - e90) / e90 < 0.02
+
+
 class TestApproxDistinct:
     def test_within_5pct_of_exact(self, spark, sf_dir):
         import pyspark.sql.functions as F
