@@ -5,6 +5,7 @@ from data_transform_spark.operators import (  # noqa: F401
     extras,
     joins,
     projections,
+    reshape,
     scans,
     setops,
     sorts,

@@ -1,0 +1,100 @@
+"""Reshaping + statistical aggregate operators.
+
+unpivot/melt is pivot's inverse (wide → long); the DuckDB twin uses the
+portable UNION ALL form so the oracle is dialect-proof. Mode is computed
+via count+rank rather than the engines' mode() (whose tie-break is
+unspecified on both sides — §5.3.2 determinism rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_transform_spark.io import load_table
+from data_transform_spark.registry import register
+
+
+@register(
+    "reshape_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    """,
+)
+def reshape_unpivot(spark, sf_dir):
+    """Wide → long melt of three measure columns (pivot's inverse)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        [
+            F.col("l_quantity").alias("quantity"),
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_discount").alias("discount"),
+        ],
+        "metric",
+        "value",
+    )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    SELECT user_id, event_type AS modal_type, n
+    FROM (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY user_id, event_type)
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) = 1
+    """,
+)
+def agg_mode(spark, sf_dir):
+    """Most-frequent event_type per user, with a deterministic tie-break
+    (count desc, then value asc) — engine mode() leaves ties unspecified."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"), "n")
+    )
+
+
+@register(
+    "agg_bitwise",
+    oracle="""
+    SELECT event_type,
+           bit_and(user_id) AS band, bit_or(user_id) AS bor, bit_xor(user_id) AS bxor
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitwise(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bit_and("user_id").alias("band"),
+        F.bit_or("user_id").alias("bor"),
+        F.bit_xor("user_id").alias("bxor"),
+    )
+
+
+@register(
+    "agg_regression",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_regression(spark, sf_dir):
+    """OLS aggregates (price ~ quantity), rounded on both engines (§5.3.1)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+    )

@@ -271,6 +271,53 @@ def stream_sink(spark, sf_dir):
 
 
 @register(
+    "stream_stream_join",
+    oracle="""
+    SELECT e.event_id AS err_id, p.event_id AS purchase_id, e.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id
+     AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_join(spark, sf_dir):
+    """Stream-stream interval join: purchases within 1h after an error.
+
+    Both sides carry watermarks so the join state is garbage-collected as
+    event time advances — the canonical bounded-state stream-stream join.
+    With AvailableNow both sides arrive in one batch, so the emitted result
+    equals the batch interval join (the oracle).
+    """
+    errors = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = errors.join(
+        purchases,
+        (F.col("e_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("e_ts"))
+        & (F.col("p_ts") <= F.col("e_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("err_id", "purchase_id", F.col("e_user").alias("user_id"))
+    return run_to_memory(joined, "append")
+
+
+@register(
     "stream_tumbling_batch",
     oracle="""
     SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
