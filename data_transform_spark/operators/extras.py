@@ -154,6 +154,85 @@ def expr_variant(spark, sf_dir):
 
 
 @register(
+    "tpch_q12",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) FILTER (WHERE l.l_returnflag = 'R') AS returned_lines,
+           count(*) AS all_lines
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00' AND TIMESTAMP '1997-12-31 23:59:59'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def tpch_q12(spark, sf_dir):
+    """Q12-shaped: conditional counts per priority over a date-bounded join."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"),
+            F.lit("1997-12-31 23:59:59").cast("timestamp_ntz"),
+        )
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("l_returnflag") == "R").alias("returned_lines"),
+            F.count(F.lit(1)).alias("all_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q14",
+    oracle="""
+    SELECT ROUND(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+    """,
+)
+def tpch_q14(spark, sf_dir):
+    """Q14-shaped: promo revenue share (broadcast part, conditional sum)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_revenue_pct"))
+    )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           count(*) AS n,
+           ROUND(min(o_totalprice), 2) AS lo,
+           ROUND(max(o_totalprice), 2) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_histogram(spark, sf_dir):
+    """Fixed-width histogram (50k buckets over totalprice) — portable
+    floor-division binning rather than engine-specific histogram functions."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000.0).cast("long")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+@register(
     "fn_try",
     oracle="""
     SELECT event_id,
