@@ -29,6 +29,7 @@ from data_transform_spark.registry import register
     """,
 )
 def fn_array(spark, sf_dir):
+    """size / element_at / slice / sort / flatten / contains over embeddings."""
     e = load_table(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
     return e.select(
@@ -109,6 +110,7 @@ def fn_explode(spark, sf_dir):
     """,
 )
 def fn_sequence(spark, sf_dir):
+    """sequence generation 1..n plus its length."""
     li = load_table(spark, sf_dir, "lineitem")
     seq = F.sequence(F.lit(1), F.col("l_linenumber"))
     return li.select(

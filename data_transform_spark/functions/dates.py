@@ -26,6 +26,7 @@ from data_transform_spark.registry import register
     """,
 )
 def fn_date_extract(spark, sf_dir):
+    """year/month/day/hour/minute/second/week/dow extraction."""
     ev = load_table(spark, sf_dir, "events")
     # every extract is cast to long: Spark emits int32, DuckDB BIGINT, and a
     # strict schema comparison would flag the width (§5.3 addendum)
@@ -58,6 +59,7 @@ def fn_date_extract(spark, sf_dir):
     """,
 )
 def fn_date_arith(spark, sf_dir):
+    """date_trunc, interval add, last_day, datediff arithmetic."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -84,6 +86,7 @@ def fn_date_arith(spark, sf_dir):
     """,
 )
 def fn_date_epoch(spark, sf_dir):
+    """epoch seconds/micros extraction and timestamp round-trip."""
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id",

@@ -27,6 +27,7 @@ from data_transform_spark.registry import register
     """,
 )
 def fn_json(spark, sf_dir):
+    """JSON extraction from props: typed, string, and missing-path."""
     ev = load_table(spark, sf_dir, "events")
     parsed = F.from_json(
         F.col("props"), T.StructType([T.StructField("k", T.LongType())])
@@ -50,6 +51,7 @@ def fn_json(spark, sf_dir):
     """,
 )
 def fn_map(spark, sf_dir):
+    """map construction from JSON + keys/values/scalar projections."""
     ev = load_table(spark, sf_dir, "events")
     k_val = F.get_json_object("props", "$.k").cast("long")
     m = F.create_map(F.col("event_type"), k_val)

@@ -34,6 +34,7 @@ from data_transform_spark.registry import register
     """,
 )
 def fn_math(spark, sf_dir):
+    """round/floor/ceil/abs/sqrt/exp/ln/log10/pow/mod/sign bundle."""
     li = load_table(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice")
     return li.select(

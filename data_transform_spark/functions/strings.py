@@ -37,6 +37,7 @@ from data_transform_spark.registry import register
     """,
 )
 def fn_string_basic(spark, sf_dir):
+    """upper/lower/trim/substring/pad/reverse/split_part/translate bundle."""
     p = load_table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
@@ -90,6 +91,7 @@ def fn_string_regex(spark, sf_dir):
     """,
 )
 def fn_string_fuzzy(spark, sf_dir):
+    """Levenshtein edit distance to a reference and between words."""
     p = load_table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",

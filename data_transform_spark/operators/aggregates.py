@@ -28,6 +28,7 @@ from data_transform_spark.registry import register
     """,
 )
 def agg_global(spark, sf_dir):
+    """ungrouped count/sum/avg/min/max over lineitem."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -86,6 +87,7 @@ def agg_groupby(spark, sf_dir):
     """,
 )
 def agg_count_distinct(spark, sf_dir):
+    """exact distinct counts per group."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.countDistinct("o_custkey").alias("n_custs"),
@@ -107,6 +109,7 @@ def agg_approx_distinct(spark, sf_dir):
     oracle="SELECT l_returnflag, sum(DISTINCT l_quantity) AS sum_dist_qty FROM lineitem GROUP BY l_returnflag",
 )
 def agg_sum_distinct(spark, sf_dir):
+    """SUM(DISTINCT quantity) per returnflag."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(F.sum_distinct(F.col("l_quantity")).alias("sum_dist_qty"))
 
@@ -146,6 +149,7 @@ def agg_collect(spark, sf_dir):
     oracle="SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS name_csv FROM nation GROUP BY n_regionkey",
 )
 def agg_string(spark, sf_dir):
+    """ordered string_agg via sorted collect_list + concat_ws."""
     n = load_table(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
         F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("name_csv")
@@ -165,6 +169,7 @@ def agg_string(spark, sf_dir):
     """,
 )
 def agg_stats(spark, sf_dir):
+    """stddev/variance/corr/covar statistical aggregates."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev("l_quantity"), 6).alias("sd_qty"),
@@ -186,6 +191,7 @@ def agg_stats(spark, sf_dir):
     """,
 )
 def agg_percentile(spark, sf_dir):
+    """exact interpolated percentiles and median per group."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_linestatus").agg(
         F.round(F.percentile("l_extendedprice", 0.5), 4).alias("p50"),
@@ -202,6 +208,7 @@ def agg_percentile(spark, sf_dir):
     """,
 )
 def agg_having(spark, sf_dir):
+    """post-aggregation filter (HAVING count > 50)."""
     c = load_table(spark, sf_dir, "customer")
     return (
         c.groupBy("c_nationkey")
@@ -220,6 +227,7 @@ def agg_having(spark, sf_dir):
     """,
 )
 def agg_grouping_sets(spark, sf_dir):
+    """GROUPING SETS aggregation (per-flag, per-status, both)."""
     li = load_table(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("li_grouping_sets")
     return spark.sql(
@@ -240,6 +248,7 @@ def agg_grouping_sets(spark, sf_dir):
     """,
 )
 def agg_rollup(spark, sf_dir):
+    """ROLLUP hierarchy totals with NULL markers."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
@@ -254,6 +263,7 @@ def agg_rollup(spark, sf_dir):
     """,
 )
 def agg_cube(spark, sf_dir):
+    """CUBE over returnflag x linestatus with NULL group markers."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
@@ -271,6 +281,7 @@ def agg_cube(spark, sf_dir):
     """,
 )
 def agg_countif(spark, sf_dir):
+    """conditional counts via count_if / FILTER."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.count_if(F.col("value") > 100).alias("n_big"),
@@ -289,6 +300,7 @@ def agg_countif(spark, sf_dir):
     """,
 )
 def agg_bool(spark, sf_dir):
+    """bool_and / bool_or grouped aggregates."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.bool_and(F.col("value") > 0).alias("all_positive"),

@@ -293,6 +293,7 @@ def agg_approx_percentile(spark, sf_dir):
     """,
 )
 def win_nth(spark, sf_dir):
+    """nth_value over full-frame window + per-partition counts."""
     o = load_table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
@@ -317,6 +318,7 @@ def win_nth(spark, sf_dir):
     """,
 )
 def fn_format(spark, sf_dir):
+    """printf-style format_string and concat_ws formatting."""
     c = load_table(spark, sf_dir, "customer")
     return c.select(
         F.format_string("%05d|%s|%.2f", F.col("c_custkey"), F.col("c_mktsegment"), F.col("c_acctbal")).alias(

@@ -24,6 +24,7 @@ from data_transform_spark.registry import register
     """,
 )
 def join_inner(spark, sf_dir):
+    """hash equi-join orders x customer."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
@@ -41,6 +42,7 @@ def join_inner(spark, sf_dir):
     """,
 )
 def join_left(spark, sf_dir):
+    """left outer join preserving all customers."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return c.join(o, c.c_custkey == o.o_custkey, "left").select(
@@ -57,6 +59,7 @@ def join_left(spark, sf_dir):
     """,
 )
 def join_right(spark, sf_dir):
+    """right outer join preserving all orders."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
     o = load_table(spark, sf_dir, "orders")
     return c.join(o, c.c_custkey == o.o_custkey, "right").select(
@@ -74,6 +77,7 @@ def join_right(spark, sf_dir):
     """,
 )
 def join_full(spark, sf_dir):
+    """full outer join with unmatched rows on both sides."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9500)
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 490000)
     return c.join(o, c.c_custkey == o.o_custkey, "full").select(
@@ -89,6 +93,7 @@ def join_full(spark, sf_dir):
     """,
 )
 def join_semi(spark, sf_dir):
+    """left semi join (EXISTS) - customers with big orders."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
@@ -102,6 +107,7 @@ def join_semi(spark, sf_dir):
     """,
 )
 def join_anti(spark, sf_dir):
+    """left anti join (NOT EXISTS) - customers without big orders."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
@@ -112,6 +118,7 @@ def join_anti(spark, sf_dir):
     oracle="SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n",
 )
 def join_cross(spark, sf_dir):
+    """cartesian product of the two smallest dims."""
     r = load_table(spark, sf_dir, "region")
     n = load_table(spark, sf_dir, "nation")
     return r.crossJoin(n).select("r_name", "n_name")
@@ -200,6 +207,7 @@ def join_multiway(spark, sf_dir):
     """,
 )
 def join_self(spark, sf_dir):
+    """self-join: line-item pairs within one order."""
     li = load_table(spark, sf_dir, "lineitem")
     a = li.alias("a")
     b = li.alias("b")

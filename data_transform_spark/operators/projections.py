@@ -18,6 +18,7 @@ from data_transform_spark.registry import register
     oracle="SELECT c_custkey AS cust_id, c_name AS cust_name, c_mktsegment AS segment FROM customer",
 )
 def project_select(spark, sf_dir):
+    """column subset + rename projection."""
     return load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("cust_id"),
         F.col("c_name").alias("cust_name"),
@@ -59,6 +60,7 @@ def project_compute(spark, sf_dir):
     """,
 )
 def filter_compare(spark, sf_dir):
+    """all six comparison operators on lineitem."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.filter(
         (F.col("l_quantity") > 30)
@@ -77,6 +79,7 @@ def filter_compare(spark, sf_dir):
     """,
 )
 def filter_in(spark, sf_dir):
+    """IN-list membership on priority and status."""
     o = load_table(spark, sf_dir, "orders")
     return o.filter(
         F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
@@ -93,6 +96,7 @@ def filter_in(spark, sf_dir):
     """,
 )
 def filter_between(spark, sf_dir):
+    """BETWEEN on timestamp and numeric ranges."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.filter(
         F.col("l_shipdate").between(
@@ -108,6 +112,7 @@ def filter_between(spark, sf_dir):
     oracle="SELECT p_partkey, p_name, p_type FROM part WHERE p_name LIKE '%gear%' AND p_type LIKE 'PRO%'",
 )
 def filter_like(spark, sf_dir):
+    """LIKE pattern matching on part names/types."""
     p = load_table(spark, sf_dir, "part")
     return p.filter(F.col("p_name").like("%gear%") & F.col("p_type").like("PRO%")).select(
         "p_partkey", "p_name", "p_type"
@@ -122,6 +127,7 @@ def filter_like(spark, sf_dir):
     """,
 )
 def filter_rlike(spark, sf_dir):
+    """regex predicate via rlike / regexp_matches."""
     p = load_table(spark, sf_dir, "part")
     return p.filter(F.col("p_name").rlike(r"^(red|blue) (bolt|gear)$")).select(
         "p_partkey", "p_name"
@@ -157,6 +163,7 @@ def filter_null(spark, sf_dir):
     """,
 )
 def filter_bool(spark, sf_dir):
+    """AND / OR / NOT predicate composition."""
     li = load_table(spark, sf_dir, "lineitem")
     cond = ((F.col("l_quantity") > 45) & (F.col("l_discount") < 0.03)) | (
         (~(F.col("l_returnflag") == "N")) & (F.col("l_tax") > 0.07)
@@ -175,6 +182,7 @@ def filter_bool(spark, sf_dir):
     """,
 )
 def expr_case(spark, sf_dir):
+    """CASE WHEN price bucketing."""
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -197,6 +205,7 @@ def expr_case(spark, sf_dir):
     """,
 )
 def expr_coalesce(spark, sf_dir):
+    """NULLIF / COALESCE / GREATEST / LEAST null-logic bundle."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -219,6 +228,7 @@ def expr_coalesce(spark, sf_dir):
     """,
 )
 def expr_cast(spark, sf_dir):
+    """safe cross-type casts (string/double/date-string/bigint)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         F.col("l_orderkey").cast("string").alias("ok_str"),
@@ -236,4 +246,5 @@ def expr_cast(spark, sf_dir):
     oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
 )
 def project_distinct(spark, sf_dir):
+    """DISTINCT projection of status x priority."""
     return load_table(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()

@@ -70,6 +70,7 @@ def agg_mode(spark, sf_dir):
     """,
 )
 def agg_bitwise(spark, sf_dir):
+    """bit_and / bit_or / bit_xor grouped aggregates."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.bit_and("user_id").alias("band"),

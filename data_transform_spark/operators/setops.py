@@ -23,6 +23,7 @@ from data_transform_spark.registry import register
     """,
 )
 def set_union_all(spark, sf_dir):
+    """bag union of two order subsets."""
     o = load_table(spark, sf_dir, "orders")
     a = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderstatus")
     b = o.filter(F.col("o_totalprice") > 400000).select("o_orderkey", "o_orderstatus")
@@ -38,6 +39,7 @@ def set_union_all(spark, sf_dir):
     """,
 )
 def set_union(spark, sf_dir):
+    """deduplicating union of filtered key sets."""
     o = load_table(spark, sf_dir, "orders")
     a = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
     b = o.filter(F.col("o_totalprice") > 450000).select("o_custkey")
@@ -53,6 +55,7 @@ def set_union(spark, sf_dir):
     """,
 )
 def set_intersect(spark, sf_dir):
+    """set intersection of filtered key sets."""
     o = load_table(spark, sf_dir, "orders")
     a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     b = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
@@ -68,6 +71,7 @@ def set_intersect(spark, sf_dir):
     """,
 )
 def set_intersect_all(spark, sf_dir):
+    """bag intersection preserving multiplicity."""
     o = load_table(spark, sf_dir, "orders")
     a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     b = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
@@ -83,6 +87,7 @@ def set_intersect_all(spark, sf_dir):
     """,
 )
 def set_except(spark, sf_dir):
+    """set difference of customer keys."""
     c = load_table(spark, sf_dir, "customer").select("c_custkey")
     o = (
         load_table(spark, sf_dir, "orders")
@@ -101,6 +106,7 @@ def set_except(spark, sf_dir):
     """,
 )
 def set_except_all(spark, sf_dir):
+    """bag (multiset) difference preserving multiplicity."""
     o = load_table(spark, sf_dir, "orders")
     a = o.select("o_custkey")
     b = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")

@@ -23,6 +23,7 @@ from data_transform_spark.registry import register
     """,
 )
 def sort_multi(spark, sf_dir):
+    """multi-key asc/desc global sort."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag").orderBy(
         F.col("l_returnflag").desc(),
@@ -43,6 +44,7 @@ def sort_multi(spark, sf_dir):
     """,
 )
 def sort_nulls(spark, sf_dir):
+    """NULLS LAST ordering over outer-join output."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
     return (
@@ -60,6 +62,7 @@ def sort_nulls(spark, sf_dir):
     """,
 )
 def limit_topk(spark, sf_dir):
+    """global top-k via ORDER BY + LIMIT (TakeOrderedAndProject)."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.select("o_orderkey", "o_custkey", "o_totalprice")
@@ -76,6 +79,7 @@ def limit_topk(spark, sf_dir):
     """,
 )
 def limit_offset(spark, sf_dir):
+    """OFFSET pagination under a total order."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.select("o_orderkey", "o_custkey", "o_totalprice")

@@ -24,6 +24,7 @@ from data_transform_spark.registry import register
     """,
 )
 def win_row_number(spark, sf_dir):
+    """row_number per customer ordered by date."""
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     # rank-family outputs are cast to long: Spark emits int32, DuckDB BIGINT
@@ -46,6 +47,7 @@ def win_row_number(spark, sf_dir):
     """,
 )
 def win_rank(spark, sf_dir):
+    """rank/dense_rank/percent_rank/cume_dist/ntile bundle."""
     li = load_table(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_returnflag").orderBy("l_quantity", "l_orderkey", "l_linenumber")
     return li.select(
@@ -69,6 +71,7 @@ def win_rank(spark, sf_dir):
     """,
 )
 def win_lag_lead(spark, sf_dir):
+    """lag/lead with defaults per user timeline."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
@@ -92,6 +95,7 @@ def win_lag_lead(spark, sf_dir):
     """,
 )
 def win_first_last(spark, sf_dir):
+    """first/last value over an unbounded frame."""
     o = load_table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
@@ -118,6 +122,7 @@ def win_first_last(spark, sf_dir):
     """,
 )
 def win_running(spark, sf_dir):
+    """running sum/count per user timeline."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -143,6 +148,7 @@ def win_running(spark, sf_dir):
     """,
 )
 def win_moving(spark, sf_dir):
+    """moving average over a 4-row frame."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
     return ev.select(

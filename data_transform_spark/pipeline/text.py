@@ -23,6 +23,7 @@ from data_transform_spark.registry import register
     """,
 )
 def text_tokenize(spark, sf_dir):
+    """whitespace tokenization with per-doc term counts."""
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
@@ -85,6 +86,7 @@ def text_stats(spark, sf_dir):
     """,
 )
 def text_lang_filter(spark, sf_dir):
+    """language + length corpus filter."""
     d = load_table(spark, sf_dir, "documents")
     return d.filter(F.col("lang").isin("en", "de") & (F.col("n_chars") > 100)).select(
         "doc_id", "lang", "source", "n_chars"
