@@ -30,6 +30,9 @@ RUNTIME_CONFS = {
     # default 100-field whole-stage-codegen limit and silently fall back to
     # interpreted mode — measured 2x slower. Keep them codegen'd.
     "spark.sql.codegen.maxFields": "300",
+    # Fixture-tier setting (sf <= 0.1): the default 200 is pure stage overhead
+    # at this size. Cluster tiers override per SCALING.md (2-3x total cores).
+    "spark.sql.shuffle.partitions": "32",
 }
 
 
