@@ -46,6 +46,7 @@ OPTIONAL = [
     "fn_string_regex",
     "udf_grouped_map",
     "stream_tumbling_batch",
+    "pipeline_e2e",
 ]
 
 

@@ -3,6 +3,7 @@ text analysis, multimodal columns. Importing registers all keys."""
 
 from data_transform_spark.pipeline import (  # noqa: F401
     dedup,
+    e2e,
     multimodal,
     similarity,
     text,
