@@ -46,8 +46,8 @@ def agg_global(spark, sf_dir):
     SELECT l_returnflag, l_linestatus,
            sum(l_quantity) AS sum_qty,
            ROUND(sum(l_extendedprice), 2) AS sum_base_price,
-           ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
            ROUND(avg(l_quantity), 6) AS avg_qty,
            ROUND(avg(l_extendedprice), 4) AS avg_price,
            ROUND(avg(l_discount), 6) AS avg_disc,
@@ -58,17 +58,25 @@ def agg_global(spark, sf_dir):
     """,
 )
 def agg_groupby(spark, sf_dir):
-    """TPC-H Q1-shaped pricing summary — the flagship aggregation."""
+    """TPC-H Q1-shaped pricing summary — the flagship aggregation.
+
+    Product sums go through DECIMAL(18,6): the per-row product is exact at
+    <= 6 decimals, decimal summation is order-independent, and the final
+    double is therefore bit-identical on both engines regardless of how
+    partial aggregates merge. Rounding a float sum instead can flip at an
+    exact .xx5 boundary (4-decimal inputs summed, rounded to 2dp).
+    """
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dec = "decimal(18,6)"
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.sum(disc_price.cast(dec)).cast("double").alias("sum_disc_price"),
+            F.sum((disc_price * (1 + F.col("l_tax"))).cast(dec)).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),

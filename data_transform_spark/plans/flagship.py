@@ -21,13 +21,15 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region")
 
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact decimal sums: order-independent across partial-agg merge orders
+    disc_dec = disc_price.cast("decimal(18,6)")
 
     pricing = (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.sum(disc_dec).cast("double").alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -39,7 +41,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum(disc_price), 2).alias("regional_revenue"))
+        .agg(F.sum(disc_dec).cast("double").alias("regional_revenue"))
     )
 
     return pricing.join(star, ["l_returnflag", "l_linestatus"]).orderBy(
