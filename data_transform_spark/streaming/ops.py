@@ -136,6 +136,31 @@ def stream_session(spark, sf_dir):
     return run_to_memory(agg, "complete")
 
 
+def stage_events_chunks(sf_dir: str, plant_late: bool) -> str:
+    """Stage events as 4 time-ordered parquet chunks; optionally re-deliver
+    50 old rows in the last chunk (to land behind an advanced watermark)."""
+    import pandas as pd
+
+    tag = "late" if plant_late else "clean"
+    src = f"{SCRATCH}/stream_chunks_{tag}_{os.path.basename(sf_dir.rstrip('/'))}"
+    if not os.path.exists(f"{src}/_ready"):
+        os.makedirs(src, exist_ok=True)
+        pdf = pd.read_parquet(path_of(sf_dir, "events")).sort_values("ts")
+        n = len(pdf)
+        chunks = [
+            pdf.iloc[: n // 4],
+            pdf.iloc[n // 4 : n // 2],
+            pdf.iloc[n // 2 : 3 * n // 4],
+            pdf.iloc[3 * n // 4 :],
+        ]
+        if plant_late:
+            chunks[3] = pd.concat([pdf.iloc[n // 4 : n // 4 + 50], chunks[3]])
+        for i, chunk in enumerate(chunks):
+            chunk.to_parquet(f"{src}/chunk_{i}.parquet", index=False)
+        open(f"{src}/_ready", "w").close()
+    return src
+
+
 @register("stream_watermark")  # rows-only: late-data drop is not SQL-expressible
 def stream_watermark(spark, sf_dir):
     """Windowed agg under a 1-hour watermark with out-of-order file batches.
@@ -145,22 +170,8 @@ def stream_watermark(spark, sf_dir):
     watermark advances between them and drops the too-late rows. Asserted
     against the batch count in tests/test_streaming.py.
     """
-    import pandas as pd
-
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = f"{SCRATCH}/stream_wm_{os.path.basename(sf_dir.rstrip('/'))}"
-    if not os.path.exists(f"{src}/_ready"):
-        os.makedirs(src, exist_ok=True)
-        pdf = pd.read_parquet(path_of(sf_dir, "events")).sort_values("ts")
-        n = len(pdf)
-        # chunks 0-2: first 75% in ts order; chunk 3: a slice from the middle
-        # (now far behind the watermark) + the final 25%
-        c0, c1, c2 = pdf.iloc[: n // 4], pdf.iloc[n // 4 : n // 2], pdf.iloc[n // 2 : 3 * n // 4]
-        late = pdf.iloc[n // 4 : n // 4 + 50]  # re-delivered old rows
-        c3 = pd.concat([late, pdf.iloc[3 * n // 4 :]])
-        for i, chunk in enumerate([c0, c1, c2, c3]):
-            chunk.to_parquet(f"{src}/chunk_{i}.parquet", index=False)
-        open(f"{src}/_ready", "w").close()
+    src = stage_events_chunks(sf_dir, plant_late=True)
 
     raw_schema = spark.read.parquet(path_of(sf_dir, "events")).schema
     stream = (

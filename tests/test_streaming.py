@@ -43,6 +43,54 @@ def test_stream_dedup_no_duplicates(spark, sf_dir):
     assert len(ids) == len(set(ids))
 
 
+def test_checkpoint_recovery_exactly_once(spark, sf_dir):
+    """Stop a checkpointed stream mid-flight, restart it, and verify the sink
+    holds every source row exactly once — committed batches are not replayed
+    and uncommitted ones are reprocessed (end-to-end exactly-once)."""
+    import time
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from data_transform_spark.io import path_of
+    from data_transform_spark.streaming.ops import SCRATCH, stage_events_chunks
+
+    src = stage_events_chunks(sf_dir, plant_late=False)
+    ckpt = f"{SCRATCH}/ckpt_{uuid.uuid4().hex[:8]}"
+    out = f"{SCRATCH}/ckpt_out_{uuid.uuid4().hex[:8]}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path_of(sf_dir, "events")).schema
+
+    def start():
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        )
+        return (
+            stream.writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch(lambda df, bid: df.write.mode("append").parquet(out))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 60
+    while not q.recentProgress and q.isActive and time.time() < deadline:
+        time.sleep(0.2)
+    q.stop()  # interrupt mid-run; some batches committed, some not
+    q.awaitTermination()
+
+    q2 = start()  # resume from the checkpoint
+    q2.awaitTermination()
+
+    got = spark.read.parquet(out)
+    n_src = spark.read.parquet(src).count()
+    assert got.count() == n_src, "row count after recovery != source"
+    assert got.select("event_id").distinct().count() == n_src, "batch replayed -> duplicates"
+
+
 def test_stream_stateful_matches_batch_agg(spark, sf_dir):
     import pyspark.sql.functions as F
 

@@ -1,11 +1,11 @@
-import sys, time
+import os, sys, time
 sys.path.insert(0, "/root/repo")
 import __spark_entry__
 from data_transform_spark.registry import QUERIES, ORACLES
 from data_transform_spark.session import get_spark
 from tests.oracle import check_key
 
-sf = "/root/testdata/sf0.01"
+sf = os.environ.get("ORACLE_SF", "/root/testdata/sf0.01")
 spark = get_spark("oracle-replica")
 keys = sys.argv[1:] or [k for k in sorted(QUERIES)]
 failed = []
