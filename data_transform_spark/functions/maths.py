@@ -55,6 +55,61 @@ def fn_math(spark, sf_dir):
 
 
 @register(
+    "fn_trig",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(sin(l_discount), 6) AS s,
+           round(cos(l_discount), 6) AS c,
+           round(tan(l_discount), 6) AS t,
+           round(atan2(l_discount, l_tax + 0.01), 6) AS a2,
+           round(degrees(l_discount), 6) AS deg,
+           round(radians(l_quantity), 6) AS rad
+    FROM lineitem
+    """,
+)
+def fn_trig(spark, sf_dir):
+    """Trigonometric bundle, rounded to 6 dp (libm ulp differences)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.col("l_discount")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sin(d), 6).alias("s"),
+        F.round(F.cos(d), 6).alias("c"),
+        F.round(F.tan(d), 6).alias("t"),
+        F.round(F.atan2(d, F.col("l_tax") + 0.01), 6).alias("a2"),
+        F.round(F.degrees(d), 6).alias("deg"),
+        F.round(F.radians("l_quantity"), 6).alias("rad"),
+    )
+
+
+@register(
+    "fn_bitwise_scalar",
+    oracle="""
+    SELECT event_id,
+           user_id & 15 AS low_nibble,
+           user_id | 256 AS with_flag,
+           xor(user_id, 85) AS xored,
+           user_id << 2 AS shifted_l,
+           user_id >> 1 AS shifted_r
+    FROM events
+    """,
+)
+def fn_bitwise_scalar(spark, sf_dir):
+    """Scalar bitwise ops (&, |, xor, shifts) on the user_id key."""
+    ev = load_table(spark, sf_dir, "events")
+    u = F.col("user_id")
+    return ev.select(
+        "event_id",
+        u.bitwiseAND(F.lit(15)).alias("low_nibble"),
+        u.bitwiseOR(F.lit(256)).alias("with_flag"),
+        u.bitwiseXOR(F.lit(85)).alias("xored"),
+        F.shiftleft(u, 2).alias("shifted_l"),
+        F.shiftright(u, 1).alias("shifted_r"),
+    )
+
+
+@register(
     "fn_hash",
     oracle="""
     SELECT doc_id,

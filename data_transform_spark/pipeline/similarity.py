@@ -14,6 +14,12 @@ Scale ladder for 100 TB:
   * lsh         — random-hyperplane signatures bucket the corpus; only
     same-bucket candidates are scored (sublinear candidates; recall<1,
     golden-tested). The scale path when |Q| is large.
+  * ivf         — k-means inverted lists (coarse quantizer), probe the
+    nearest few lists per query — the reference-point/cluster-pruning
+    family from the distributed top-k literature (cf. PAPERS.md: REPOSE
+    ICDE'21 local reference-point tries; "Incremental ... Top-K Similarity
+    Search" EDBT'20; "Continuously Adaptive Similarity Search" SIGMOD'20 —
+    adaptive probe counts correspond to our IVF_PROBES knob).
 """
 
 from __future__ import annotations

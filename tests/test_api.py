@@ -63,6 +63,18 @@ def test_sessionize_splits_on_gap(spark):
     assert out[(2, "2024-01-01 00:00:00")] == 1
 
 
+def test_api_minhash_matches_registered_query(spark, sf_dir):
+    """The api facade and the registered key share banding logic — any
+    divergence between the two implementations is a bug."""
+    import __spark_entry__  # noqa: F401
+    from data_transform_spark.registry import QUERIES
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = sorted(map(tuple, api.minhash_near_dups(docs).collect()))
+    want = sorted(map(tuple, QUERIES["dedup_near_minhash"](spark, sf_dir).collect()))
+    assert got == want
+
+
 def test_tfidf_matches_registered_query(spark, sf_dir):
     import __spark_entry__  # noqa: F401
     from data_transform_spark.registry import QUERIES

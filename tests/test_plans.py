@@ -85,6 +85,41 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_bucketed_join_skips_shuffle(spark, sf_dir):
+    """Co-located (bucketed) tables must join with ZERO exchanges — the
+    repeated-workload join strategy at 100 TB (SCALING.md §B-D)."""
+    import re
+
+    from data_transform_spark.io import load_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+        load_table(spark, sf_dir, "orders").write.bucketBy(8, "o_custkey").sortBy(
+            "o_custkey"
+        ).mode("overwrite").saveAsTable("b_orders")
+        load_table(spark, sf_dir, "customer").write.bucketBy(8, "c_custkey").sortBy(
+            "c_custkey"
+        ).mode("overwrite").saveAsTable("b_customer")
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            spark.table("b_orders").o_custkey == spark.table("b_customer").c_custkey,
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        p = buf.getvalue()
+        n_exchanges = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
+        assert n_exchanges == 0, f"bucketed join still shuffles:\n{p}"
+        # and it actually runs correct
+        assert joined.count() == load_table(spark, sf_dir, "orders").count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
 def test_events_scan_uses_ns_recipe(spark, sf_dir):
     df = QUERIES["scan_events_ns"](spark, sf_dir)
     assert dict(df.dtypes)["ts"].startswith("timestamp"), df.dtypes
