@@ -80,6 +80,36 @@ def fn_array_lambda(spark, sf_dir):
 
 
 @register(
+    "fn_array_setops",
+    oracle="""
+    WITH t AS (
+        SELECT vec_id,
+               CAST(embedding[1:6] AS DOUBLE[]) AS a,
+               CAST(embedding[4:9] AS DOUBLE[]) AS b
+        FROM embeddings
+    )
+    SELECT vec_id,
+           list_sort(list_distinct(list_concat(a, b))) AS u,
+           list_sort(list_distinct(list_filter(a, x -> list_contains(b, x)))) AS i,
+           list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS d
+    FROM t
+    """,
+)
+def fn_array_setops(spark, sf_dir):
+    """array_union / intersect / except (sorted — the engines' first-seen
+    orders are not specified identically)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = F.slice(F.col("embedding"), 1, 6).cast("array<double>")
+    b = F.slice(F.col("embedding"), 4, 6).cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.sort_array(F.array_union(a, b)).alias("u"),
+        F.sort_array(F.array_intersect(a, b)).alias("i"),
+        F.sort_array(F.array_except(a, b)).alias("d"),
+    )
+
+
+@register(
     "fn_explode",
     oracle="""
     SELECT doc_id,

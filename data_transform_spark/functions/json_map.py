@@ -41,6 +41,45 @@ def fn_json(spark, sf_dir):
 
 
 @register(
+    "fn_json_build",
+    oracle="""
+    SELECT event_id,
+           to_json(struct_pack(user_id := user_id, event_type := event_type))::VARCHAR AS payload_json
+    FROM events
+    """,
+)
+def fn_json_build(spark, sf_dir):
+    """JSON construction (to_json over a struct) — byte-identical formatting
+    in both engines (no spaces, field order = struct order)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.to_json(F.struct("user_id", "event_type")).alias("payload_json"),
+    )
+
+
+@register(
+    "fn_struct",
+    oracle="""
+    SELECT c_custkey,
+           struct_pack(custkey := c_custkey, name := c_name, segment := c_mktsegment) AS info,
+           struct_pack(custkey := c_custkey, name := c_name, segment := c_mktsegment).name AS info_name
+    FROM customer
+    """,
+)
+def fn_struct(spark, sf_dir):
+    """Struct-typed output column + field access (both pandas bridges render
+    structs as plain dicts)."""
+    c = load_table(spark, sf_dir, "customer")
+    info = F.struct(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return c.select("c_custkey", info.alias("info"), info.getField("name").alias("info_name"))
+
+
+@register(
     "fn_map",
     oracle="""
     SELECT event_id,

@@ -80,6 +80,37 @@ def agg_bitwise(spark, sf_dir):
 
 
 @register(
+    "agg_moments",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           ROUND(avg(l_quantity), 6) AS mean,
+           ROUND(avg(l_quantity * l_quantity) - avg(l_quantity) * avg(l_quantity), 6) AS m2,
+           ROUND(avg(l_quantity * l_quantity * l_quantity)
+                 - 3 * avg(l_quantity * l_quantity) * avg(l_quantity)
+                 + 2 * avg(l_quantity) * avg(l_quantity) * avg(l_quantity), 4) AS m3
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_moments(spark, sf_dir):
+    """Central moments from power sums with IDENTICAL formulas both sides —
+    the engines' skewness/kurtosis builtins use different bias corrections
+    (verified: 1.138 vs 0.657 on the same 4 values), so moments are the
+    portable primitive and any convention is derivable downstream."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    a1 = F.avg(q)
+    a2 = F.avg(q * q)
+    a3 = F.avg(q * q * q)
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(a1, 6).alias("mean"),
+        F.round(a2 - a1 * a1, 6).alias("m2"),
+        F.round(a3 - 3 * a2 * a1 + 2 * a1 * a1 * a1, 4).alias("m3"),
+    )
+
+
+@register(
     "agg_regression",
     oracle="""
     SELECT l_returnflag,
