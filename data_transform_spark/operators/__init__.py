@@ -2,6 +2,7 @@
 
 from data_transform_spark.operators import (  # noqa: F401
     aggregates,
+    etl,
     extras,
     joins,
     projections,

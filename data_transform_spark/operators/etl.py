@@ -1,0 +1,111 @@
+"""ETL staples: merge/upsert, SCD2 effective-dating, data-quality audit.
+
+These are the transformation-library idioms an ETL user reaches for daily;
+each is a single declarative plan with an exact SQL twin. At 100 TB the
+upsert pattern is the join-based MERGE (shuffle on the key, or storage-layer
+MERGE INTO when a table format like Delta/Iceberg is present); SCD2 is one
+window pass; DQ checks are one scan plus broadcast-dim anti-joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_transform_spark.io import load_table
+from data_transform_spark.registry import register
+
+
+@register(
+    "transform_upsert",
+    oracle="""
+    WITH updates AS (
+        SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice, 'U' AS o_orderstatus
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT b.o_orderkey,
+           COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+           COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+           u.o_orderkey IS NOT NULL AS was_updated
+    FROM orders b LEFT JOIN updates u ON b.o_orderkey = u.o_orderkey
+    """,
+)
+def transform_upsert(spark, sf_dir):
+    """MERGE/upsert: apply an updates set onto a base snapshot (join-based).
+
+    With a lakehouse table format this becomes MERGE INTO; the join shape and
+    semantics are identical — updates win per key, absent keys keep base.
+    """
+    base = load_table(spark, sf_dir, "orders")
+    updates = base.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("u_orderkey"),
+        (F.col("o_totalprice") * 1.1).alias("u_totalprice"),
+        F.lit("U").alias("u_status"),
+    )
+    merged = base.join(updates, base.o_orderkey == updates.u_orderkey, "left")
+    return merged.select(
+        "o_orderkey",
+        F.coalesce("u_totalprice", "o_totalprice").alias("o_totalprice"),
+        F.coalesce("u_status", "o_orderstatus").alias("o_orderstatus"),
+        F.col("u_orderkey").isNotNull().alias("was_updated"),
+    )
+
+
+@register(
+    "transform_scd2",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS valid_to,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+    FROM orders
+    """,
+)
+def transform_scd2(spark, sf_dir):
+    """SCD2 effective-dating: each order's validity window [valid_from,
+    valid_to) per customer via one lead() pass; NULL valid_to = current."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    valid_to = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "dq_checks",
+    oracle="""
+    SELECT
+        (SELECT count(*) FROM lineitem) AS n_rows,
+        (SELECT count(*) FROM lineitem WHERE l_quantity IS NULL) AS null_qty,
+        (SELECT count(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50) AS qty_out_of_domain,
+        (SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 0.1) AS disc_out_of_domain,
+        (SELECT count(*) FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey) AS orphan_lines,
+        (SELECT count(DISTINCT l_orderkey || '#' || l_linenumber) FROM lineitem) AS distinct_pk
+    """,
+)
+def dq_checks(spark, sf_dir):
+    """Data-quality audit in one pass: nulls, domain violations, referential
+    orphans (anti-join vs orders), and primary-key uniqueness."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    orphans = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey, "left_anti").count()
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("l_quantity").isNull()).alias("null_qty"),
+        F.count_if((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias(
+            "qty_out_of_domain"
+        ),
+        F.count_if((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).alias(
+            "disc_out_of_domain"
+        ),
+        F.lit(orphans).cast("long").alias("orphan_lines"),
+        F.countDistinct(
+            F.concat(F.col("l_orderkey"), F.lit("#"), F.col("l_linenumber"))
+        ).alias("distinct_pk"),
+    )
