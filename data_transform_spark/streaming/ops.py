@@ -282,6 +282,26 @@ def stream_sink(spark, sf_dir):
 
 
 @register(
+    "stream_update_counts",
+    oracle="""
+    SELECT event_type, count(*) AS n, ROUND(sum(value), 4) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_update_counts(spark, sf_dir):
+    """Unwindowed streaming aggregation in UPDATE output mode — the running
+    per-key counters dashboard shape. With AvailableNow's single batch the
+    emitted updates equal the batch aggregate. State never expires here; at
+    scale this needs windows+watermark or TTL'd state (SCALING.md §I)."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    return run_to_memory(agg, "update")
+
+
+@register(
     "stream_stream_join",
     oracle="""
     SELECT e.event_id AS err_id, p.event_id AS purchase_id, e.user_id
