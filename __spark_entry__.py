@@ -7,6 +7,8 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Implementation lives in ``data_transform_spark`` (SURVEY.md §2 keys);
 this module only adapts the registry to the driver's entry points.
+The generated operator inventory is COVERAGE.md; the 100 TB design
+contract per operator family is SCALING.md.
 """
 
 from __future__ import annotations
