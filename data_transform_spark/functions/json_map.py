@@ -62,41 +62,55 @@ def fn_json_build(spark, sf_dir):
     "fn_struct",
     oracle="""
     SELECT c_custkey,
-           struct_pack(custkey := c_custkey, name := c_name, segment := c_mktsegment) AS info,
+           to_json(struct_pack(custkey := c_custkey, name := c_name, segment := c_mktsegment))::VARCHAR AS info_json,
            struct_pack(custkey := c_custkey, name := c_name, segment := c_mktsegment).name AS info_name
     FROM customer
     """,
 )
 def fn_struct(spark, sf_dir):
-    """Struct-typed output column + field access (both pandas bridges render
-    structs as plain dicts)."""
+    """Struct construction + field access; the struct is PROJECTED as JSON
+    (byte-identical formatting in both engines — same pattern as
+    fn_json_build) because struct cells crash the driver canonicalizer."""
     c = load_table(spark, sf_dir, "customer")
     info = F.struct(
         F.col("c_custkey").alias("custkey"),
         F.col("c_name").alias("name"),
         F.col("c_mktsegment").alias("segment"),
     )
-    return c.select("c_custkey", info.alias("info"), info.getField("name").alias("info_name"))
+    return c.select(
+        "c_custkey",
+        F.to_json(info).alias("info_json"),
+        info.getField("name").alias("info_name"),
+    )
 
 
 @register(
     "fn_map",
     oracle="""
+    WITH t AS (
+        SELECT event_id, event_type,
+               map([event_type], [CAST(json_extract(props, '$.k') AS BIGINT)]) AS m
+        FROM events
+    )
     SELECT event_id,
-           map_keys(map([event_type], [CAST(json_extract(props, '$.k') AS BIGINT)])) AS mkeys,
-           map_values(map([event_type], [CAST(json_extract(props, '$.k') AS BIGINT)])) AS mvals,
-           map_values(map([event_type], [CAST(json_extract(props, '$.k') AS BIGINT)]))[1] AS mval_scalar
-    FROM events
+           CAST(cardinality(m) AS BIGINT) AS m_size,
+           map_keys(m)[1] AS mkey_1,
+           map_values(m)[1] AS mval_1,
+           map_values(m)[1] AS mval_scalar
+    FROM t
     """,
 )
 def fn_map(spark, sf_dir):
-    """map construction from JSON + keys/values/scalar projections."""
+    """map construction from JSON + size/keys/values/element_at lookups —
+    all projected as scalars (map cells crash the driver canonicalizer, and
+    the engines' pandas bridges render maps differently anyway)."""
     ev = load_table(spark, sf_dir, "events")
     k_val = F.get_json_object("props", "$.k").cast("long")
     m = F.create_map(F.col("event_type"), k_val)
     return ev.select(
         "event_id",
-        F.map_keys(m).alias("mkeys"),
-        F.map_values(m).alias("mvals"),
+        F.size(m).cast("long").alias("m_size"),
+        F.element_at(F.map_keys(m), 1).alias("mkey_1"),
+        F.element_at(F.map_values(m), 1).alias("mval_1"),
         F.element_at(m, F.col("event_type")).alias("mval_scalar"),
     )

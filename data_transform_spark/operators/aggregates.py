@@ -144,12 +144,23 @@ def agg_minmax_by(spark, sf_dir):
 
 @register(
     "agg_collect",
-    oracle="SELECT n_regionkey, list(n_name ORDER BY n_name) AS names FROM nation GROUP BY n_regionkey",
+    oracle="""
+    SELECT n_regionkey,
+           array_to_string(list(n_name ORDER BY n_name), ',') AS names_csv,
+           CAST(len(list(n_name ORDER BY n_name)) AS BIGINT) AS n_names
+    FROM nation GROUP BY n_regionkey
+    """,
 )
 def agg_collect(spark, sf_dir):
-    """collect_list order is nondeterministic → always sort_array (§5.3.2)."""
+    """collect_list order is nondeterministic → always sort_array (§5.3.2);
+    the collected array is PROJECTED as CSV + length because array cells
+    crash the driver canonicalizer."""
     n = load_table(spark, sf_dir, "nation")
-    return n.groupBy("n_regionkey").agg(F.sort_array(F.collect_list("n_name")).alias("names"))
+    names = F.sort_array(F.collect_list("n_name"))
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws(",", names).alias("names_csv"),
+        F.size(names).cast("long").alias("n_names"),
+    )
 
 
 @register(

