@@ -103,12 +103,32 @@ def agg_count_distinct(spark, sf_dir):
     )
 
 
-@register("agg_approx_distinct")  # rows-only: HLL sketch differs from DuckDB's
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_within_2pct
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_approx_distinct(spark, sf_dir):
-    """approx_count_distinct (HyperLogLog++); accuracy asserted in pytest vs exact."""
+    """approx_count_distinct (HyperLogLog++) bounds-checked against exact.
+
+    Spark's HLL sketch has no DuckDB twin, so the hashable contract is the
+    error bound: the key emits the exact count plus a boolean asserting the
+    sketch landed within 2% (measured max rel-err at sf0.1 is 0.4% with
+    rsd=0.02). The oracle emits TRUE — the hash matches iff the bound holds
+    on every group."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+        F.countDistinct("user_id").alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.02) - F.countDistinct("user_id")
+            )
+            <= 0.02 * F.countDistinct("user_id")
+        ).alias("approx_within_2pct"),
     )
 
 

@@ -66,12 +66,26 @@ def fake_decode_image(payload: bytes) -> dict:
     }
 
 
-@register("multimodal_features")  # rows-only: stub decoder has no SQL twin
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           64 + CAST(('0x' || substring(md5(text), 1, 2)) AS BIGINT) % 192 AS width,
+           64 + CAST(('0x' || substring(md5(text), 3, 2)) AS BIGINT) % 192 AS height,
+           CAST(3 AS BIGINT) AS n_channels,
+           CAST(('0x' || substring(md5(text), 5, 2)) AS BIGINT) AS dominant_value,
+           octet_length(encode(text)) AS byte_len
+    FROM documents
+    """,
+)
 def multimodal_features(spark, sf_dir):
     """Decode/feature-extract binary payloads via Arrow-batched mapInPandas.
 
-    Shape of a real image pipeline: binary in → struct-ish metadata columns
-    out, one Python worker pass per partition, no driver involvement.
+    Shape of a real image pipeline: binary in → metadata columns out, one
+    Python worker pass per partition, no driver involvement. The STUB
+    decoder derives features from the payload's md5 digest, so the DuckDB
+    twin recomputes the same bytes from md5 hex — a full hash oracle over
+    the whole Arrow round-trip.
     """
     d = load_table(spark, sf_dir, "documents")
     payload = F.encode(F.col("text"), "UTF-8")
@@ -87,5 +101,5 @@ def multimodal_features(spark, sf_dir):
 
     return src.mapInPandas(
         extract,
-        "doc_id long, width int, height int, n_channels int, dominant_value int, byte_len long",
+        "doc_id long, width long, height long, n_channels long, dominant_value long, byte_len long",
     )

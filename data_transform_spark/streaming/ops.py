@@ -27,13 +27,44 @@ from data_transform_spark.operators.scans import SCRATCH
 from data_transform_spark.registry import register
 
 
+def _source_stamp(src: str) -> str:
+    """mtime+size fingerprint of a fixture file or parquet directory."""
+    if os.path.isdir(src):
+        parts = []
+        for name in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, name))
+            parts.append(f"{name}:{st.st_mtime_ns}:{st.st_size}")
+        return ";".join(parts)
+    st = os.stat(src)
+    return f"{st.st_mtime_ns}:{st.st_size}"
+
+
+def _copy_parquet(src: str, dst: str) -> None:
+    """Copy a parquet source that may be a single file OR a directory."""
+    if os.path.isdir(src):
+        shutil.copytree(src, dst, dirs_exist_ok=True)
+    else:
+        shutil.copyfile(src, dst)
+
+
 def stage_events_dir(sf_dir: str) -> str:
-    """Copy the events fixture into a scratch dir (file source needs a dir)."""
+    """Copy the events fixture into a scratch dir (file source needs a dir).
+
+    The staged copy is invalidated when the source's mtime/size changes, so
+    regenerated fixtures never serve stale data (round-1 ADVICE.md)."""
+    src = path_of(sf_dir, "events")
     src_dir = f"{SCRATCH}/stream_events_{os.path.basename(sf_dir.rstrip('/'))}"
     os.makedirs(src_dir, exist_ok=True)
     staged = f"{src_dir}/events.parquet"
-    if not os.path.exists(staged):
-        shutil.copyfile(path_of(sf_dir, "events"), staged)
+    stamp_file = f"{src_dir}/_stamp"
+    stamp = _source_stamp(src)
+    prev = open(stamp_file).read() if os.path.exists(stamp_file) else None
+    if prev != stamp or not os.path.exists(staged):
+        if os.path.isdir(staged):
+            shutil.rmtree(staged)
+        _copy_parquet(src, staged)
+        with open(stamp_file, "w") as f:
+            f.write(stamp)
     return src_dir
 
 
@@ -105,7 +136,7 @@ def stream_sliding(spark, sf_dir):
     "stream_session",
     oracle="""
     WITH o AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, value, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
                     THEN 1 ELSE 0 END AS new_s
@@ -113,7 +144,7 @@ def stream_sliding(spark, sf_dir):
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     s AS (
-        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS UNBOUNDED PRECEDING) AS sid
         FROM o
     )
@@ -143,7 +174,10 @@ def stage_events_chunks(sf_dir: str, plant_late: bool) -> str:
 
     tag = "late" if plant_late else "clean"
     src = f"{SCRATCH}/stream_chunks_{tag}_{os.path.basename(sf_dir.rstrip('/'))}"
-    if not os.path.exists(f"{src}/_ready"):
+    stamp = _source_stamp(path_of(sf_dir, "events"))
+    ready = f"{src}/_ready"
+    prev = open(ready).read() if os.path.exists(ready) else None
+    if prev != stamp:
         os.makedirs(src, exist_ok=True)
         pdf = pd.read_parquet(path_of(sf_dir, "events")).sort_values("ts")
         n = len(pdf)
@@ -157,18 +191,36 @@ def stage_events_chunks(sf_dir: str, plant_late: bool) -> str:
             chunks[3] = pd.concat([pdf.iloc[n // 4 : n // 4 + 50], chunks[3]])
         for i, chunk in enumerate(chunks):
             chunk.to_parquet(f"{src}/chunk_{i}.parquet", index=False)
-        open(f"{src}/_ready", "w").close()
+        with open(ready, "w") as f:
+            f.write(stamp)
     return src
 
 
-@register("stream_watermark")  # rows-only: late-data drop is not SQL-expressible
+@register(
+    "stream_watermark",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, count(*) AS n
+    FROM events
+    GROUP BY 1
+    HAVING epoch_us(time_bucket(INTERVAL '1 hour', ts)) + 3600000000
+           <= (SELECT epoch_us(max(ts)) - 3600000000 FROM events)
+    """,
+)
 def stream_watermark(spark, sf_dir):
     """Windowed agg under a 1-hour watermark with out-of-order file batches.
 
     The fixture is re-staged as time-ordered chunks plus a deliberately late
     chunk; maxFilesPerTrigger=1 makes each file its own micro-batch so the
-    watermark advances between them and drops the too-late rows. Asserted
-    against the batch count in tests/test_streaming.py.
+    watermark advances between them and drops the too-late rows.
+
+    The SQL twin encodes the two deterministic consequences of append-mode
+    watermarking on time-ordered chunks: (a) only windows whose end is at or
+    before the final watermark (max ts - 1h) are emitted, and (b) the
+    re-delivered late rows land behind a watermark that has advanced ~20
+    days past them, so they are dropped and counts equal the batch counts.
+    Epoch arithmetic avoids DuckDB 1.0's interval-constant CSE bug
+    (SURVEY.md §5.3). Chunked late-drop is additionally asserted in
+    tests/test_streaming.py.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = stage_events_chunks(sf_dir, plant_late=True)
