@@ -20,7 +20,7 @@ from data_transform_spark.registry import register
     "tpch_q3",
     oracle="""
     SELECT l.l_orderkey,
-           ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           ROUND(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
            o.o_orderdate
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -34,7 +34,11 @@ from data_transform_spark.registry import register
     """,
 )
 def tpch_q3(spark, sf_dir):
-    """Q3-shaped: unshipped-order revenue — filter → 3-way join → agg → top-k."""
+    """Q3-shaped: unshipped-order revenue — filter → 3-way join → agg → top-k.
+
+    The revenue sort key goes through DECIMAL(18,6) partials (§5.3.1): a raw
+    double sum is partition-order-dependent and can flip top-k membership at
+    a rounding boundary."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
@@ -47,9 +51,14 @@ def tpch_q3(spark, sf_dir):
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "revenue"
-            )
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double"),
+                4,
+            ).alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), "l_orderkey")
@@ -188,27 +197,34 @@ def tpch_q12(spark, sf_dir):
 @register(
     "tpch_q14",
     oracle="""
-    SELECT ROUND(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+    SELECT ROUND(100.0 * CAST(sum(CAST(CASE WHEN p.p_type = 'PROMO'
                                   THEN l.l_extendedprice * (1 - l.l_discount)
-                                  ELSE 0 END)
-                 / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_revenue_pct
+                                  ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS promo_revenue_pct
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
       AND l.l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
     """,
 )
 def tpch_q14(spark, sf_dir):
-    """Q14-shaped: promo revenue share (broadcast part, conditional sum)."""
+    """Q14-shaped: promo revenue share (broadcast part, conditional sum).
+
+    Both sums go through DECIMAL(18,6) partials (§5.3.1) so the ratio is
+    independent of partition summation order."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-06-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
     )
     p = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_revenue_pct"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        F.round(
+            100.0
+            * F.sum(promo.cast("decimal(18,6)")).cast("double")
+            / F.sum(rev.cast("decimal(18,6)")).cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
     )
 
 

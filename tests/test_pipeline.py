@@ -42,12 +42,13 @@ class TestMinhash:
         assert agree_far < agree_near
 
     def test_fixture_pairs_are_ordered_and_thresholded(self, spark, sf_dir):
-        from data_transform_spark.pipeline.dedup import MINHASH_TAU
+        from data_transform_spark.pipeline.dedup import MINHASH_EXACT_TAU
 
         rows = QUERIES["dedup_near_minhash"](spark, sf_dir).collect()
+        assert rows, "no near-dup pairs found (fixture plants them)"
         for r in rows:
             assert r["doc_a"] < r["doc_b"]
-            assert r["est_jaccard"] >= MINHASH_TAU
+            assert r["jaccard"] >= MINHASH_EXACT_TAU
 
 
 class TestNearSurvivors:
@@ -102,11 +103,13 @@ class TestSimhash:
 
 class TestAnnLsh:
     def test_lsh_results_subset_of_valid_scores(self, spark, sf_dir):
+        from data_transform_spark.pipeline.similarity import sim_ann_lsh_topk
+
         brute = {
             (r["query_id"], r["neighbor_id"]): r["score"]
             for r in QUERIES["sim_topk_bruteforce"](spark, sf_dir).collect()
         }
-        lsh_rows = QUERIES["sim_ann_lsh"](spark, sf_dir).collect()
+        lsh_rows = sim_ann_lsh_topk(spark, sf_dir).collect()
         assert lsh_rows, "LSH returned nothing"
         # any (q, n) the LSH returns that brute force also ranked must agree
         for r in lsh_rows:
@@ -114,23 +117,23 @@ class TestAnnLsh:
             if key in brute:
                 assert r["score"] == pytest.approx(brute[key], abs=1e-6)
 
-    def test_lsh_recall_nonzero(self, spark, sf_dir):
-        brute = QUERIES["sim_topk_bruteforce"](spark, sf_dir).collect()
-        lsh = QUERIES["sim_ann_lsh"](spark, sf_dir).collect()
-        b = {(r["query_id"], r["neighbor_id"]) for r in brute}
-        l = {(r["query_id"], r["neighbor_id"]) for r in lsh}
-        assert len(b & l) > 0  # bucketed search finds some true neighbors
+    def test_lsh_summary_key_passes_bound(self, spark, sf_dir):
+        row = QUERIES["sim_ann_lsh"](spark, sf_dir).collect()[0]
+        assert row["recall_ok"], "LSH recall fell below the declared bound"
+        assert row["n_queries"] == 20
 
 
 class TestAnnIvf:
-    def test_ivf_recall_beats_half(self, spark, sf_dir):
+    def test_ivf_recall_beats_bound(self, spark, sf_dir):
         """IVF with 4/16 probes should recover most true top-5 neighbors."""
+        from data_transform_spark.pipeline.similarity import sim_ann_ivf_topk
+
         brute = QUERIES["sim_topk_bruteforce"](spark, sf_dir).collect()
-        ivf = QUERIES["sim_ann_ivf"](spark, sf_dir).collect()
+        ivf = sim_ann_ivf_topk(spark, sf_dir).collect()
         b = {(r["query_id"], r["neighbor_id"]) for r in brute}
         i = {(r["query_id"], r["neighbor_id"]) for r in ivf}
         recall = len(b & i) / len(b)
-        assert recall >= 0.3, f"IVF recall too low: {recall:.2f}"
+        assert recall >= 0.45, f"IVF recall too low: {recall:.2f}"
 
     def test_ivf_index_partitions_corpus(self, spark, sf_dir):
         import pyspark.sql.functions as F
