@@ -46,11 +46,64 @@ def _wrap(fn: Callable) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+# Keys with a green (rows+schema+hash) row in CORRECTNESS_r01.json. The
+# driver's round-1 sweep stopped after the first 50 keys in queries() order,
+# so keys WITHOUT an official row yet are listed first (grouped by family)
+# and the already-verified ones come last — a capped sweep then spends its
+# budget where it adds coverage (round-1 VERDICT "Next round" #2).
+_GREEN_R1 = {
+    "fn_explode", "fn_date_extract", "fn_date_arith", "fn_date_epoch",
+    "fn_json", "fn_json_build", "fn_math", "fn_trig", "fn_bitwise_scalar",
+    "fn_hash", "fn_string_basic", "fn_string_regex", "fn_string_fuzzy",
+    "udf_scalar", "udf_pandas_scalar", "udf_pandas_agg", "udf_grouped_map",
+    "udf_map_in_pandas", "udtf_tokenize", "udf_sql_registered",
+    "agg_global", "agg_groupby", "agg_count_distinct", "agg_sum_distinct",
+    "agg_minmax_by", "agg_string", "agg_stats", "agg_percentile",
+    "agg_having", "agg_grouping_sets", "agg_rollup", "agg_cube",
+    "agg_countif", "agg_bool", "agg_pivot", "transform_upsert",
+    "transform_scd2", "dq_checks", "tpch_q3", "tpch_q6", "sample_hash",
+    "shard_assign",
+}
+
+# Family order for the not-yet-verified block (module suffix → rank).
+_FAMILY_ORDER = [
+    "functions.arrays",      # round-1 ERR keys, now flattened — retest first
+    "functions.json_map",
+    "operators.aggregates",  # agg_collect / agg_approx_distinct were ERR
+    "operators.joins",
+    "operators.windows",
+    "operators.scans",
+    "operators.setops",
+    "operators.sorts",
+    "operators.projections",
+    "pipeline.dedup",
+    "pipeline.similarity",
+    "pipeline.text",
+    "pipeline.multimodal",
+    "pipeline.e2e",
+    "streaming.ops",
+    "operators.extras",
+    "operators.reshape",
+    "operators.etl",
+]
+
+
+def _sweep_rank(name: str) -> tuple:
+    fn = QUERIES[name]
+    mod = fn.__module__.removeprefix("data_transform_spark.")
+    fam = _FAMILY_ORDER.index(mod) if mod in _FAMILY_ORDER else len(_FAMILY_ORDER)
+    ins = list(QUERIES).index(name)
+    return (name in _GREEN_R1, fam, ins)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: _wrap(fn) for name, fn in QUERIES.items()}
+    """One entry per implemented operator from SURVEY.md §2, ordered so a
+    capped driver sweep reaches officially-unverified keys first."""
+    ordered = sorted(QUERIES, key=_sweep_rank)
+    return {name: _wrap(QUERIES[name]) for name in ordered}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each hash-checkable key."""
-    return dict(ORACLES)
+    ordered = sorted(QUERIES, key=_sweep_rank)
+    return {name: ORACLES[name] for name in ordered if name in ORACLES}

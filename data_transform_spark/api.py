@@ -28,52 +28,22 @@ def dedup_exact_by(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     return df.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
 
 
-def minhash_near_dups(docs: DataFrame, tau: float = 0.5) -> DataFrame:
-    """Near-duplicate pairs (doc_a < doc_b, est_jaccard >= tau) via LSH.
+def minhash_near_dups(docs: DataFrame, tau: float | None = None) -> DataFrame:
+    """Near-duplicate pairs (doc_a < doc_b, exact shingle-jaccard >= tau).
 
-    ``docs`` needs (doc_id, text). See pipeline.dedup for the full pipeline;
-    this thin wrapper exists so users can run it on their own corpus df.
+    ``docs`` needs (doc_id, text). Thin wrapper over the registered
+    pipeline: banded-LSH candidate generation followed by EXACT shingle
+    jaccard verification — the production MinHash-LSH shape. Defaults to
+    pipeline.dedup.MINHASH_EXACT_TAU.
     """
     from data_transform_spark.pipeline import dedup as _d
 
-    sig = _d.minhash_signatures(docs)
-    bands = sig.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.xxhash64(
-                            *[F.element_at("sig", j * 2 + k + 1) for k in range(2)]
-                        ).alias("bucket"),
-                    )
-                    for j in range(_d.N_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "sig", "bb.band", "bb.bucket")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    tau = _d.MINHASH_EXACT_TAU if tau is None else tau
+    cand = _d._minhash_candidates(docs)
+    return (
+        _d._exact_jaccard_of_pairs(docs, cand)
+        .filter(F.col("jaccard") >= tau)
     )
-    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
-    return cand.select(
-        "doc_a", "doc_b", (agree / F.lit(float(_d.N_HASHES))).alias("est_jaccard")
-    ).filter(F.col("est_jaccard") >= tau)
 
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:

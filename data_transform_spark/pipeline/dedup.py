@@ -83,12 +83,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
     (|A| + |B| - shared) is an exact integer ratio → bit-identical double in
     both engines, so the key is hash-checkable against the all-pairs oracle.
     """
-    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), tau=0.95)
+
+
+def ngram_jaccard_pairs(d, tau: float):
+    """Prefix-filtered exact token-set jaccard >= tau (see dedup_ngram_jaccard)."""
     tok = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t"))
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     df = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
 
-    tau = 0.95
     w_rarity = Window.partitionBy("doc_id").orderBy("df", "t")
     prefix = (
         tok.join(df, "t")
@@ -323,12 +326,21 @@ def dedup_near_survivors(spark, sf_dir):
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     pairs = dedup_near_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    survivors = cc_survivor_ids(docs.select("doc_id"), pairs)
+    return docs.join(survivors, "doc_id", "left_semi").orderBy("doc_id")
 
+
+def cc_survivor_ids(nodes, pairs):
+    """Min-label propagation to FIXPOINT → one-column DF of surviving ids.
+
+    ``nodes``: DF with doc_id; ``pairs``: DF with (doc_a, doc_b) edges.
+    Raises if the component diameter exceeds MAX_CC_ROUNDS instead of
+    silently returning unmerged clusters."""
     # undirected edges both ways + self-loops seed labels = own id
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint(eager=True)
-    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    labels = nodes.select("doc_id", F.col("doc_id").alias("label"))
     converged = False
     for _ in range(MAX_CC_ROUNDS):
         neighbor_min = (
@@ -357,12 +369,7 @@ def dedup_near_survivors(spark, sf_dir):
             "— component diameter exceeds the bound; raise MAX_CC_ROUNDS or "
             "switch to large-star/small-star"
         )
-
-    survivors = labels.filter(F.col("doc_id") == F.col("label"))
-    return (
-        docs.join(survivors.select("doc_id"), "doc_id", "left_semi")
-        .orderBy("doc_id")
-    )
+    return labels.filter(F.col("doc_id") == F.col("label")).select("doc_id")
 
 
 # ----------------------------------------------------------------- simhash

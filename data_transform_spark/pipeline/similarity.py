@@ -190,6 +190,12 @@ def sim_pairs_threshold(spark, sf_dir):
     exact shape; sub-quadratic variants (LSH) trade recall and live under
     sim_ann_lsh.
     """
+    return tiled_cosine_pairs(spark, sf_dir, PAIR_TAU)
+
+
+def tiled_cosine_pairs(spark, sf_dir, tau: float):
+    """Exact (id_a, id_b, score) cosine pairs >= tau via the tiled block join
+    described in sim_pairs_threshold (shared by dedup_embed_cosine)."""
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings").select(
@@ -209,7 +215,7 @@ def sim_pairs_threshold(spark, sf_dir):
     )
     tiles = rep_a.unionByName(rep_b)
 
-    tau_sieve = PAIR_TAU - 1e-6
+    tau_sieve = tau - 1e-6
 
     def score_tile(pdf: pd.DataFrame) -> pd.DataFrame:
         am = pdf[pdf["side"] == "a"]
@@ -241,7 +247,7 @@ def sim_pairs_threshold(spark, sf_dir):
         cand.join(ea, "id_a")
         .join(eb, "id_b")
         .withColumn("score_raw", cos)
-        .filter(F.col("score_raw") >= PAIR_TAU)
+        .filter(F.col("score_raw") >= tau)
         .select("id_a", "id_b", F.round("score_raw", 6).alias("score"))
     )
 
@@ -575,3 +581,55 @@ def sim_ann_lsh_topk(spark, sf_dir):
         .filter(F.col("rn") <= TOPK)
         .select("query_id", "neighbor_id", "score")
     )
+
+
+EMBED_DUP_TAU = 0.4  # cosine threshold for embedding-level near-dup clusters
+
+
+@register(
+    "dedup_embed_cosine",
+    oracle=f"""
+    WITH RECURSIVE e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+                         FROM embeddings),
+    p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE {_sql_cos("a.emb", "b.emb")} >= {EMBED_DUP_TAU}
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM p
+        UNION ALL
+        SELECT id_b AS a, id_a AS b FROM p
+    ),
+    reach(node, lbl) AS (
+        SELECT vec_id, vec_id FROM e
+        UNION
+        SELECT g.a, r.lbl FROM edges g JOIN reach r ON r.node = g.b
+    ),
+    minlab AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node)
+    SELECT e.vec_id, e.label
+    FROM e JOIN minlab m ON e.vec_id = m.node
+    WHERE m.lbl = e.vec_id
+    """,
+)
+def dedup_embed_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup: collapse cosine>=tau clusters to one
+    canonical survivor — the semantic-dedup rung of the dedup ladder
+    (exact/ngram/minhash/simhash/embedding).
+
+    Pairs come from the exact tiled block join (no row-level cartesian),
+    clusters from the same fixpoint min-label propagation as
+    dedup_near_survivors; the DuckDB twin redoes both with an all-pairs
+    join + recursive CTE. At 100 TB the pair step swaps to the ANN
+    candidate generators (sim_ann_lsh/ivf) at the cost of recall<1;
+    this key keeps the exact contract.
+    """
+    from data_transform_spark.pipeline.dedup import cc_survivor_ids
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    pairs = tiled_cosine_pairs(spark, sf_dir, EMBED_DUP_TAU).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    nodes = emb.select(F.col("vec_id").alias("doc_id"))
+    survivors = cc_survivor_ids(nodes, pairs).select(F.col("doc_id").alias("vec_id"))
+    return emb.join(survivors, "vec_id", "left_semi").orderBy("vec_id")

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import math
 import sys
+import time
 from datetime import date, datetime
 from decimal import Decimal
 
@@ -117,12 +118,29 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
     return problems
 
 
+def container_columns(schema) -> list[str]:
+    """Array/Map/Struct-typed output columns — these crash the DRIVER's
+    pandas canonicalizer (unhashable cells), so no declared key may emit
+    them (round-1 VERDICT "What's wrong" #1). Containers are fine inside a
+    plan; only the final projection is constrained."""
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def check_key(spark, key: str, sf_dir: str) -> list[str]:
     """Run one declared (query, oracle) pair; return mismatch list."""
     from data_transform_spark.registry import ORACLES, QUERIES
 
     fn = QUERIES[key]
     sdf = fn(spark, sf_dir)
+    bad = container_columns(sdf.schema)
+    if bad:
+        return [f"container-typed output columns (driver-canon unsafe): {bad}"]
     spark_pdf = sdf.toPandas()
     if key not in ORACLES:
         # rows-only keys: just check the query runs and returns >= 0 rows
@@ -155,13 +173,15 @@ def main() -> int:
             print(f"UNKNOWN {key}")
             failed.append(key)
             continue
+        t0 = time.time()
         try:
             problems = check_key(spark, key, args.sf)
         except Exception as e:  # noqa: BLE001 — report and continue
             problems = [f"exception: {type(e).__name__}: {e}"]
+        elapsed = time.time() - t0
         tag = "PASS" if not problems else "FAIL"
         mode = "hash" if key in ORACLES else "rows-only"
-        print(f"{tag} {key} [{mode}]")
+        print(f"{tag} {key} [{mode}] {elapsed:.2f}s")
         for p in problems:
             print(f"     {p}")
         if problems:

@@ -20,3 +20,19 @@ def test_oracle_parity(spark, sf_dir, key):
 
 def test_every_hash_key_has_query():
     assert set(ORACLES) <= set(QUERIES)
+
+
+def test_every_key_has_an_oracle():
+    """The driver records err='no_oracle' for keys omitted from oracle_sql()
+    (observed in CORRECTNESS_r01.json) — so every declared key must carry
+    one, even sketch/ANN keys (they use bounds-checked invariant oracles)."""
+    assert set(QUERIES) == set(ORACLES)
+
+
+def test_container_guard_detects_bad_schema(spark):
+    """The guard inside check_key must flag array/map/struct outputs."""
+    from tests.oracle import container_columns
+
+    df = spark.sql("SELECT 1 AS a, array(1,2) AS arr, named_struct('x', 1) AS st")
+    assert container_columns(df.schema) == ["arr", "st"]
+    assert container_columns(df.select("a").schema) == []

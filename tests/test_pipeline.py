@@ -52,6 +52,29 @@ class TestMinhash:
 
 
 class TestNearSurvivors:
+    def test_chain_component_collapses_to_one_survivor(self, spark):
+        """A planted 12-node chain (diameter > the old fixed 5 rounds) must
+        collapse to the single min-id survivor — the fixpoint loop, not a
+        fixed round count, guarantees it."""
+        from data_transform_spark.pipeline.dedup import cc_survivor_ids
+
+        nodes = spark.createDataFrame([(i,) for i in range(100, 112)], "doc_id long")
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(100, 111)], "doc_a long, doc_b long"
+        )
+        kept = {r["doc_id"] for r in cc_survivor_ids(nodes, chain).collect()}
+        assert kept == {100}
+
+    def test_two_components_and_singletons(self, spark):
+        from data_transform_spark.pipeline.dedup import cc_survivor_ids
+
+        nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+        )
+        kept = {r["doc_id"] for r in cc_survivor_ids(nodes, edges).collect()}
+        assert kept == {1, 4, 5, 7}
+
     def test_survivors_match_python_union_find(self, spark, sf_dir):
         """Label propagation must equal an independent union-find over pairs."""
         from data_transform_spark.io import load_table
@@ -73,6 +96,44 @@ class TestNearSurvivors:
         expected = {i for i in all_ids if find(i) == i}
         kept = {r["doc_id"] for r in QUERIES["dedup_near_survivors"](spark, sf_dir).collect()}
         assert kept == expected
+
+
+class TestNgramJaccardPrefix:
+    def test_stopword_heavy_corpus_matches_bruteforce(self, spark):
+        """Prefix filtering is LOSSLESS: on a corpus where every doc shares
+        the same stopwords (the df^2 worst case the filter exists for), the
+        result must equal an exact python brute force."""
+        from itertools import combinations
+
+        from data_transform_spark.pipeline.dedup import ngram_jaccard_pairs
+
+        stop = "the of and a to in is it for on"  # shared by every doc
+        rows = []
+        for i in range(30):
+            uniq = " ".join(f"w{i}_{j}" for j in range(10))
+            rows.append((i, f"{stop} {uniq}"))
+        # plant near-dup pairs: doc 100/101 differ by nothing, 102/103 by one token
+        rows.append((100, stop + " alpha beta gamma delta " * 5))
+        rows.append((101, stop + " alpha beta gamma delta " * 5))
+        base = " ".join(f"t{j}" for j in range(200))
+        rows.append((102, stop + " " + base))
+        rows.append((103, stop + " " + base.replace("t7", "t7x")))
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(d, tau=0.95).collect()
+        }
+        sets = {i: set(t.split(" ")) for i, t in rows}
+        want = {}
+        for a, b in combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= 0.95:
+                want[(a, b)] = j
+        assert set(got) == set(want)
+        for k, v in want.items():
+            assert abs(got[k] - v) < 1e-12
 
 
 class TestSimhash:
@@ -152,50 +213,23 @@ class TestAnnIvf:
 
 
 class TestApproxPercentile:
-    def test_within_2pct_of_exact(self, spark, sf_dir):
-        import pyspark.sql.functions as F
-
-        from data_transform_spark.io import load_table
-
-        approx = {
-            r["l_returnflag"]: (r["p50_approx"], r["p90_approx"])
-            for r in QUERIES["agg_approx_percentile"](spark, sf_dir).collect()
-        }
-        exact = {
-            r["l_returnflag"]: (r["p50"], r["p90"])
-            for r in load_table(spark, sf_dir, "lineitem")
-            .groupBy("l_returnflag")
-            .agg(
-                F.percentile("l_extendedprice", 0.5).alias("p50"),
-                F.percentile("l_extendedprice", 0.9).alias("p90"),
-            )
-            .collect()
-        }
-        for k, (e50, e90) in exact.items():
-            a50, a90 = approx[k]
-            assert abs(a50 - e50) / e50 < 0.02
-            assert abs(a90 - e90) / e90 < 0.02
+    def test_sketch_within_declared_bound(self, spark, sf_dir):
+        """The key itself asserts |approx-exact| <= 1% as a column; every
+        group must pass (this is what the driver hash-checks)."""
+        rows = QUERIES["agg_approx_percentile"](spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r["approx_within_1pct"], r
+            assert r["p50_exact"] <= r["p90_exact"]
 
 
 class TestApproxDistinct:
-    def test_within_5pct_of_exact(self, spark, sf_dir):
-        import pyspark.sql.functions as F
-
-        from data_transform_spark.io import load_table
-
-        approx = {
-            r["event_type"]: r["approx_users"]
-            for r in QUERIES["agg_approx_distinct"](spark, sf_dir).collect()
-        }
-        exact = {
-            r["event_type"]: r["exact"]
-            for r in load_table(spark, sf_dir, "events")
-            .groupBy("event_type")
-            .agg(F.countDistinct("user_id").alias("exact"))
-            .collect()
-        }
-        for k, v in exact.items():
-            assert abs(approx[k] - v) <= max(1, 0.05 * v), k
+    def test_sketch_within_declared_bound(self, spark, sf_dir):
+        rows = QUERIES["agg_approx_distinct"](spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r["approx_within_2pct"], r
+            assert r["exact_users"] > 0
 
 
 class TestMultimodal:

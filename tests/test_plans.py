@@ -123,3 +123,42 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir):
 def test_events_scan_uses_ns_recipe(spark, sf_dir):
     df = QUERIES["scan_events_ns"](spark, sf_dir)
     assert dict(df.dtypes)["ts"].startswith("timestamp"), df.dtypes
+
+
+def test_pairs_threshold_has_no_corpus_cartesian(spark, sf_dir):
+    """The exact threshold join must be the tiled-GEMM shape: no Catalyst
+    nested-loop / cartesian over corpus rows (the only join keys are tile
+    ids and the tiny candidate re-score equi-joins)."""
+    p = plan_of(spark, "sim_pairs_threshold", sf_dir)
+    assert "CartesianProduct" not in p, f"row-level cartesian in plan:\n{p}"
+    # the tile-pair replication joins broadcast the 36-row tile list; the
+    # only BroadcastNestedLoopJoin tolerated is none at all
+    assert "BroadcastNestedLoopJoin" not in p, f"nested loop in plan:\n{p}"
+
+
+def test_ngram_jaccard_uses_prefix_index(spark, sf_dir):
+    """Lossless prefix filtering must shrink the inverted index: the
+    candidate-generating self-join reads the prefix (rarest ~5% of tokens
+    per doc), never the full token index."""
+    from pyspark.sql import functions as F
+
+    from data_transform_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
+    )
+    full = tok.count()
+    # replicate the prefix construction from dedup_ngram_jaccard
+    from pyspark.sql import Window
+
+    df_counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("doc_id").orderBy("df", "t")
+    prefix = (
+        tok.join(df_counts, "t")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(0.95) * F.col("n")) + 1)
+    )
+    assert prefix.count() < 0.2 * full, "prefix index is not materially smaller"
