@@ -81,6 +81,7 @@ _FAMILY_ORDER = [
     "pipeline.text",
     "pipeline.multimodal",
     "pipeline.e2e",
+    "pipeline.training",
     "streaming.ops",
     "operators.extras",
     "operators.reshape",

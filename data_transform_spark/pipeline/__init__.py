@@ -7,4 +7,5 @@ from data_transform_spark.pipeline import (  # noqa: F401
     multimodal,
     similarity,
     text,
+    training,
 )

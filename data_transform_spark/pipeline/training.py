@@ -1,0 +1,170 @@
+"""§2.K — training-data preparation utilities (SURVEY.md north star).
+
+The reproducibility rule for every op here: any sampling/splitting decision
+is a pure function of content-stable md5 hashes (identical hex in both
+engines, stable across runs/partitions/cluster sizes) — never engine-native
+hash functions or nondeterministic `df.sample()`. That is the property a
+100 TB training-data pipeline needs to rebuild byte-identical datasets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_transform_spark.io import load_table
+from data_transform_spark.registry import register
+
+# Content-stable bucket in [0, 100): first 4 md5 hex chars of the id.
+_SQL_BUCKET = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100"
+)
+
+
+def _bucket(col):
+    """0..99 deterministic bucket from md5 of the id column."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast("long") % 100
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_total,
+           count(*) FILTER (WHERE {_SQL_BUCKET} < 20) AS n_sampled
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Per-language ~20% sample with per-stratum accounting.
+
+    The hash bucket is uniform within every stratum by construction, so each
+    language is sampled at the same rate without a per-stratum pass — unlike
+    df.sampleBy, the selection is reproducible across engines and cluster
+    sizes. Output proves the stratification (per-lang totals + sampled)."""
+    d = load_table(spark, sf_dir, "documents")
+    sampled = F.when(_bucket(F.col("doc_id")) < 20, 1).otherwise(0)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(sampled).alias("n_sampled"),
+    )
+
+
+@register(
+    "split_train_test",
+    oracle=f"""
+    SELECT CASE WHEN {_SQL_BUCKET} < 80 THEN 'train'
+                WHEN {_SQL_BUCKET} < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def split_train_test(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split by content-stable hash.
+
+    A document's split never changes when the corpus grows, is re-sharded,
+    or is processed by a different engine — the reproducibility property
+    random splits lack. Output: per-split row counts + char volume."""
+    d = load_table(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"))
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split")
+    )
+    return d.select(split, "n_chars").groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+PACK_BUDGET = 512  # tokens per training sequence pack
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tok,
+               sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok
+                   AS cum_before
+        FROM t
+    )
+    SELECT CAST(floor(cum_before / {PACK_BUDGET}) AS BIGINT) AS pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           round(CAST(sum(n_tok) AS DOUBLE) / {PACK_BUDGET}, 4) AS fill_ratio
+    FROM c
+    GROUP BY 1
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Pack documents into ~PACK_BUDGET-token training sequences.
+
+    Streaming cumulative-sum packing in doc_id order: pack_id =
+    floor(tokens_before / budget). Deterministic and single-window (one
+    shuffle); a straddling doc overflows its pack by at most its own length
+    — the standard bounded-overflow concat-then-chunk shape used for LLM
+    pretraining batches. At 100 TB the global window becomes per-shard
+    windows (shard by the deterministic hash above) so no single ordering
+    bottleneck exists; fill accounting per pack comes out of the same
+    aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    c = t.withColumn("cum_before", F.sum("n_tok").over(w) - F.col("n_tok"))
+    pack = F.floor(F.col("cum_before") / PACK_BUDGET).cast("long")
+    return c.groupBy(pack.alias("pack_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.round(F.sum("n_tok").cast("double") / PACK_BUDGET, 4).alias("fill_ratio"),
+    )
+
+
+TOP_NGRAMS = 20
+
+
+@register(
+    "text_ngram_counts",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+        SELECT t[i] || ' ' || t[i+1] AS bigram
+        FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2
+    )
+    SELECT bigram, count(*) AS n
+    FROM bg
+    GROUP BY bigram
+    QUALIFY row_number() OVER (ORDER BY count(*) DESC, bigram) <= {TOP_NGRAMS}
+    """,
+)
+def text_ngram_counts(spark, sf_dir):
+    """Corpus-level top-K bigram counts (vocabulary/ngram statistics).
+
+    Bigrams via a zip of the token array with its tail (no Python); the
+    top-K is tie-broken on the bigram string so the cut is deterministic.
+    One token-explode shuffle + one bounded top-K — the vocabulary table
+    stays aggregate-sized at any corpus scale."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bg = d.filter(F.size(toks) >= 2).select(F.explode(bigrams).alias("bigram"))
+    counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "bigram")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_NGRAMS)
+        .select("bigram", "n")
+    )
