@@ -76,12 +76,12 @@ _FAMILY_ORDER = [
     "operators.setops",
     "operators.sorts",
     "operators.projections",
-    "pipeline.dedup",
-    "pipeline.similarity",
     "pipeline.text",
+    "pipeline.training",
     "pipeline.multimodal",
     "pipeline.e2e",
-    "pipeline.training",
+    "pipeline.dedup",
+    "pipeline.similarity",
     "streaming.ops",
     "operators.extras",
     "operators.reshape",
