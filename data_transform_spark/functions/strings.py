@@ -102,3 +102,50 @@ def fn_string_fuzzy(spark, sf_dir):
             F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)),
         ).cast("long").alias("lev_words"),
     )
+
+
+@register(
+    "fn_url",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+                   || '?lang=' || lang AS url,
+               lang || ' ' || source AS val
+        FROM documents
+    )
+    SELECT doc_id,
+           url,
+           regexp_extract(url, 'https://([^/]+)', 1) AS host,
+           regexp_extract(url, 'https://[^/]+([^?]*)', 1) AS path,
+           split_part(url, '?', 2) AS query,
+           val AS decoded,
+           TRUE AS round_trip_ok
+    FROM t
+    """,
+)
+def fn_url(spark, sf_dir):
+    """URL construction, parse_url component extraction, and an
+    encode→decode round trip (DuckDB 1.0 has no URL functions, so the twin
+    re-derives components with regexp/split_part and checks the round trip
+    as a boolean invariant)."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    val = F.concat_ws(" ", "lang", "source")
+    decoded = F.url_decode(F.url_encode(val))
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        decoded.alias("decoded"),
+        (decoded == val).alias("round_trip_ok"),
+    )

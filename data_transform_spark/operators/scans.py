@@ -89,14 +89,23 @@ def source_stream_file(spark, sf_dir):
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(path_of(sf_dir, "events")).schema
-    # the file source requires a directory: stage the fixture into scratch
+    # the file source requires a directory: stage the fixture into scratch.
+    # The staged copy is invalidated when the source mtime/size changes so a
+    # regenerated fixture is never served stale (round-1 ADVICE.md).
+    src = path_of(sf_dir, "events")
     src_dir = f"{SCRATCH}/stream_src_events_{os.path.basename(sf_dir.rstrip('/'))}"
     os.makedirs(src_dir, exist_ok=True)
     staged = f"{src_dir}/events.parquet"
-    if not os.path.exists(staged):
+    stamp_file = f"{src_dir}/_stamp"
+    st = os.stat(src)
+    stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    prev = open(stamp_file).read() if os.path.exists(stamp_file) else None
+    if prev != stamp or not os.path.exists(staged):
         import shutil
 
-        shutil.copyfile(path_of(sf_dir, "events"), staged)
+        shutil.copyfile(src, staged)
+        with open(stamp_file, "w") as f:
+            f.write(stamp)
     stream = (
         spark.readStream.schema(raw_schema)
         .parquet(src_dir)

@@ -372,6 +372,101 @@ def cc_survivor_ids(nodes, pairs):
     return labels.filter(F.col("doc_id") == F.col("label")).select("doc_id")
 
 
+def cc_survivor_ids_star(nodes, pairs):
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    100 TB-scale alternative to plain label propagation: round count is
+    O(log d) in component diameter instead of O(d), with every round two
+    groupBys keyed by node id.
+
+    large-star(u): attach every neighbor v > u to min(Γ(u) ∪ {u})
+    small-star(u): attach every neighbor v <= u (and u itself) to that min
+    Iterated to a fixpoint the edge set is a star forest rooted at each
+    component's min id; survivors = root ids plus isolated nodes."""
+    spark = nodes.sparkSession
+
+    def canon(e):
+        """Canonical undirected edge set (lo, hi), deduped, no self-loops."""
+        return (
+            e.select(
+                F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .dropDuplicates(["src", "dst"])
+        )
+
+    def star_round(e, large: bool):
+        both = e.select("src", "dst").union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        grouped = both.groupBy("src").agg(
+            F.collect_set("dst").alias("nbrs")
+        )
+        m = F.array_min(F.array_union(F.col("nbrs"), F.array(F.col("src"))))
+        cond = (lambda v: v > F.col("src")) if large else (lambda v: v <= F.col("src"))
+        out = grouped.select(
+            F.explode(
+                F.array_union(F.filter(F.col("nbrs"), cond), F.array(F.col("src")))
+            ).alias("src2"),
+            m.alias("dst2"),
+        ).select(F.col("src2").alias("src"), F.col("dst2").alias("dst"))
+        return canon(out)
+
+    edges = canon(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    ).localCheckpoint(eager=True)
+    converged = False
+    for _ in range(MAX_CC_ROUNDS):
+        after = star_round(star_round(edges, large=True), large=False).localCheckpoint(
+            eager=True
+        )
+        if after.exceptAll(edges).isEmpty() and edges.exceptAll(after).isEmpty():
+            converged = True
+            edges = after
+            break
+        edges = after
+    if not converged:
+        raise RuntimeError(
+            f"star CC did not converge in {MAX_CC_ROUNDS} rounds"
+        )
+    # star forest: every non-root appears as the dst (larger) endpoint
+    non_roots = edges.select(F.col("dst").alias("doc_id")).distinct()
+    return nodes.select("doc_id").join(non_roots, "doc_id", "left_anti")
+
+
+@register(
+    "dedup_survivors_star",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLE_PAIRS},
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM exact_pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM exact_pairs
+    ),
+    reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+    ),
+    minlab AS (SELECT node, min(label) AS label FROM reach GROUP BY node)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN minlab m ON d.doc_id = m.node
+    WHERE m.label = d.doc_id
+    """,
+)
+def dedup_survivors_star(spark, sf_dir):
+    """dedup_near_survivors computed with the O(log d)-round large-star/
+    small-star algorithm instead of O(d)-round label propagation — the
+    shape that survives deep components at 100 TB. Same exact pair set,
+    same survivors, same recursive-CTE oracle; equality with the
+    propagation variant is additionally pinned in tests/test_pipeline.py.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    pairs = dedup_near_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    survivors = cc_survivor_ids_star(docs.select("doc_id"), pairs)
+    return docs.join(survivors, "doc_id", "left_semi").orderBy("doc_id")
+
+
 # ----------------------------------------------------------------- simhash
 
 SIMHASH_BITS = 64

@@ -75,6 +75,36 @@ class TestNearSurvivors:
         kept = {r["doc_id"] for r in cc_survivor_ids(nodes, edges).collect()}
         assert kept == {1, 4, 5, 7}
 
+    def test_star_cc_equals_propagation_on_varied_graphs(self, spark):
+        """large-star/small-star must find the same survivors as label
+        propagation on chains, cliques, stars and seeded random graphs."""
+        import random
+
+        from data_transform_spark.pipeline.dedup import (
+            cc_survivor_ids,
+            cc_survivor_ids_star,
+        )
+
+        graphs = {
+            "chain": ([(i,) for i in range(20)], [(i, i + 1) for i in range(19)]),
+            "clique": ([(i,) for i in range(8)],
+                       [(i, j) for i in range(8) for j in range(i + 1, 8)]),
+            "star": ([(i,) for i in range(10)], [(5, j) for j in range(10) if j != 5]),
+        }
+        rng = random.Random(7)
+        n = 40
+        rnd_edges = sorted(
+            {tuple(sorted(rng.sample(range(n), 2))) for _ in range(35)}
+        )
+        graphs["random"] = ([(i,) for i in range(n)], rnd_edges)
+
+        for name, (node_rows, edge_rows) in graphs.items():
+            nodes = spark.createDataFrame(node_rows, "doc_id long")
+            edges = spark.createDataFrame(edge_rows, "doc_a long, doc_b long")
+            prop = {r["doc_id"] for r in cc_survivor_ids(nodes, edges).collect()}
+            star = {r["doc_id"] for r in cc_survivor_ids_star(nodes, edges).collect()}
+            assert star == prop, f"{name}: star={sorted(star)} prop={sorted(prop)}"
+
     def test_survivors_match_python_union_find(self, spark, sf_dir):
         """Label propagation must equal an independent union-find over pairs."""
         from data_transform_spark.io import load_table
