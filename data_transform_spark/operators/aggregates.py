@@ -371,3 +371,45 @@ def agg_pivot(spark, sf_dir):
         "user_id",
         *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in PIVOT_EVENT_TYPES],
     )
+
+
+@register(
+    "agg_sketch_merge",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS merged_within_2pct
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_sketch_merge(spark, sf_dir):
+    """Shard-mergeable distinct-count sketches (Apache DataSketches HLL).
+
+    The 100 TB incremental pattern: each shard aggregates its own HLL
+    sketch (hll_sketch_agg), shards are then merged with hll_union_agg —
+    so daily/partition-level sketches can be stored and re-merged without
+    rescanning raw data. The key bounds-checks the merged estimate against
+    the exact count (same contract as agg_approx_distinct); the shard split
+    is the content-stable md5 bucket used by shard_assign."""
+    ev = load_table(spark, sf_dir, "events")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10).cast(
+            "long"
+        )
+        % 8
+    )
+    per_shard = ev.groupBy("event_type", shard.alias("shard")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = per_shard.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_users"))
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= 0.02 * F.col("exact_users")
+        ).alias("merged_within_2pct"),
+    )
