@@ -183,7 +183,9 @@ def minhash_signatures(docs):
     """doc_id + sig array: sig[i] = min over shingles of xxhash64(i, shingle).
 
     Seeded, deterministic, executor-independent. One explode + one groupBy —
-    at 100 TB this is a single shuffle keyed by doc_id.
+    at 100 TB this is a single shuffle keyed by doc_id. (A universal-hash
+    family over one base hash was benchmarked and is NOT faster here — the
+    48 min-aggregates, not the string hashing, dominate.)
     """
     sh = _shingles(docs)
     aggs = [
@@ -195,15 +197,27 @@ def minhash_signatures(docs):
     )
 
 
+MINHASH_PREFILTER = 0.25  # estimated-jaccard gate between banding and verify
+
+# Pre-filter risk: a true pair at exact jaccard >= 0.7 is rejected only if
+# its 48-hash estimate falls below 0.25 — Hoeffding gives
+# P(est - j <= -0.45) <= exp(-2*48*0.45^2) ~= 4e-9, far below the band-miss
+# probability, while typical false candidates (j ~ 0.05 sharing one lucky
+# band) are almost surely dropped, shrinking the exact-verify join ~10x.
+
+
 def _minhash_candidates(docs):
-    """Candidate (doc_a, doc_b) pairs from the banded LSH bucket join.
+    """Candidate (doc_a, doc_b) pairs: banded LSH bucket join + estimate gate.
 
     Band j buckets on xxhash64 of its r signature slots; only same-bucket
     pairs become candidates (linear candidate generation — THE property
-    that makes near-dup feasible at 100 TB)."""
+    that makes near-dup feasible at 100 TB). Candidates are then gated on
+    the signature-agreement estimate >= MINHASH_PREFILTER so the exact
+    verification stage only sees near-certainly-real pairs."""
     sig = minhash_signatures(docs)
     bands = sig.select(
         "doc_id",
+        "sig",
         F.explode(
             F.array(
                 *[
@@ -220,19 +234,31 @@ def _minhash_candidates(docs):
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(
+        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
 
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    return (
+        cand.filter(agree >= F.lit(int(MINHASH_PREFILTER * N_HASHES)))
+        .select("doc_a", "doc_b")
     )
 
 
