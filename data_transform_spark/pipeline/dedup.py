@@ -214,10 +214,13 @@ def _minhash_candidates(docs):
     that makes near-dup feasible at 100 TB). Candidates are then gated on
     the signature-agreement estimate >= MINHASH_PREFILTER so the exact
     verification stage only sees near-certainly-real pairs."""
-    sig = minhash_signatures(docs)
+    sig = minhash_signatures(docs).localCheckpoint(eager=False)
+    # band rows carry only (doc_id, band, bucket) — NOT the 48-slot sig
+    # array: shipping sigs through the 24x explode + self-join dominated
+    # the stage cost; the estimate gate rejoins sig for the (tiny)
+    # candidate set instead.
     bands = sig.select(
         "doc_id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -234,9 +237,7 @@ def _minhash_candidates(docs):
                 ]
             )
         ).alias("bb"),
-    ).select(
-        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     a = bands.alias("a")
     b = bands.alias("b")
@@ -247,17 +248,16 @@ def _minhash_candidates(docs):
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sig_a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
     return (
-        cand.filter(agree >= F.lit(int(MINHASH_PREFILTER * N_HASHES)))
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .filter(agree >= F.lit(int(MINHASH_PREFILTER * N_HASHES)))
         .select("doc_a", "doc_b")
     )
 
