@@ -10,5 +10,8 @@ from data_transform_spark.operators import (  # noqa: F401
     scans,
     setops,
     sorts,
+    sqlsurface,
+    timeseries,
+    tpch_more,
     windows,
 )

@@ -1,0 +1,212 @@
+"""SQL-surface operators — subqueries, CTEs, lateral joins (§2 extras).
+
+These keys run through ``spark.sql`` over temp views of the fixture tables:
+the point is API parity for users who write SQL rather than DataFrame code.
+Catalyst decorrelates the subqueries into the same join plans the DataFrame
+API would produce (verified in test_plans — no per-row re-execution), so
+the scale story is identical to the join/agg families.
+
+Averages over double money columns go through DECIMAL(18,6) sums divided by
+counts so the comparison threshold is partition-order independent (§5.3.1).
+"""
+
+from __future__ import annotations
+
+from data_transform_spark.io import load_table
+from data_transform_spark.registry import register
+
+_VIEW_TABLES = ["customer", "orders", "lineitem", "part", "supplier", "nation", "region"]
+
+
+def _views(spark, sf_dir):
+    for t in _VIEW_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+@register(
+    "sql_subquery_scalar",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE p_retailprice > 1.4 * (SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) FROM part)
+    ORDER BY p_partkey
+    """,
+)
+def sql_subquery_scalar(spark, sf_dir):
+    """Uncorrelated scalar subquery: parts priced 40% above the mean.
+
+    The subquery runs once and broadcasts as a literal — one extra stage,
+    not a per-row probe."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part
+        WHERE p_retailprice > 1.4 * (SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) FROM part)
+        ORDER BY p_partkey
+        """
+    )
+
+
+@register(
+    "sql_exists",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT'
+                    AND o.o_totalprice > 100000)
+    ORDER BY c_custkey
+    """,
+)
+def sql_exists(spark, sf_dir):
+    """Correlated EXISTS — decorrelated by Catalyst into a left-semi join."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT'
+                        AND o.o_totalprice > 100000)
+        ORDER BY c_custkey
+        """
+    )
+
+
+@register(
+    "sql_in_subquery",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+                          WHERE n_regionkey IN (SELECT r_regionkey FROM region
+                                                WHERE r_name = 'EUROPE'))
+      AND s_acctbal > 0
+    ORDER BY s_suppkey
+    """,
+)
+def sql_in_subquery(spark, sf_dir):
+    """Nested IN subqueries — planned as two broadcast semi joins."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name, s_acctbal
+        FROM supplier
+        WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+                              WHERE n_regionkey IN (SELECT r_regionkey FROM region
+                                                    WHERE r_name = 'EUROPE'))
+          AND s_acctbal > 0
+        ORDER BY s_suppkey
+        """
+    )
+
+
+@register(
+    "sql_correlated",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 1.5 * (SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+                                FROM orders o2
+                                WHERE o2.o_custkey = o.o_custkey)
+    ORDER BY o_orderkey
+    """,
+)
+def sql_correlated(spark, sf_dir):
+    """Correlated scalar aggregate subquery: orders 50% above their
+    customer's own average. Catalyst decorrelates to one grouped aggregate
+    joined back on o_custkey — a single shuffle, never a re-scan per row."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > 1.5 * (SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+                                    FROM orders o2
+                                    WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@register(
+    "sql_cte",
+    oracle="""
+    WITH nat_cust AS (
+      SELECT c_nationkey, count(*) AS n_cust,
+             ROUND(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 4) AS bal_sum
+      FROM customer GROUP BY c_nationkey
+    ),
+    nat_supp AS (
+      SELECT s_nationkey, count(*) AS n_supp
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT n.n_name, c.n_cust, c.bal_sum, COALESCE(s.n_supp, 0) AS n_supp
+    FROM nat_cust c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN nat_supp s ON s.s_nationkey = c.c_nationkey
+    ORDER BY n.n_name
+    """,
+)
+def sql_cte(spark, sf_dir):
+    """Multi-CTE query: two independent aggregates joined on nation."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH nat_cust AS (
+          SELECT c_nationkey, count(*) AS n_cust,
+                 ROUND(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 4) AS bal_sum
+          FROM customer GROUP BY c_nationkey
+        ),
+        nat_supp AS (
+          SELECT s_nationkey, count(*) AS n_supp
+          FROM supplier GROUP BY s_nationkey
+        )
+        SELECT n.n_name, c.n_cust, c.bal_sum, COALESCE(s.n_supp, 0) AS n_supp
+        FROM nat_cust c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        LEFT JOIN nat_supp s ON s.s_nationkey = c.c_nationkey
+        ORDER BY n.n_name
+        """
+    )
+
+
+@register(
+    "join_lateral",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) t
+    WHERE c.c_mktsegment = 'MACHINERY'
+    ORDER BY c.c_custkey, t.o_orderkey
+    """,
+)
+def join_lateral(spark, sf_dir):
+    """LATERAL correlated derived table: top-2 orders per customer.
+
+    Spark plans this as a ranked window over one shuffle (decorrelated),
+    not an inner re-query per customer row — the only shape that survives
+    a 100 TB orders table."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) t
+        WHERE c.c_mktsegment = 'MACHINERY'
+        ORDER BY c.c_custkey, t.o_orderkey
+        """
+    )

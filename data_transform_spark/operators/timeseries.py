@@ -1,0 +1,239 @@
+"""Time-series operators over the events table (§2 extras).
+
+Resampling, gap-filling, forward-fill, per-day OHLC, and batch
+sessionization — the event-stream post-processing a warehouse user runs on
+landed (batch) data, complementing the live-stream §2.I family.
+
+All window orderings carry the (ts, event_id) total-order tiebreak so
+results are deterministic under duplicate timestamps (round-1 ADVICE.md);
+sums of double measures go through DECIMAL(18,6) partials (§5.3.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_transform_spark.io import load_table
+from data_transform_spark.registry import register
+
+
+@register(
+    "ts_resample",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
+           count(*) AS n,
+           ROUND(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour_ts, event_type
+    """,
+)
+def ts_resample(spark, sf_dir):
+    """Downsample the event stream to hourly buckets per type.
+
+    One shuffle on (hour, type); at 100 TB the partial aggregation happens
+    map-side so the exchange carries only ~|hours|x|types| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias(
+                "value_sum"
+            ),
+        )
+        .orderBy("hour_ts", "event_type")
+    )
+
+
+@register(
+    "ts_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(date_trunc('hour', ts)) AS h0, max(date_trunc('hour', ts)) AS h1 FROM events
+    ),
+    grid AS (
+      SELECT CAST(unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS TIMESTAMP) AS hour_ts FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT t.event_type, g.hour_ts, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+    FROM types t
+    CROSS JOIN grid g
+    LEFT JOIN counts c ON c.event_type = t.event_type AND c.hour_ts = g.hour_ts
+    ORDER BY t.event_type, g.hour_ts
+    """,
+)
+def ts_gapfill(spark, sf_dir):
+    """Zero-fill missing (type, hour) buckets over the observed time range.
+
+    The dense grid is |types| x |hours| — tiny relative to the data — built
+    with sequence+explode on the driver-free aggregate bounds, then
+    broadcast-left-joined against the real per-bucket counts. Scales: the
+    only full-data pass is the count aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    counts = ev.groupBy(
+        "event_type", hour.alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = ev.agg(F.min(hour).alias("h0"), F.max(hour).alias("h1"))
+    grid = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour_ts")
+    )
+    types = ev.select("event_type").distinct()
+    return (
+        types.crossJoin(F.broadcast(grid))
+        .join(counts, ["event_type", "hour_ts"], "left")
+        .select(
+            "event_type",
+            "hour_ts",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+        .orderBy("event_type", "hour_ts")
+    )
+
+
+@register(
+    "ts_ffill",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'purchase' THEN value END AS v
+      FROM events
+    ),
+    g AS (
+      SELECT *, count(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS grp
+      FROM base
+    )
+    SELECT event_id, user_id, ts,
+           max(v) OVER (PARTITION BY user_id, grp) AS last_purchase_value
+    FROM g
+    """,
+)
+def ts_ffill(spark, sf_dir):
+    """Forward-fill: carry each user's last purchase value onto every
+    subsequent event (NULL until their first purchase).
+
+    last(ignorenulls) over a running frame — one shuffle on user_id; the
+    DuckDB twin uses the equivalent gaps-and-islands formulation."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last(v, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+
+
+@register(
+    "ts_ohlc",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+             ts, event_id, value
+      FROM events
+    ),
+    o AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id, day_ts ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, day_ts ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM d
+    )
+    SELECT user_id, day_ts,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close_v,
+           min(value) AS low_v,
+           max(value) AS high_v,
+           count(*) AS n_events
+    FROM o
+    GROUP BY user_id, day_ts
+    ORDER BY user_id, day_ts
+    """,
+)
+def ts_ohlc(spark, sf_dir):
+    """Per-user daily open/close/low/high of the value measure.
+
+    open/close come from a lexicographic struct min/max on
+    (ts, event_id, value) — a single aggregate pass, no window shuffle;
+    the (ts, event_id) prefix is a total order so ties are impossible."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day_ts"),
+        F.struct(F.col("ts"), F.col("event_id"), F.col("value").alias("v")).alias("tev"),
+        "value",
+    )
+    return (
+        tagged.groupBy("user_id", "day_ts")
+        .agg(
+            F.min("tev").getField("v").alias("open_v"),
+            F.max("tev").getField("v").alias("close_v"),
+            F.min("value").alias("low_v"),
+            F.max("value").alias("high_v"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "day_ts")
+    )
+
+
+@register(
+    "ts_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, event_id,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM g
+    )
+    SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM s
+    GROUP BY user_id, sid
+    ORDER BY user_id, sid
+    """,
+)
+def ts_sessionize(spark, sf_dir):
+    """Batch sessionization: 30-minute-gap sessions per user.
+
+    lag + running sum over one user_id shuffle, then a same-key aggregate
+    (no second exchange). The (ts, event_id) tiebreak keeps session ids
+    deterministic under duplicate timestamps — the round-1 ADVICE fix,
+    applied on both engines. Streaming twin: stream_session (§2.I)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.lag(us).over(w)
+    new_s = F.when(prev_us.isNull() | ((us - prev_us) > 1_800_000_000), 1).otherwise(0)
+    sid = F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        ev.select("user_id", "ts", "event_id", sid.alias("sid"))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "sid")
+    )
