@@ -366,3 +366,45 @@ def fn_format(spark, sf_dir):
         ),
         F.concat_ws("/", F.col("c_name"), F.col("c_mktsegment")).alias("joined"),
     )
+
+
+@register(
+    "agg_skew_twophase",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS price_sum,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_skew_twophase(spark, sf_dir):
+    """Salted two-phase aggregation for pathologically skewed group keys.
+
+    l_returnflag has 3 values over the whole table — the worst-case skew
+    shape, where a naive groupBy funnels everything through 3 reducers.
+    Phase 1 aggregates on (key, salt) with a deterministic 16-way salt from
+    the row's own orderkey, spreading each hot key over 16 reducers; phase 2
+    combines the 48 partials. Decimal partials keep the result bit-identical
+    to the single-phase oracle regardless of summation order. At 100 TB this
+    is THE pattern for hot-key aggregates (AQE can't split a single group).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    salt = (F.col("l_orderkey") % 16).alias("salt")
+    partial = (
+        li.select("l_returnflag", salt, "l_extendedprice")
+        .groupBy("l_returnflag", "salt")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("ps"),
+            F.count(F.lit(1)).alias("pn"),
+        )
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("ps").cast("double"), 4).alias("price_sum"),
+            F.sum("pn").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -115,3 +115,27 @@ def source_stream_file(spark, sf_dir):
     q = stream.writeStream.format("memory").queryName(name).trigger(availableNow=True).start()
     q.awaitTermination()
     return spark.table(name)
+
+
+@register("scan_jsonl", oracle="SELECT * FROM documents")
+def scan_jsonl(spark, sf_dir):
+    """JSONL (newline-delimited JSON) source over the documents corpus.
+
+    The landed-corpus format LLM pipelines actually ingest: the fixture is
+    staged to scratch as JSONL once (stamp-invalidated on fixture change),
+    then read back with an explicit schema — no inference pass, which at
+    100 TB would double the scan. Hash-checked against the parquet original,
+    so escaping (newlines, quotes, unicode) must round-trip exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    src = path_of(sf_dir, "documents")
+    out_dir = f"{SCRATCH}/scan_jsonl_{os.path.basename(sf_dir.rstrip('/'))}"
+    stamp_file = f"{out_dir}_stamp"
+    st = os.stat(src)
+    stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    prev = open(stamp_file).read() if os.path.exists(stamp_file) else None
+    if prev != stamp or not os.path.isdir(out_dir):
+        docs.write.mode("overwrite").json(out_dir)
+        with open(stamp_file, "w") as f:
+            f.write(stamp)
+    return spark.read.schema(docs.schema).json(out_dir)

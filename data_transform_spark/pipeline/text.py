@@ -199,3 +199,55 @@ def text_fingerprint(spark, sf_dir):
         tok_ints, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % 1000000007
     )
     return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@register(
+    "text_pii_redact",
+    oracle="""
+    WITH synth AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-010' || CAST(doc_id % 10 AS VARCHAR)
+                  || ' ref ' || CAST(doc_id * 7919 AS VARCHAR) AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+                 '[+]?[0-9][0-9-]{4,}', '<NUM>', 'g')) AS redacted_md5,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(regexp_replace(text,
+                 '[A-Za-z0-9._]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+                 '[+]?[0-9][0-9-]{4,}')) AS BIGINT) AS n_numbers
+    FROM synth
+    """,
+)
+def text_pii_redact(spark, sf_dir):
+    """PII redaction: mask emails then long digit/dash runs, count each.
+
+    The fixture corpus is digit-free, so deterministic synthetic PII is
+    appended per doc first — the redaction regexes then have real work to
+    do and the md5 of the redacted text is hash-checked cross-engine.
+    Pure JVM regexp_replace; at 100 TB this is an embarrassingly parallel
+    map with no shuffle at all.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    email_re = r"[A-Za-z0-9._]+@[A-Za-z0-9.-]+"
+    num_re = r"[+]?[0-9][0-9-]{4,}"
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-010"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(" ref "),
+        (F.col("doc_id") * 7919).cast("string"),
+    )
+    no_email = F.regexp_replace(synth, email_re, "<EMAIL>")
+    redacted = F.regexp_replace(no_email, num_re, "<NUM>")
+    return d.select(
+        "doc_id",
+        F.md5(redacted).alias("redacted_md5"),
+        F.size(F.regexp_extract_all(synth, F.lit(email_re), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(no_email, F.lit(num_re), 0)).cast("long").alias("n_numbers"),
+    )

@@ -168,3 +168,56 @@ def text_ngram_counts(spark, sf_dir):
         .filter(F.col("rn") <= TOP_NGRAMS)
         .select("bigram", "n")
     )
+
+
+@register(
+    "embed_quantize",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, label, embedding,
+             list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS mx
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, label, mx,
+             CASE WHEN mx > 0 THEN 127.0 / mx END AS scale,
+             list_transform(embedding,
+                v -> CAST(round(CAST(v AS DOUBLE) * (127.0 / mx)) AS BIGINT)) AS qv
+      FROM s
+    )
+    SELECT vec_id, label,
+           ROUND(scale, 6) AS scale_r,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+           CAST(list_max(qv) AS BIGINT) AS q_max
+    FROM q
+    """,
+)
+def embed_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column (scale = 127/max|v|).
+
+    The compression step before shipping vectors to an ANN index: per-vector
+    scale plus integer codes. Runs entirely in JVM higher-order array
+    functions — no Python, no shuffle, linear scan. The checksums (sum, L1,
+    max of the int codes) make the whole quantized vector hash-checkable
+    without emitting an array column (driver canonicalizer contract).
+
+    float32 -> double widening is exact in both engines and round() is
+    half-away-from-zero in both, so codes match bit-for-bit.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    vd = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    mx = F.array_max(F.transform(vd, lambda v: F.abs(v)))
+    scale = F.when(mx > 0, F.lit(127.0) / mx)
+    qv = F.transform(vd, lambda v: F.round(v * scale, 0).cast("long"))
+    zero = F.lit(0).cast("long")
+    return (
+        e.select(
+            "vec_id",
+            "label",
+            F.round(scale, 6).alias("scale_r"),
+            F.aggregate(qv, zero, lambda acc, x: acc + x).alias("q_sum"),
+            F.aggregate(qv, zero, lambda acc, x: acc + F.abs(x)).alias("q_l1"),
+            F.array_max(qv).alias("q_max"),
+        )
+    )
