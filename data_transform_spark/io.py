@@ -48,3 +48,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def spread(df, min_parts: int | None = None):
+    """Repartition a DataFrame only when its scan under-parallelizes.
+
+    Single-file fixture tables (documents, embeddings) arrive as ONE input
+    split, serializing any expensive per-row map work (shingle explode,
+    wide hash aggregates) onto one core. Spreading costs a shuffle of the
+    raw rows — trivial next to the map work it parallelizes. At cluster
+    scale a 100 TB scan already has ~800k splits, so this is a no-op there
+    (the partition count check keeps it from adding a pointless shuffle).
+    Row placement does not affect results: every consumer aggregates by key.
+    """
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

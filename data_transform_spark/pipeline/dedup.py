@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from data_transform_spark.io import load_table
+from data_transform_spark.io import load_table, spread
 from data_transform_spark.registry import register
 
 # ---------------------------------------------------------------- exact
@@ -146,6 +146,7 @@ MINHASH_EXACT_TAU = 0.7  # exact shingle-jaccard acceptance threshold
 
 def _shingles(df):
     """doc_id, shingle — word k-grams via a size-bounded higher-order expr."""
+    df = spread(df)  # single-split scans otherwise serialize the explode+hash
     toks = F.split("text", " ")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE_K, F.lit(0)))
@@ -513,7 +514,7 @@ def simhash_fingerprints(docs):
     long) — md5 is engine-portable, which is what lets the DuckDB oracle
     recompute the identical fingerprint.
     """
-    tok = docs.select(
+    tok = spread(docs).select(
         "doc_id", F.explode(F.split("text", " ")).alias("t")
     ).groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("cnt"))
     md5 = F.md5("t")
