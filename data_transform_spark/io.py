@@ -2,18 +2,21 @@
 
 All tables are plain parquet scans (columnar, footer schemas, predicate
 pushdown and column pruning reach the scan automatically). The one special
-case is ``events``: its ``ts`` column is physical INT64 TIMESTAMP(NANOS),
-which Spark 4.1.2 cannot read natively. Verified recipe (FIXTURES.md):
-read with ``spark.sql.legacy.parquet.nanosAsLong=true`` (ts arrives as long
-nanoseconds) then ``timestamp_micros(ts div 1000)`` — integer div, because
-ns-since-epoch ~1.7e18 exceeds exact double range. This matches DuckDB's
-native ns->us truncation exactly.
+case is ``events.ts``, whose physical type has varied across fixture
+generations: INT64 TIMESTAMP(NANOS) (unreadable natively by Spark 4.1.2)
+or plain TIMESTAMP(MICROS). ``normalize_event_ts`` adapts on the scanned
+dtype: under ``spark.sql.legacy.parquet.nanosAsLong=true`` a NANOS column
+arrives as long nanoseconds and is truncated with
+``timestamp_micros(ts div 1000)`` (integer div — ns-since-epoch ~1.7e18
+exceeds exact double range; matches DuckDB's ns->us truncation exactly),
+while a MICROS column already scans as timestamp_ntz and passes through.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = [
     "region",
@@ -33,11 +36,25 @@ def path_of(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """ts -> TIMESTAMP at us precision (== DuckDB read), whatever the scan gave.
+
+    Long nanoseconds (NANOS fixture under nanosAsLong) are truncated to us;
+    TIMESTAMP_NTZ (MICROS fixture) is cast to TIMESTAMP — with the session
+    pinned to UTC the two types are numerically identical, and TIMESTAMP is
+    required downstream (watermarks reject NTZ; NTZ has no bigint cast).
+    Works on batch and streaming DataFrames alike (decided off the schema)."""
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(dt, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path_of(sf_dir, "events"))
-    # ts: long ns -> timestamp_ntz at microsecond precision (== DuckDB read).
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_event_ts(spark.read.parquet(path_of(sf_dir, "events")))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

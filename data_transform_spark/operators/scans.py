@@ -12,7 +12,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from data_transform_spark.io import load_table, path_of
+from data_transform_spark.io import load_table, normalize_event_ts, path_of
 from data_transform_spark.registry import register
 
 SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
@@ -106,11 +106,7 @@ def source_stream_file(spark, sf_dir):
         shutil.copyfile(src, staged)
         with open(stamp_file, "w") as f:
             f.write(stamp)
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(src_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    stream = normalize_event_ts(spark.readStream.schema(raw_schema).parquet(src_dir))
     name = "source_stream_file_mem"
     q = stream.writeStream.format("memory").queryName(name).trigger(availableNow=True).start()
     q.awaitTermination()

@@ -22,7 +22,7 @@ import uuid
 
 from pyspark.sql import functions as F
 
-from data_transform_spark.io import path_of
+from data_transform_spark.io import normalize_event_ts, path_of
 from data_transform_spark.operators.scans import SCRATCH
 from data_transform_spark.registry import register
 
@@ -69,13 +69,11 @@ def stage_events_dir(sf_dir: str) -> str:
 
 
 def events_stream(spark, sf_dir: str):
-    """readStream over events with the ns-timestamp recipe applied."""
+    """readStream over events; ts normalized to us whatever the fixture dtype."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(path_of(sf_dir, "events")).schema
-    return (
-        spark.readStream.schema(raw_schema)
-        .parquet(stage_events_dir(sf_dir))
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_event_ts(
+        spark.readStream.schema(raw_schema).parquet(stage_events_dir(sf_dir))
     )
 
 
@@ -226,11 +224,8 @@ def stream_watermark(spark, sf_dir):
     src = stage_events_chunks(sf_dir, plant_late=True)
 
     raw_schema = spark.read.parquet(path_of(sf_dir, "events")).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = normalize_event_ts(
+        spark.readStream.schema(raw_schema).option("maxFilesPerTrigger", 1).parquet(src)
     )
     agg = (
         stream.withWatermark("ts", "1 hour")

@@ -62,11 +62,12 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir):
     raw_schema = spark.read.parquet(path_of(sf_dir, "events")).schema
 
     def start():
-        stream = (
+        from data_transform_spark.io import normalize_event_ts
+
+        stream = normalize_event_ts(
             spark.readStream.schema(raw_schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
-            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         )
         return (
             stream.writeStream.option("checkpointLocation", ckpt)

@@ -1,0 +1,46 @@
+"""Repeat-run profiler for individual bench queries at an arbitrary SF.
+
+Usage: python tools/profile_bench.py [-n REPS] [--sf SF_DIR] key [key ...]
+Prints per-rep wall times + min/median so regressions can be separated from
+machine variance (BASELINE.md claims ±30%).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("keys", nargs="+")
+    ap.add_argument("-n", type=int, default=3)
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    args = ap.parse_args()
+
+    import __spark_entry__ as em
+    from data_transform_spark.session import get_spark
+
+    spark = get_spark("profile")
+    qs = em.queries()
+    for key in args.keys:
+        # codegen warm-up at the smoke SF (same protocol as bench.py)
+        qs[key](spark, "/root/testdata/sf0.001").count()
+        reps = []
+        for _ in range(args.n):
+            t0 = time.time()
+            qs[key](spark, args.sf).count()
+            reps.append(round(time.time() - t0, 3))
+        print(
+            f"{key}: reps={reps} min={min(reps)} "
+            f"median={statistics.median(reps)}"
+        )
+
+
+if __name__ == "__main__":
+    main()
