@@ -74,11 +74,18 @@ def spread(df, min_parts: int | None = None):
     split, serializing any expensive per-row map work (shingle explode,
     wide hash aggregates) onto one core. Spreading costs a shuffle of the
     raw rows — trivial next to the map work it parallelizes. At cluster
-    scale a 100 TB scan already has ~800k splits, so this is a no-op there
-    (the partition count check keeps it from adding a pointless shuffle).
-    Row placement does not affect results: every consumer aggregates by key.
+    scale a 100 TB scan already has thousands of input files, so this is a
+    no-op there. The probe is ``inputFiles()`` — a driver-side file listing,
+    NOT ``.rdd.getNumPartitions()``, which forces an RDD conversion + plan
+    materialization per call (round-2 VERDICT: suspect #1 for the dedup
+    bench regression). Row placement does not affect results: every
+    consumer aggregates by key.
     """
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if n_files >= target:
         return df
     return df.repartition(target)

@@ -199,23 +199,40 @@ def minhash_signatures(docs):
 
 
 MINHASH_PREFILTER = 0.25  # estimated-jaccard gate between banding and verify
+MINHASH_GATE_MIN_DOCS = 200_000  # corpus size below which the gate is skipped
 
 # Pre-filter risk: a true pair at exact jaccard >= 0.7 is rejected only if
 # its 48-hash estimate falls below 0.25 — Hoeffding gives
 # P(est - j <= -0.45) <= exp(-2*48*0.45^2) ~= 4e-9, far below the band-miss
 # probability, while typical false candidates (j ~ 0.05 sharing one lucky
 # band) are almost surely dropped, shrinking the exact-verify join ~10x.
+#
+# The gate costs two extra joins (sig rejoin per side). That trade only pays
+# when the candidate set is large enough that shrinking the exact-verify
+# join matters — at fixture scale it doubled dedup_near_minhash's wall time
+# (round-2 VERDICT #2), so it is size-conditional: skipped below
+# MINHASH_GATE_MIN_DOCS documents (a metadata-only parquet count), applied
+# above. The gate never changes results (both paths end in the same exact
+# jaccard >= tau verification) so oracle equality is tier-independent.
 
 
 def _minhash_candidates(docs):
-    """Candidate (doc_a, doc_b) pairs: banded LSH bucket join + estimate gate.
+    """Candidate (doc_a, doc_b) pairs: banded LSH bucket join (+ estimate
+    gate at scale).
 
     Band j buckets on xxhash64 of its r signature slots; only same-bucket
     pairs become candidates (linear candidate generation — THE property
-    that makes near-dup feasible at 100 TB). Candidates are then gated on
-    the signature-agreement estimate >= MINHASH_PREFILTER so the exact
-    verification stage only sees near-certainly-real pairs."""
-    sig = minhash_signatures(docs).localCheckpoint(eager=False)
+    that makes near-dup feasible at 100 TB). Above MINHASH_GATE_MIN_DOCS,
+    candidates are additionally gated on the signature-agreement estimate
+    >= MINHASH_PREFILTER so the exact verification stage only sees
+    near-certainly-real pairs."""
+    use_gate = docs.count() >= MINHASH_GATE_MIN_DOCS
+    sig = minhash_signatures(docs)
+    if use_gate:
+        # sig feeds three plans (bands + both rejoin sides): checkpoint so
+        # the 48-aggregate signature job runs once. Eager — the lazy variant
+        # races AQE and spams "non-existent accumulator" warnings.
+        sig = sig.localCheckpoint(eager=True)
     # band rows carry only (doc_id, band, bucket) — NOT the 48-slot sig
     # array: shipping sigs through the 24x explode + self-join dominated
     # the stage cost; the estimate gate rejoins sig for the (tiny)
@@ -252,6 +269,8 @@ def _minhash_candidates(docs):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    if not use_gate:
+        return cand
     sig_a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sig_b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))

@@ -26,10 +26,14 @@ RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Arrow for all pandas_udf / toPandas boundaries.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Wide aggregates (64-bucket simhash, 16-hash minhash, pivots) exceed the
-    # default 100-field whole-stage-codegen limit and silently fall back to
-    # interpreted mode — measured 2x slower. Keep them codegen'd.
-    "spark.sql.codegen.maxFields": "300",
+    # Wide aggregates (64-bucket simhash, 48-hash minhash) exceed the default
+    # 100-field whole-stage-codegen limit and run interpreted. Round 2 raised
+    # the limit to 300 to keep them codegen'd; re-measured round 3: Janino
+    # compilation of the giant generated functions costs 10-40 s per fresh
+    # plan (expression IDs change the source, so the code cache misses) with
+    # NO steady-state win — simhash: stable 3.8-4.2 s at the default vs
+    # 4-15 s at 300. Keep the default limit; the wide aggs are fine
+    # interpreted because their per-row work is trivial bit math.
     # Fixture-tier setting (sf <= 0.1): the default 200 is pure stage overhead
     # at this size. Cluster tiers override per SCALING.md (2-3x total cores).
     "spark.sql.shuffle.partitions": "32",
