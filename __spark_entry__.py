@@ -46,45 +46,83 @@ def _wrap(fn: Callable) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
-# Keys with a green (rows+schema+hash) row in CORRECTNESS_r01.json. The
-# driver's round-1 sweep stopped after the first 50 keys in queries() order,
-# so keys WITHOUT an official row yet are listed first (grouped by family)
-# and the already-verified ones come last — a capped sweep then spends its
-# budget where it adds coverage (round-1 VERDICT "Next round" #2).
-_GREEN_R1 = {
-    "fn_explode", "fn_date_extract", "fn_date_arith", "fn_date_epoch",
-    "fn_json", "fn_json_build", "fn_math", "fn_trig", "fn_bitwise_scalar",
-    "fn_hash", "fn_string_basic", "fn_string_regex", "fn_string_fuzzy",
-    "udf_scalar", "udf_pandas_scalar", "udf_pandas_agg", "udf_grouped_map",
-    "udf_map_in_pandas", "udtf_tokenize", "udf_sql_registered",
-    "agg_global", "agg_groupby", "agg_count_distinct", "agg_sum_distinct",
-    "agg_minmax_by", "agg_string", "agg_stats", "agg_percentile",
-    "agg_having", "agg_grouping_sets", "agg_rollup", "agg_cube",
-    "agg_countif", "agg_bool", "agg_pivot", "transform_upsert",
-    "transform_scd2", "dq_checks", "tpch_q3", "tpch_q6", "sample_hash",
-    "shard_assign",
+# Keys with a green (rows+schema+hash) row in ANY of CORRECTNESS_r01-r03.
+# The driver's sweep stops after the first 50 keys in queries() order, so
+# keys WITHOUT an official row yet are listed first and the already-verified
+# ones come last — a capped sweep then spends its budget where it adds
+# coverage (round-3 VERDICT "Next round" #1).
+_GREEN_OFFICIAL = {
+    "agg_approx_distinct", "agg_bool", "agg_collect", "agg_count_distinct",
+    "agg_countif", "agg_cube", "agg_global", "agg_groupby",
+    "agg_grouping_sets", "agg_having", "agg_minmax_by", "agg_percentile",
+    "agg_pivot", "agg_rollup", "agg_sketch_merge", "agg_stats",
+    "agg_string", "agg_sum_distinct", "dedup_subset", "dq_checks",
+    "fn_array", "fn_array_lambda", "fn_array_setops", "fn_bitwise_scalar",
+    "fn_date_arith", "fn_date_epoch", "fn_date_extract", "fn_explode",
+    "fn_hash", "fn_json", "fn_json_build", "fn_map", "fn_math",
+    "fn_sequence", "fn_string_basic", "fn_string_fuzzy", "fn_string_regex",
+    "fn_struct", "fn_trig", "join_anti", "join_asof", "join_broadcast",
+    "join_cross", "join_full", "join_inner", "join_interval", "join_left",
+    "join_multiway", "join_right", "join_self", "join_semi",
+    "join_skew_salted", "join_theta", "limit_offset", "limit_topk",
+    "sample_hash", "scan_events_ns", "scan_jsonl", "scan_parquet",
+    "scan_pruned", "set_except", "set_except_all", "set_intersect",
+    "set_intersect_all", "set_union", "set_union_all", "shard_assign",
+    "sink_csv_json", "sink_parquet", "sink_partitioned", "sort_multi",
+    "sort_nulls", "source_stream_file", "tpch_q3", "tpch_q6",
+    "transform_scd2", "transform_upsert", "udf_grouped_map",
+    "udf_map_in_pandas", "udf_pandas_agg", "udf_pandas_scalar",
+    "udf_scalar", "udf_sql_registered", "udtf_tokenize", "win_first_last",
+    "win_lag_lead", "win_moving", "win_range_frame", "win_rank",
+    "win_row_number", "win_running", "win_topk_group",
 }
 
-# Family order for the not-yet-verified block (module suffix → rank).
+# Round-4 sweep targets: the 50 keys the capped sweep must reach, in order.
+# All of SURVEY §2.B (13 projections), §2.K core (11 LLM-pipeline), §2.I
+# core (8 streaming) — never officially swept — plus 18 pipeline-extension
+# keys to fill the 50 slots exactly.
+_SWEEP_PRIORITY = [
+    # §2.B projections / filters / predicates
+    "project_select", "project_compute", "filter_compare", "filter_in",
+    "filter_between", "filter_like", "filter_rlike", "filter_null",
+    "filter_bool", "expr_case", "expr_coalesce", "expr_cast",
+    "project_distinct",
+    # §2.K LLM-pipeline core
+    "dedup_exact", "dedup_near_minhash", "sim_topk_bruteforce",
+    "sim_pairs_threshold", "sim_knn_classify", "embed_normalize",
+    "text_tokenize", "text_tfidf", "text_stats", "text_lang_filter",
+    "multimodal_binary",
+    # §2.I streaming core
+    "stream_tumbling", "stream_sliding", "stream_session",
+    "stream_watermark", "stream_dedup", "stream_stateful",
+    "stream_static_join", "stream_sink",
+    # pipeline extensions (dedup → similarity → text → training → mm)
+    "dedup_ngram_jaccard", "dedup_near_survivors", "dedup_survivors_star",
+    "dedup_simhash", "sim_topk_blocked", "sim_ann_lsh", "sim_ann_ivf",
+    "dedup_embed_cosine", "text_token_count", "text_quality",
+    "text_fingerprint", "text_pii_redact", "sample_stratified",
+    "split_train_test", "pack_sequences", "text_ngram_counts",
+    "embed_quantize", "multimodal_features",
+]
+_SWEEP_RANK = {k: i for i, k in enumerate(_SWEEP_PRIORITY)}
+
+# Family order for unverified keys beyond the explicit priority block —
+# round 5's queue (round-3 VERDICT "Next round" #7).
 _FAMILY_ORDER = [
-    "functions.arrays",      # round-1 ERR keys, now flattened — retest first
-    "functions.json_map",
-    "operators.aggregates",  # agg_collect / agg_approx_distinct were ERR
-    "operators.joins",
-    "operators.windows",
-    "operators.scans",
-    "operators.setops",
-    "operators.sorts",
+    "pipeline.e2e",
+    "streaming.ops",         # stream_update_counts / stream_join extras
+    "operators.sqlsurface",
+    "operators.tpch_more",
+    "operators.timeseries",
+    "operators.extras",
+    "operators.reshape",
+    "functions.strings",     # fn_url
     "operators.projections",
     "pipeline.text",
     "pipeline.training",
     "pipeline.multimodal",
-    "pipeline.e2e",
     "pipeline.dedup",
     "pipeline.similarity",
-    "streaming.ops",
-    "operators.extras",
-    "operators.reshape",
     "operators.etl",
 ]
 
@@ -94,7 +132,8 @@ def _sweep_rank(name: str) -> tuple:
     mod = fn.__module__.removeprefix("data_transform_spark.")
     fam = _FAMILY_ORDER.index(mod) if mod in _FAMILY_ORDER else len(_FAMILY_ORDER)
     ins = list(QUERIES).index(name)
-    return (name in _GREEN_R1, fam, ins)
+    pri = _SWEEP_RANK.get(name, len(_SWEEP_PRIORITY))
+    return (name in _GREEN_OFFICIAL, pri, fam, ins)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
