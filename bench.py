@@ -1,15 +1,20 @@
 """Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
-"queries": {...}, "sf": ...}. Protocol (BASELINE.md): per query one warm-up
-at sf0.001 has already warmed the JVM; here each query runs once timed from
-action start to completion of a driver-side count/collect.
+"queries": {...}, "sf": ...}. Protocol (BASELINE.md "Benchmark environment":
+per query 1 warm-up run, then median of 3): a warm-up pass at the smoke SF
+warms the JVM, then each query is timed three times at the bench SF and the
+median is recorded. Median-of-3 matters on this host: /proc/stat shows
+~4% steady CPU-steal with multi-second bursts, so any single sample can be
+inflated 2-10× by co-tenant load (the round-3 dedup_near_minhash "32.8s"
+was exactly such a burst).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -67,9 +72,20 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for n in names:
-        t0 = time.time()
+        # Per-query warm-up AT the bench SF (BASELINE.md protocol: "1
+        # warm-up run, then median of 3"): the smoke-SF pass above is too
+        # small to drive HotSpot to steady state on the heavy interpreted /
+        # generated paths, and the first sf0.1 executions can land in a C2
+        # recompilation storm that inflates wall time 3-15x (the round-3
+        # dedup_near_minhash regression). One full-size warm-up rep absorbs
+        # that, so the medians measure the engine, not JIT transients.
         qs[n](spark, sf_dir).count()
-        timings[n] = round(time.time() - t0, 3)
+        reps = []
+        for _ in range(3):
+            t0 = time.time()
+            qs[n](spark, sf_dir).count()
+            reps.append(time.time() - t0)
+        timings[n] = round(statistics.median(reps), 3)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

