@@ -14,6 +14,8 @@ while a MICROS column already scans as timestamp_ntz and passes through.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, TimestampNTZType
@@ -54,6 +56,11 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The NTZ->TIMESTAMP cast in normalize_event_ts is value-preserving only
+    # under a UTC session; configure_session tolerates conf.set failures, so
+    # re-assert here rather than silently shifting event timestamps on a
+    # non-UTC driver session (round-3 ADVICE).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return normalize_event_ts(spark.read.parquet(path_of(sf_dir, "events")))
 
 
@@ -80,12 +87,48 @@ def spread(df, min_parts: int | None = None):
     materialization per call (round-2 VERDICT: suspect #1 for the dedup
     bench regression). Row placement does not affect results: every
     consumer aggregates by key.
+
+    Split estimate: file COUNT alone misjudges both extremes (a few huge
+    files split into many partitions via maxPartitionBytes; thousands of
+    tiny files coalesce into few) — so for local files the estimate is
+    Spark's own packing formula, ceil((bytes + n*openCost) / maxPartition
+    Bytes), and falls back to the file count on remote filesystems
+    (round-3 ADVICE).
     """
-    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
     try:
-        n_files = len(df.inputFiles())
+        files = df.inputFiles()
     except Exception:
         return df
-    if n_files >= target:
+    est_splits = len(files)
+    local = [f[len("file:"):] for f in files if f.startswith("file:")]
+    if files and len(local) == len(files):
+        try:
+            total = sum(os.path.getsize(p) for p in local)
+            mpb = _bytes_conf(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+            open_cost = _bytes_conf(spark, "spark.sql.files.openCostInBytes", 4 << 20)
+            est_splits = -(-(total + len(files) * open_cost) // mpb)
+        except OSError:
+            pass
+    if est_splits >= target:
         return df
     return df.repartition(target)
+
+
+def _bytes_conf(spark: SparkSession, key: str, default: int) -> int:
+    """Parse a Spark byte-size conf ('134217728b', '128MB', plain int)."""
+    try:
+        raw = spark.conf.get(key).strip().lower()
+    except Exception:
+        return default
+    for suf, mult in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("b", 1)):
+        if raw.endswith(suf):
+            raw = raw[: -len(suf)]
+            break
+    else:
+        mult = 1
+    try:
+        return int(raw) * mult
+    except ValueError:
+        return default

@@ -102,7 +102,7 @@ def tpch_q6(spark, sf_dir):
     oracle="""
     SELECT doc_id, lang
     FROM documents
-    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10 = 0
+    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0
     """,
 )
 def sample_hash(spark, sf_dir):
@@ -110,10 +110,12 @@ def sample_hash(spark, sf_dir):
 
     Unlike df.sample(), this is reproducible across engines, runs, partitions
     and cluster sizes — the property training-data splits actually need.
+    The 32-bit md5 prefix keeps the %10 folding bias at ~2e-9 (a 16-bit
+    prefix skews buckets by ~0.01%).
     """
     d = load_table(spark, sf_dir, "documents")
     bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
         % 10
     )
     return d.filter(bucket == 0).select("doc_id", "lang")

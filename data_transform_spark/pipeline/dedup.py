@@ -347,7 +347,12 @@ def dedup_near_minhash(spark, sf_dir):
     )
 
 
-MAX_CC_ROUNDS = 25  # label propagation bound: covers component diameter 2^25
+# One-hop min-label propagation moves a label at most one edge per round,
+# so MAX_CC_ROUNDS rounds cover component DIAMETER <= 25 (linear, NOT 2^25 —
+# doubling needs pointer-jumping, which is what dedup_survivors_star does).
+# Near-dup clusters are shallow in practice; deeper graphs raise and should
+# use the star variant.
+MAX_CC_ROUNDS = 25
 
 
 @register(

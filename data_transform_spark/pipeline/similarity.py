@@ -168,7 +168,9 @@ PAIR_BLOCKS = 8  # block-matrix tiles for the exact threshold join
 @register(
     "sim_pairs_threshold",
     oracle=f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+               WHERE {_SQL_DOT.format(a="CAST(embedding AS DOUBLE[])",
+                                      b="CAST(embedding AS DOUBLE[])")} > 0)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round({_sql_cos("a.emb", "b.emb")}, 6) AS score
     FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -195,14 +197,21 @@ def sim_pairs_threshold(spark, sf_dir):
 
 def tiled_cosine_pairs(spark, sf_dir, tau: float):
     """Exact (id_a, id_b, score) cosine pairs >= tau via the tiled block join
-    described in sim_pairs_threshold (shared by dedup_embed_cosine)."""
+    described in sim_pairs_threshold (shared by dedup_embed_cosine).
+
+    Zero-norm embeddings are excluded up front: their cosine is 0/0, which
+    numpy silently drops (NaN >= tau is False) while DuckDB's NaN compares
+    greater-than-everything and would KEEP the pair — a latent cross-engine
+    hash mismatch (round-3 ADVICE). The oracle SQL carries the same norm>0
+    guard, so both engines implement the same contract: vectors without a
+    defined direction never pair."""
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("emb"),
         (F.col("vec_id") % PAIR_BLOCKS).cast("int").alias("blk"),
-    )
+    ).filter(_dot(F.col("emb"), F.col("emb")) > 0)
     tile_pairs = spark.createDataFrame(
         [(i, j) for i in range(PAIR_BLOCKS) for j in range(PAIR_BLOCKS) if i <= j],
         "bi int, bj int",
@@ -592,9 +601,14 @@ EMBED_DUP_TAU = 0.4  # cosine threshold for embedding-level near-dup clusters
     WITH RECURSIVE e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
                          FROM embeddings),
     p AS (
+        -- norm>0 guards mirror the Spark-side zero-norm exclusion in
+        -- tiled_cosine_pairs (NaN-vs-dropped cross-engine divergence);
+        -- zero-norm vectors still appear in `reach` as their own cluster.
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE {_sql_cos("a.emb", "b.emb")} >= {EMBED_DUP_TAU}
+        WHERE {_SQL_DOT.format(a="a.emb", b="a.emb")} > 0
+          AND {_SQL_DOT.format(a="b.emb", b="b.emb")} > 0
+          AND {_sql_cos("a.emb", "b.emb")} >= {EMBED_DUP_TAU}
     ),
     edges AS (
         SELECT id_a AS a, id_b AS b FROM p

@@ -21,6 +21,11 @@ def main() -> None:
     ap.add_argument("keys", nargs="+")
     ap.add_argument("-n", type=int, default=3)
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument(
+        "--warm-sf",
+        default="/root/testdata/sf0.001",
+        help="warm-up SF dir; skipped if missing or equal to --sf",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as em
@@ -28,9 +33,11 @@ def main() -> None:
 
     spark = get_spark("profile")
     qs = em.queries()
+    warm = os.path.isdir(args.warm_sf) and os.path.abspath(args.warm_sf) != os.path.abspath(args.sf)
     for key in args.keys:
         # codegen warm-up at the smoke SF (same protocol as bench.py)
-        qs[key](spark, "/root/testdata/sf0.001").count()
+        if warm:
+            qs[key](spark, args.warm_sf).count()
         reps = []
         for _ in range(args.n):
             t0 = time.time()
