@@ -46,12 +46,42 @@ def _wrap(fn: Callable) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
-# Keys with a green (rows+schema+hash) row in ANY of CORRECTNESS_r01-r03.
-# The driver's sweep stops after the first 50 keys in queries() order, so
-# keys WITHOUT an official row yet are listed first and the already-verified
-# ones come last — a capped sweep then spends its budget where it adds
-# coverage (round-3 VERDICT "Next round" #1).
-_GREEN_OFFICIAL = {
+# Keys with a green (rows+schema+hash) row in ANY committed CORRECTNESS
+# round. The driver's sweep stops after the first 50 keys in queries()
+# order, so keys WITHOUT an official row yet are listed first and the
+# already-verified ones come last — a capped sweep then spends its budget
+# where it adds coverage (round-3 VERDICT "Next round" #1).
+#
+# The set is read from the CORRECTNESS_r*.json files the driver commits
+# into the repo root, so it maintains itself round over round (round 3
+# wasted its entire sweep budget on a hand-maintained set that had gone
+# stale). _GREEN_FALLBACK pins the r1-r3 union in case the files are
+# missing in some future checkout.
+
+
+def _official_green() -> set[str]:
+    import glob
+    import json
+
+    green: set[str] = set()
+    for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for key, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                green.add(key)
+    return green or set(_GREEN_FALLBACK)
+
+
+_GREEN_FALLBACK = {
     "agg_approx_distinct", "agg_bool", "agg_collect", "agg_count_distinct",
     "agg_countif", "agg_cube", "agg_global", "agg_groupby",
     "agg_grouping_sets", "agg_having", "agg_minmax_by", "agg_percentile",
@@ -125,6 +155,9 @@ _FAMILY_ORDER = [
     "pipeline.similarity",
     "operators.etl",
 ]
+
+
+_GREEN_OFFICIAL = _official_green()
 
 
 def _sweep_rank(name: str) -> tuple:
