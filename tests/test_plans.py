@@ -162,3 +162,57 @@ def test_ngram_jaccard_uses_prefix_index(spark, sf_dir):
         .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(0.95) * F.col("n")) + 1)
     )
     assert prefix.count() < 0.2 * full, "prefix index is not materially smaller"
+
+
+def test_projection_filters_push_to_scan(spark, sf_dir):
+    """Every §2.B comparison predicate must reach the parquet reader —
+    at 100 TB an unpushed filter reads the whole table."""
+    p = plan_of(spark, "filter_compare", sf_dir)
+    pushed = [line for line in p.splitlines() if "PushedFilters" in line][0]
+    for token in (
+        "GreaterThan(l_quantity,30.0)",
+        "LessThan(l_extendedprice,50000.0)",
+        "GreaterThanOrEqual(l_discount,0.02)",
+    ):
+        assert token in pushed, f"{token} not pushed:\n{pushed}"
+
+
+def test_minhash_pipeline_is_jvm_equi_join_shape(spark, sf_dir):
+    """MinHash LSH must stay linear and JVM-side: band buckets join on
+    equality (no cartesian / nested loop over documents) and no stage
+    drops into per-row Python."""
+    p = plan_of(spark, "dedup_near_minhash", sf_dir)
+    for bad in (
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "FlatMapGroupsInPandas",
+    ):
+        assert bad not in p, f"{bad} in minhash plan:\n{p}"
+
+
+def test_claimed_jvm_side_text_ops_have_no_python_nodes(spark, sf_dir):
+    """Keys documented as pure-JVM (no UDF in the hot path) must not plan
+    any Python evaluation operator."""
+    for key in (
+        "embed_normalize",
+        "text_fingerprint",
+        "text_tokenize",
+        "text_stats",
+        "text_pii_redact",
+    ):
+        p = plan_of(spark, key, sf_dir)
+        for bad in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+                    "MapInPandas"):
+            assert bad not in p, f"{bad} in {key} plan"
+
+
+def test_exact_dedup_single_shuffle(spark, sf_dir):
+    """Exact dedup is one hash shuffle on the content key + a window —
+    adding a second exchange would double the 100 TB shuffle volume."""
+    import re
+
+    p = plan_of(spark, "dedup_exact", sf_dir)
+    n = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
+    assert n == 1, f"dedup_exact should shuffle once, saw {n}:\n{p}"
