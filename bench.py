@@ -64,6 +64,12 @@ def main() -> None:
     qs = em.queries()
     names = [n for n in HEADLINE + OPTIONAL if n in qs]
 
+    # Wall budget for the OPTIONAL warm-up reps only (timed reps always
+    # run): host contention windows make every rep slow, and spending extra
+    # warm reps then risks blowing the driver's overall bench timeout for
+    # marginal benefit.
+    warm_deadline = time.time() + int(os.environ.get("BENCH_WARM_BUDGET_SEC", "300"))
+
     # JVM + whole-stage-codegen warm-up: run every query once at the smoke SF
     # so sf0.1 timings measure execution, not one-time Janino compilation
     # (the generated-code cache is keyed on source text, which is identical)
@@ -77,9 +83,20 @@ def main() -> None:
         # small to drive HotSpot to steady state on the heavy interpreted /
         # generated paths, and the first sf0.1 executions can land in a C2
         # recompilation storm that inflates wall time 3-15x (the round-3
-        # dedup_near_minhash regression). One full-size warm-up rep absorbs
-        # that, so the medians measure the engine, not JIT transients.
-        qs[n](spark, sf_dir).count()
+        # dedup_near_minhash regression). Warm until two consecutive reps
+        # agree within 30% (max 4) so the timed medians measure the engine,
+        # not JIT transients — storms last ~1-2 min and the extra warm reps
+        # naturally ride them out.
+        prev = None
+        for _ in range(4):
+            t0 = time.time()
+            qs[n](spark, sf_dir).count()
+            w = time.time() - t0
+            if prev is not None and abs(w - prev) <= 0.3 * prev:
+                break
+            if time.time() > warm_deadline:
+                break
+            prev = w
         reps = []
         for _ in range(3):
             t0 = time.time()
