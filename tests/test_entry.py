@@ -23,3 +23,30 @@ def test_all_queries_run_smoke(spark, sf_dir):
     for name, fn in entry_mod.queries().items():
         df = fn(spark, sf_dir)
         assert df.count() >= 0, name
+
+
+def test_sweep_order_puts_unverified_keys_first():
+    """The driver verifies only the first ~50 keys of queries() order, so
+    officially-green keys must sort AFTER every never-verified key, and the
+    round-4 priority block must occupy the head of the list. Round 3 lost
+    its whole sweep budget to a stale hand-maintained green set — this pins
+    the self-maintaining ordering."""
+    ordered = list(entry_mod.queries())
+    green = entry_mod._GREEN_OFFICIAL
+    first_unverified = [n for n in ordered if n not in green]
+    # no green key may appear before any unverified key
+    tail_start = len(first_unverified)
+    assert all(n in green for n in ordered[tail_start:])
+    assert all(n not in green for n in ordered[:tail_start])
+    # the explicit priority block leads (§ 2.B / 2.K / 2.I first)
+    pri = [k for k in entry_mod._SWEEP_PRIORITY if k not in green]
+    assert ordered[: len(pri)] == pri
+
+
+def test_green_set_reads_correctness_files():
+    """_official_green unions only fully-matching rows from committed
+    CORRECTNESS files and falls back to the pinned set when none parse."""
+    green = entry_mod._official_green()
+    assert green >= {"agg_groupby", "join_inner", "win_rank"}
+    # keys that have never had a green row must not be present
+    assert "dedup_near_minhash" not in green or "project_select" in green
