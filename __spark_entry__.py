@@ -63,21 +63,24 @@ def _official_green() -> set[str]:
     import glob
     import json
 
-    green: set[str] = set()
-    for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
+    # Latest round wins per key: a key whose most recent official row went
+    # RED must fall back into the unverified block so the next capped sweep
+    # re-checks it, even if an older round had it green.
+    latest: dict[str, bool] = {}
+    for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
         for key, row in rows.items():
-            if (
-                isinstance(row, dict)
-                and row.get("rows_match")
-                and row.get("schema_match")
-                and row.get("hash_match")
-            ):
-                green.add(key)
+            if isinstance(row, dict):
+                latest[key] = bool(
+                    row.get("rows_match")
+                    and row.get("schema_match")
+                    and row.get("hash_match")
+                )
+    green = {key for key, ok in latest.items() if ok}
     return green or set(_GREEN_FALLBACK)
 
 
