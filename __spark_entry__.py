@@ -65,9 +65,19 @@ def _official_green() -> set[str]:
 
     # Latest round wins per key: a key whose most recent official row went
     # RED must fall back into the unverified block so the next capped sweep
-    # re-checks it, even if an older round had it green.
-    latest: dict[str, bool] = {}
-    for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
+    # re-checks it, even if an older round had it green. Order by the
+    # NUMERIC round (lexicographic puts r10 before r4 and would let an old
+    # round overwrite a newer verdict).
+    import re
+
+    def _round_no(path: str) -> int:
+        m = re.search(r"_r(\d+)", os.path.basename(path))
+        return int(m.group(1)) if m else -1
+
+    latest: dict[str, tuple[int, bool]] = {}
+    for path in sorted(
+        glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")), key=_round_no
+    ):
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -75,13 +85,32 @@ def _official_green() -> set[str]:
             continue
         for key, row in rows.items():
             if isinstance(row, dict):
-                latest[key] = bool(
-                    row.get("rows_match")
-                    and row.get("schema_match")
-                    and row.get("hash_match")
+                latest[key] = (
+                    _round_no(path),
+                    bool(
+                        row.get("rows_match")
+                        and row.get("schema_match")
+                        and row.get("hash_match")
+                    ),
                 )
-    green = {key for key, ok in latest.items() if ok}
+    # A green verdict only counts if it post-dates the last output-changing
+    # rewrite of that key — otherwise the row describes code that no longer
+    # exists and the key must re-enter the sweep.
+    green = {
+        key
+        for key, (rnd, ok) in latest.items()
+        if ok and rnd >= _CHANGED_IN_ROUND.get(key, -1)
+    }
     return green or set(_GREEN_FALLBACK)
+
+
+# Keys whose RESULT SET changed in a given round after they already had a
+# green official row. Their stale verdict is ignored until the driver
+# re-verifies them in that round or later (at which point the entry here is
+# inert and can be dropped).
+_CHANGED_IN_ROUND = {
+    "sample_hash": 4,  # round 4: 16->32-bit md5 bucket prefix resamples
+}
 
 
 _GREEN_FALLBACK = {

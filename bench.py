@@ -64,17 +64,21 @@ def main() -> None:
     qs = em.queries()
     names = [n for n in HEADLINE + OPTIONAL if n in qs]
 
-    # Wall budget for the OPTIONAL warm-up reps only (timed reps always
-    # run): host contention windows make every rep slow, and spending extra
-    # warm reps then risks blowing the driver's overall bench timeout for
-    # marginal benefit.
-    warm_deadline = time.time() + int(os.environ.get("BENCH_WARM_BUDGET_SEC", "300"))
-
     # JVM + whole-stage-codegen warm-up: run every query once at the smoke SF
     # so sf0.1 timings measure execution, not one-time Janino compilation
     # (the generated-code cache is keyed on source text, which is identical)
     for n in names:
         qs[n](spark, "/root/testdata/sf0.001").count()
+
+    # Wall budgets, clocked AFTER the smoke pass so a slow smoke phase
+    # cannot eat them: past warm_deadline, queries get one warm-up rep
+    # instead of converging; past hard_deadline, remaining queries drop to
+    # a single timed rep. Host contention windows make every rep slow, and
+    # overshooting the driver's overall bench timeout would record NO
+    # benchmark at all — strictly worse than a noisier sample.
+    now = time.time()
+    warm_deadline = now + int(os.environ.get("BENCH_WARM_BUDGET_SEC", "240"))
+    hard_deadline = now + int(os.environ.get("BENCH_TOTAL_BUDGET_SEC", "420"))
 
     timings: dict[str, float] = {}
     for n in names:
@@ -102,6 +106,8 @@ def main() -> None:
             t0 = time.time()
             qs[n](spark, sf_dir).count()
             reps.append(time.time() - t0)
+            if time.time() > hard_deadline:
+                break
         timings[n] = round(statistics.median(reps), 3)
 
     total = round(sum(timings.values()), 3)

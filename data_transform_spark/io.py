@@ -117,12 +117,21 @@ def spread(df, min_parts: int | None = None):
 
 
 def _bytes_conf(spark: SparkSession, key: str, default: int) -> int:
-    """Parse a Spark byte-size conf ('134217728b', '128MB', plain int)."""
+    """Parse a Spark byte-size conf ('134217728b', '128MB', '512m', plain int).
+
+    Accepts the full JavaUtils.byteStringAsBytes suffix set — two-letter
+    (kb/mb/gb/tb/pb) and single-letter (k/m/g/t/p) forms — since Spark does;
+    an unparseable value falls back to ``default``."""
     try:
         raw = spark.conf.get(key).strip().lower()
     except Exception:
         return default
-    for suf, mult in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("b", 1)):
+    suffixes = (
+        ("pb", 1 << 50), ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20),
+        ("kb", 1 << 10), ("p", 1 << 50), ("t", 1 << 40), ("g", 1 << 30),
+        ("m", 1 << 20), ("k", 1 << 10), ("b", 1),
+    )
+    for suf, mult in suffixes:
         if raw.endswith(suf):
             raw = raw[: -len(suf)]
             break

@@ -44,9 +44,26 @@ def test_sweep_order_puts_unverified_keys_first():
 
 
 def test_green_set_reads_correctness_files():
-    """_official_green unions only fully-matching rows from committed
-    CORRECTNESS files and falls back to the pinned set when none parse."""
+    """_official_green takes the latest fully-matching row per key from the
+    committed CORRECTNESS files."""
     green = entry_mod._official_green()
     assert green >= {"agg_groupby", "join_inner", "win_rank"}
-    # keys that have never had a green row must not be present
-    assert "dedup_near_minhash" not in green or "project_select" in green
+    # keys with no green row in any committed round must not be present
+    for never_green in ("project_select", "dedup_near_minhash", "stream_tumbling"):
+        assert never_green not in green, never_green
+    # a key rewritten after its last green row is forced back into the sweep
+    assert "sample_hash" not in green
+
+
+def test_green_set_orders_rounds_numerically(tmp_path, monkeypatch):
+    """CORRECTNESS_r10 must override r4 (lexicographic sort would invert)."""
+    import json
+
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True}
+    bad = {"rows_match": True, "schema_match": True, "hash_match": False}
+    (tmp_path / "CORRECTNESS_r4.json").write_text(json.dumps({"k": ok}))
+    (tmp_path / "CORRECTNESS_r10.json").write_text(json.dumps({"k": bad}))
+    monkeypatch.setattr(entry_mod, "_REPO_ROOT", str(tmp_path))
+    assert "k" not in entry_mod._official_green()
+    (tmp_path / "CORRECTNESS_r10.json").write_text(json.dumps({"k": ok}))
+    assert "k" in entry_mod._official_green()

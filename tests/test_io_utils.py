@@ -18,6 +18,14 @@ class TestBytesConf:
         assert _bytes_conf(spark, "spark.test.bytesconf", 0) == 4 << 20
         spark.conf.set("spark.test.bytesconf", "1024")
         assert _bytes_conf(spark, "spark.test.bytesconf", 0) == 1024
+        # Spark's single-letter JavaUtils forms must parse too — '512m'
+        # silently falling back to 128MB would skew the spread() estimate 4x
+        spark.conf.set("spark.test.bytesconf", "512m")
+        assert _bytes_conf(spark, "spark.test.bytesconf", 0) == 512 << 20
+        spark.conf.set("spark.test.bytesconf", "1g")
+        assert _bytes_conf(spark, "spark.test.bytesconf", 0) == 1 << 30
+        spark.conf.set("spark.test.bytesconf", "2tb")
+        assert _bytes_conf(spark, "spark.test.bytesconf", 0) == 2 << 40
 
     def test_missing_key_falls_back(self, spark):
         assert _bytes_conf(spark, "spark.test.definitely.absent", 77) == 77
