@@ -96,12 +96,18 @@ def _official_green() -> set[str]:
     # A green verdict only counts if it post-dates the last output-changing
     # rewrite of that key — otherwise the row describes code that no longer
     # exists and the key must re-enter the sweep.
-    green = {
+    # Fall back to the pinned r1-r3 union ONLY when no correctness rows were
+    # read at all (missing/corrupt files in some future checkout). If rows
+    # exist but every one is red, the honest answer is the empty set — the
+    # capped sweep must then re-check everything, not skip ~90 red keys as
+    # "verified" (round-4 ADVICE).
+    if not latest:
+        return set(_GREEN_FALLBACK)
+    return {
         key
         for key, (rnd, ok) in latest.items()
         if ok and rnd >= _CHANGED_IN_ROUND.get(key, -1)
     }
-    return green or set(_GREEN_FALLBACK)
 
 
 # Keys whose RESULT SET changed in a given round after they already had a

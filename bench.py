@@ -93,6 +93,11 @@ def main() -> None:
         # naturally ride them out.
         prev = None
         for _ in range(4):
+            # Past the HARD deadline, skip warm-up entirely (before the first
+            # rep, not just between reps) — overshooting the driver's bench
+            # timeout records NO benchmark at all.
+            if time.time() > hard_deadline:
+                break
             t0 = time.time()
             qs[n](spark, sf_dir).count()
             w = time.time() - t0

@@ -138,6 +138,9 @@ def _bytes_conf(spark: SparkSession, key: str, default: int) -> int:
     else:
         mult = 1
     try:
-        return int(raw) * mult
+        val = int(raw) * mult
     except ValueError:
         return default
+    # A conf of '0' (or negative) would divide-by-zero in spread()'s packing
+    # formula; treat it as unparseable like Spark rejects it at session init.
+    return val if val > 0 else default

@@ -90,22 +90,37 @@ def transform_scd2(spark, sf_dir):
     """,
 )
 def dq_checks(spark, sf_dir):
-    """Data-quality audit in one pass: nulls, domain violations, referential
-    orphans (anti-join vs orders), and primary-key uniqueness."""
+    """Data-quality audit as ONE action: nulls, domain violations, referential
+    orphans (anti-join vs orders), and primary-key uniqueness. The orphan
+    count rides in-plan as a broadcast 1-row aggregate cross-join rather than
+    an eager driver-side .count() — the audit really is a single job."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    orphans = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey, "left_anti").count()
-    return li.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count_if(F.col("l_quantity").isNull()).alias("null_qty"),
-        F.count_if((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias(
-            "qty_out_of_domain"
-        ),
-        F.count_if((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).alias(
-            "disc_out_of_domain"
-        ),
-        F.lit(orphans).cast("long").alias("orphan_lines"),
-        F.countDistinct(
-            F.concat(F.col("l_orderkey"), F.lit("#"), F.col("l_linenumber"))
-        ).alias("distinct_pk"),
+    orphans = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_lines"))
+    )
+    return (
+        li.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_if(F.col("l_quantity").isNull()).alias("null_qty"),
+            F.count_if((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias(
+                "qty_out_of_domain"
+            ),
+            F.count_if((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).alias(
+                "disc_out_of_domain"
+            ),
+            F.countDistinct(
+                F.concat(F.col("l_orderkey"), F.lit("#"), F.col("l_linenumber"))
+            ).alias("distinct_pk"),
+        )
+        .crossJoin(F.broadcast(orphans))
+        .select(
+            "n_rows",
+            "null_qty",
+            "qty_out_of_domain",
+            "disc_out_of_domain",
+            "orphan_lines",
+            "distinct_pk",
+        )
     )

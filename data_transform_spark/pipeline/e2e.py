@@ -72,19 +72,25 @@ def pipeline_e2e(spark, sf_dir):
         F.col("lang").isin("en", "de", "es") & n_tok.between(20, 200) & (ttr >= 0.2)
     )
 
-    # 3. TF-IDF over the gated corpus
-    n_docs = gated.count()
+    # 3. TF-IDF over the gated corpus. n_docs stays IN-PLAN as a broadcast
+    # 1-row aggregate (exactly the oracle's CROSS JOIN n): a driver-side
+    # .count() here would run the dedup window + gates twice — at 100 TB
+    # that is one extra full pass over the corpus for a single scalar.
+    n = gated.agg(F.count(F.lit(1)).alias("n_docs"))
     tok = gated.select("doc_id", F.explode(toks).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_len"))
     dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     tfidf = F.round(
         (F.col("cnt") * 1.0 / F.col("doc_len"))
-        * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0),
+        * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
         6,
     )
-    scored = tf.join(dl, "doc_id").join(F.broadcast(dfreq), "token").select(
-        "doc_id", "token", tfidf.alias("tfidf")
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "token", tfidf.alias("tfidf"))
     )
 
     # 4. top term per doc (deterministic tie-break on token)

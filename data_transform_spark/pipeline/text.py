@@ -158,17 +158,21 @@ def text_tfidf(spark, sf_dir):
     DF fits in memory whenever the vocabulary does (word-level: always).
     """
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()  # tiny scalar; at scale use a broadcast count
+    # n_docs rides in-plan as a broadcast 1-row aggregate (the oracle's
+    # CROSS JOIN n) — the whole TF-IDF is then a single job with no eager
+    # driver-side count at plan-build time.
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_len"))
     df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     tfidf = (F.col("cnt") * 1.0 / F.col("doc_len")) * (
-        F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0
+        F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
     )
     return (
         tf.join(dl, "doc_id")
         .join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
         .select("doc_id", "token", F.round(tfidf, 6).alias("tfidf"))
     )
 

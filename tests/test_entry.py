@@ -43,16 +43,69 @@ def test_sweep_order_puts_unverified_keys_first():
     assert ordered[: len(pri)] == pri
 
 
-def test_green_set_reads_correctness_files():
+def test_green_set_reads_correctness_files(tmp_path, monkeypatch):
     """_official_green takes the latest fully-matching row per key from the
-    committed CORRECTNESS files."""
+    CORRECTNESS files. Asserted against synthetic files in tmp_path — the
+    live repo files change every driver round, so pinning live state here
+    made the test go red the moment a sweep verified a pinned key (r4)."""
+    import json
+
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True}
+    bad = {"rows_match": True, "schema_match": False, "hash_match": True}
+    (tmp_path / "CORRECTNESS_r1.json").write_text(
+        json.dumps({"join_inner": ok, "rewritten_key": ok, "red_key": bad})
+    )
+    (tmp_path / "CORRECTNESS_r2.json").write_text(json.dumps({"win_rank": ok}))
+    monkeypatch.setattr(entry_mod, "_REPO_ROOT", str(tmp_path))
+    monkeypatch.setattr(entry_mod, "_CHANGED_IN_ROUND", {"rewritten_key": 2})
     green = entry_mod._official_green()
-    assert green >= {"agg_groupby", "join_inner", "win_rank"}
-    # keys with no green row in any committed round must not be present
-    for never_green in ("project_select", "dedup_near_minhash", "stream_tumbling"):
-        assert never_green not in green, never_green
-    # a key rewritten after its last green row is forced back into the sweep
-    assert "sample_hash" not in green
+    assert green >= {"join_inner", "win_rank"}
+    # a key with no green row in any round must not be present
+    assert "red_key" not in green
+    assert "never_swept_key" not in green
+    # a key rewritten AFTER its last green row is forced back into the sweep
+    assert "rewritten_key" not in green
+
+
+def test_green_keys_source_unchanged():
+    """Staleness guard (round-4 VERDICT #5): a key with an official green
+    CORRECTNESS row must not have its registered source/oracle silently
+    rewritten. Discipline on ANY edit to a registered function: regenerate
+    the manifest (`python tools/gen_manifest.py`) once local parity passes;
+    if the edit CHANGES the output, ALSO add the key to _CHANGED_IN_ROUND
+    so the driver re-verifies it. Doing neither is the silent-stale-green
+    failure mode sample_hash hit in round 4."""
+    import json
+    import os
+
+    from data_transform_spark.registry import ORACLES, QUERIES
+    from tools.gen_manifest import MANIFEST, key_hash
+
+    with open(MANIFEST) as fh:
+        manifest = json.load(fh)
+    # every registered key must be in the committed manifest
+    assert set(manifest) == set(QUERIES), set(QUERIES) ^ set(manifest)
+
+    # round number of the newest committed CORRECTNESS file = "now"
+    rounds = [
+        int(m.group(1))
+        for p in os.listdir(entry_mod._REPO_ROOT)
+        if (m := __import__("re").search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    latest_round = max(rounds, default=0)
+
+    stale = [
+        key
+        for key in entry_mod._official_green()
+        if key in manifest
+        and key_hash(QUERIES[key], ORACLES.get(key)) != manifest[key]
+        and entry_mod._CHANGED_IN_ROUND.get(key, -1) <= latest_round
+    ]
+    assert not stale, (
+        f"green keys with rewritten source: {stale} — run `python "
+        "tools/gen_manifest.py` after local parity passes (and ALSO add "
+        "the key to _CHANGED_IN_ROUND if the output changed)"
+    )
 
 
 def test_green_set_orders_rounds_numerically(tmp_path, monkeypatch):

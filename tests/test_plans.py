@@ -208,6 +208,35 @@ def test_claimed_jvm_side_text_ops_have_no_python_nodes(spark, sf_dir):
             assert bad not in p, f"{bad} in {key} plan"
 
 
+def test_plan_build_runs_no_jobs(spark, sf_dir):
+    """Keys audited for eager driver-side actions (round-4 VERDICT #2-3)
+    must build their plan WITHOUT running any Spark job: the n_docs /
+    orphan-count scalars ride in-plan as broadcast 1-row aggregates. At
+    100 TB an eager .count() at plan-build time is an extra full pass."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    for key in ("pipeline_e2e", "dq_checks", "text_tfidf"):
+        group = f"plan-build-{key}"
+        sc.setJobGroup(group, "plan-build eager-job guard")
+        try:
+            QUERIES[key](spark, sf_dir)  # build only — no action
+        finally:
+            sc.setJobGroup("", "")
+        # Spark runs a 1-task "parquet at ..." footer job per read call for
+        # schema inference — metadata-only, tolerated. Anything else (a
+        # count/collect stage, a shuffle) is an eager driver-side action.
+        for jid in tracker.getJobIdsForGroup(group):
+            info = tracker.getJobInfo(jid)
+            for sid in info.stageIds:
+                si = tracker.getStageInfo(sid)
+                if si is None:
+                    continue
+                assert si.name.startswith("parquet at") and si.numTasks == 1, (
+                    f"{key} ran eager job {jid} stage '{si.name}' "
+                    f"({si.numTasks} tasks) at plan-build time"
+                )
+
+
 def test_exact_dedup_single_shuffle(spark, sf_dir):
     """Exact dedup is one hash shuffle on the content key + a window —
     adding a second exchange would double the 100 TB shuffle volume."""
