@@ -13,5 +13,6 @@ from data_transform_spark.operators import (  # noqa: F401
     sqlsurface,
     timeseries,
     tpch_more,
+    tpch_rest,
     windows,
 )

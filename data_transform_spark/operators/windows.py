@@ -196,3 +196,52 @@ def win_topk_group(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice")
     )
+
+
+@register(
+    "win_ntile",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
+    FROM orders
+    """,
+)
+def win_ntile(spark, sf_dir):
+    """ntile(4) price quartiles per priority class — equal-height bucketing.
+
+    Total order (price, key) makes bucket assignment deterministic; one
+    shuffle on the partition key, identical to every other window here."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "win_percent_rank",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def win_percent_rank(spark, sf_dir):
+    """percent_rank + cume_dist per priority class.
+
+    Both are small-integer ratios ((rank-1)/(n-1), rank/n) — exact in
+    IEEE double in both engines; rounded to 6 for the value hash anyway."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

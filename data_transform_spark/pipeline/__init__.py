@@ -2,6 +2,7 @@
 text analysis, multimodal columns. Importing registers all keys."""
 
 from data_transform_spark.pipeline import (  # noqa: F401
+    curation,
     dedup,
     e2e,
     multimodal,

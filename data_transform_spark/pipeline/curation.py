@@ -1,0 +1,177 @@
+"""Corpus-curation operators a training-data pipeline runs before packing:
+benchmark decontamination, importance-weighted sampling, domain mixing, and
+RAG chunking.
+
+All four are pure Column/JVM plans (no Python in the hot path) with exact
+DuckDB twins. Sampling keys are content-stable md5 buckets (the sample_hash
+idiom) so every decision is reproducible across engines, runs, partitions
+and cluster sizes — the property training-data curation actually needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_transform_spark.io import load_table
+from data_transform_spark.registry import register
+
+NGRAM_N = 8  # decontamination n-gram width (tokens)
+CHUNK_SIZE = 50  # rag chunk width (tokens)
+CHUNK_STRIDE = 40  # rag chunk stride (tokens) -> 10-token overlap
+
+
+def _u01(key_col, salt: str):
+    """Deterministic uniform(0,1) from a content hash — identical in both
+    engines: 32-bit md5 prefix / 2^32."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(key_col.cast("string"), F.lit(salt))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+
+
+_U01_SQL = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '{salt}'), 1, 8)) "
+    "AS BIGINT) / 4294967296.0"
+)
+
+
+@register(
+    "decontaminate_ngram",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+        SELECT doc_id, array_to_string(t[s : s + {NGRAM_N - 1}], ' ') AS g
+        FROM tok, unnest(generate_series(1, greatest(len(t) - {NGRAM_N - 1}, 0))) AS u(s)
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+    SELECT doc_id, count(DISTINCT g) AS n_contaminated_grams
+    FROM grams JOIN bench USING (g)
+    WHERE doc_id % 97 <> 0
+    GROUP BY doc_id
+    """,
+)
+def decontaminate_ngram(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing any 8-token
+    n-gram with the eval/benchmark set (here: doc_id % 97 == 0 stands in
+    for the benchmark corpus).
+
+    The THE training-data hygiene op: eval contamination silently inflates
+    benchmark scores. Shape: both sides stream n-grams straight out of the
+    scan (sliding window via sequence+slice, pure Column ops), the
+    benchmark gram set — tiny relative to the corpus — is deduped and
+    broadcast, and contaminated docs aggregate matched-gram counts. At
+    100 TB the corpus side stays a single scan + one aggregate shuffle;
+    only benchmark grams are ever collected into a broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(t) >= NGRAM_N,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - (NGRAM_N - 1)),
+                    lambda s: F.array_join(F.slice(t, s, NGRAM_N), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_contaminated_grams"))
+    )
+
+
+@register(
+    "sample_weighted",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE {_U01_SQL.format(salt=':w')} < LEAST(n_chars / 1000.0, 1.0)
+    """,
+)
+def sample_weighted(spark, sf_dir):
+    """Importance-weighted Bernoulli sampling: keep probability proportional
+    to a per-row weight (here length-based, least(n_chars/1000, 1)).
+
+    The curation primitive behind quality-weighted corpus construction:
+    up-weight long/high-quality docs without a global sort or a second
+    pass. Decision = content-stable u(0,1) < weight — shuffle-free, scan
+    plus filter, reproducible at any cluster size."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.least(F.col("n_chars") / 1000.0, F.lit(1.0))
+    return d.filter(_u01(F.col("doc_id"), ":w") < rate).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@register(
+    "mix_domains",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE {_U01_SQL.format(salt=':mix')}
+          < CASE WHEN CAST(substring(source, 4) AS INTEGER) < 10
+                 THEN 0.8 ELSE 0.2 END
+    """,
+)
+def mix_domains(spark, sf_dir):
+    """Domain mixing: re-weight the corpus toward a target source
+    distribution by per-domain Bernoulli rates (src0-src9 at 0.8,
+    src10-src19 at 0.2).
+
+    The pipeline op behind 'X% web, Y% code, Z% books' training mixes.
+    Same content-stable u(0,1) decision as sample_weighted with a distinct
+    salt, so mixing composes independently with other sampling stages.
+    Zero shuffles — rates fold into the scan filter."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.when(
+        F.substring("source", 4, 10).cast("int") < 10, F.lit(0.8)
+    ).otherwise(F.lit(0.2))
+    return d.filter(_u01(F.col("doc_id"), ":mix") < rate).select("doc_id", "source")
+
+
+@register(
+    "rag_chunk",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    SELECT doc_id,
+           CAST((s - 1) / {CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+           array_to_string(t[s : s + {CHUNK_SIZE - 1}], ' ') AS chunk_text,
+           CAST(len(t[s : s + {CHUNK_SIZE - 1}]) AS INTEGER) AS n_tokens
+    FROM tok, unnest(generate_series(1, len(t), {CHUNK_STRIDE})) AS u(s)
+    """,
+)
+def rag_chunk(spark, sf_dir):
+    """Overlapping-window chunking (50-token chunks, stride 40) for
+    retrieval/embedding pipelines.
+
+    One row per (doc, chunk) with a stable chunk_id; trailing partial
+    chunks kept (their n_tokens says so). Pure sequence+slice Column ops —
+    the explode multiplies rows ~len/stride but never leaves the JVM, and
+    chunking composes with shard_assign for deterministic chunk-level
+    output layout."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    starts = F.sequence(F.lit(1), F.size(t), F.lit(CHUNK_STRIDE))
+    chunks = d.select(
+        "doc_id",
+        t.alias("t"),
+        F.explode(starts).alias("s"),
+    )
+    piece = F.slice(F.col("t"), F.col("s"), CHUNK_SIZE)
+    return chunks.select(
+        "doc_id",
+        ((F.col("s") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("n_tokens"),
+    )

@@ -237,6 +237,30 @@ def test_plan_build_runs_no_jobs(spark, sf_dir):
                 )
 
 
+def test_decontaminate_broadcasts_bench_grams(spark, sf_dir):
+    """The benchmark gram set must broadcast onto the corpus gram stream —
+    a shuffle join here would re-shuffle the full exploded corpus at 100 TB."""
+    p = plan_of(spark, "decontaminate_ngram", sf_dir)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p, f"bench-gram join fell back to SMJ:\n{p}"
+
+
+def test_rag_chunk_is_shuffle_free(spark, sf_dir):
+    """Chunking is a pure per-row explode — any Exchange is a regression."""
+    import re
+
+    p = plan_of(spark, "rag_chunk", sf_dir)
+    n = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
+    assert n == 0, f"rag_chunk should not shuffle, saw {n}:\n{p}"
+
+
+def test_new_tpch_star_dims_broadcast(spark, sf_dir):
+    """q7/q8/q9 star dims (nation/supplier/part/region) must broadcast."""
+    for key, at_least in (("tpch_q7", 3), ("tpch_q8", 4), ("tpch_q9", 3)):
+        p = plan_of(spark, key, sf_dir)
+        assert p.count("BroadcastHashJoin") >= at_least, f"{key} dims not broadcast"
+
+
 def test_exact_dedup_single_shuffle(spark, sf_dir):
     """Exact dedup is one hash shuffle on the content key + a window —
     adding a second exchange would double the 100 TB shuffle volume."""
