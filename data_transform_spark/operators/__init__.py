@@ -3,6 +3,7 @@
 from data_transform_spark.operators import (  # noqa: F401
     aggregates,
     etl,
+    events,
     extras,
     joins,
     projections,

@@ -124,3 +124,37 @@ def dq_checks(spark, sf_dir):
             "distinct_pk",
         )
     )
+
+
+@register(
+    "cdc_latest_wins",
+    oracle="""
+    SELECT user_id, event_type AS last_op, ROUND(value, 6) AS last_value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+      AND event_type <> 'error'
+    """,
+)
+def cdc_latest_wins(spark, sf_dir):
+    """CDC compaction: latest-wins per key by (ts, sequence), rows whose
+    final operation is a delete ('error' stands in for the delete op)
+    dropped — the change-stream → current-snapshot materialization every
+    lakehouse MERGE pipeline runs.
+
+    One shuffle on the key; at 100 TB this is the standard pre-MERGE
+    dedup of a CDC feed (e.g. Debezium topic compaction) and the window
+    shape makes it order-stable under any partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_op"),
+            F.round("value", 6).alias("last_value"),
+        )
+    )

@@ -1,0 +1,108 @@
+"""Event-stream analytics composites — funnel and cohort retention.
+
+The two canonical product-analytics shapes over an events table. Both are
+one-or-two-shuffle plans keyed on user_id; at 100 TB the events scan
+partitions by time and the per-user aggregates are map-side-partial
+hash aggregations (no windows over raw events needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_transform_spark.io import load_table
+from data_transform_spark.registry import register
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup'   THEN ts END) AS t_signup,
+               min(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           count(t_signup) AS signed_up,
+           count(CASE WHEN t_view > t_signup THEN 1 END) AS viewed_after_signup,
+           count(CASE WHEN t_click > t_view AND t_view > t_signup THEN 1 END)
+               AS clicked_in_order,
+           count(CASE WHEN t_purchase > t_click AND t_click > t_view
+                       AND t_view > t_signup THEN 1 END) AS completed_funnel
+    FROM s
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Ordered funnel: signup → first view → first click → first purchase,
+    each stage strictly after the previous one's first occurrence.
+
+    One shuffle: the conditional-min aggregate per user collapses the raw
+    events; the funnel conditions are then row-local on the tiny per-user
+    frame. Never a self-join per stage (the naive shape, k shuffles)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(etype):
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    in_order2 = F.col("t_view") > F.col("t_signup")
+    in_order3 = (F.col("t_click") > F.col("t_view")) & in_order2
+    in_order4 = (F.col("t_purchase") > F.col("t_click")) & in_order3
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_signup").alias("signed_up"),
+        F.count(F.when(in_order2, 1)).alias("viewed_after_signup"),
+        F.count(F.when(in_order3, 1)).alias("clicked_in_order"),
+        F.count(F.when(in_order4, 1)).alias("completed_funnel"),
+    )
+
+
+@register(
+    "events_retention",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    a AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+        FROM events
+    )
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, active_week) / 7 AS INTEGER) AS week_n,
+           count(*) AS active_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY cohort_week, week_n
+    """,
+)
+def events_retention(spark, sf_dir):
+    """Weekly cohort retention: users grouped by first-seen week, counted in
+    each subsequent active week (week_n = weeks since cohort).
+
+    Two aggregates on the same user_id key — AQE reuses the exchange — then
+    a broadcast of the per-user cohort map onto the distinct activity rows.
+    The classic triangle retention matrix, fully deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    week_n = (
+        F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+    ).cast("int")
+    return (
+        active.join(cohort, "user_id")
+        .groupBy("cohort_week", week_n.alias("week_n"))
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )

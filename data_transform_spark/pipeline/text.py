@@ -255,3 +255,66 @@ def text_pii_redact(spark, sf_dir):
         F.size(F.regexp_extract_all(synth, F.lit(email_re), 0)).cast("long").alias("n_emails"),
         F.size(F.regexp_extract_all(no_email, F.lit(num_re), 0)).cast("long").alias("n_numbers"),
     )
+
+
+_LANG_PROFILES = {
+    # tiny stopword profiles; tie-break = this declaration order
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu"],
+    "es": ["el", "la", "de", "y", "es", "un", "en"],
+}
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+            len(list_intersect(list_distinct(string_split(text, ' ')),
+                {list(_LANG_PROFILES["en"])})) AS s_en,
+            len(list_intersect(list_distinct(string_split(text, ' ')),
+                {list(_LANG_PROFILES["de"])})) AS s_de,
+            len(list_intersect(list_distinct(string_split(text, ' ')),
+                {list(_LANG_PROFILES["es"])})) AS s_es
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_es THEN 'de'
+                ELSE 'es' END AS pred_lang,
+           CAST(greatest(s_en, s_de, s_es) AS INTEGER) AS hits
+    FROM scored
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    """Language identification by stopword-profile hits (n-gram-heuristic
+    family): score each doc against per-language marker-token sets, argmax
+    with a fixed tie-break order.
+
+    Real-world profiles carry a few hundred character n-grams per language;
+    the mechanism (per-profile membership count via array_intersect, pure
+    Column ops, zero shuffles) is identical and the fixture corpus is
+    synthetic anyway — the oracle checks the scoring machinery, not
+    linguistics. pred_lang is emitted alongside the labeled lang so
+    downstream gates can compare."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split("text", " "))
+    scores = {
+        code: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        )
+        for code, words in _LANG_PROFILES.items()
+    }
+    pred = (
+        F.when(
+            (scores["en"] >= scores["de"]) & (scores["en"] >= scores["es"]), "en"
+        )
+        .when(scores["de"] >= scores["es"], "de")
+        .otherwise("es")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        F.greatest(*scores.values()).alias("hits"),
+    )

@@ -223,3 +223,33 @@ def embed_quantize(spark, sf_dir):
             F.array_max(qv).alias("q_max"),
         )
     )
+
+
+@register(
+    "vocab_build",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
+    SELECT token, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INTEGER) - 1 AS token_id
+    FROM c
+    QUALIFY row_number() OVER (ORDER BY cnt DESC, token) <= 1000
+    """,
+)
+def vocab_build(spark, sf_dir):
+    """Frequency-ranked tokenizer vocabulary: top-1000 tokens with stable
+    contiguous ids (rank by count desc, token asc — fully deterministic).
+
+    The corpus-wide token count is the only big shuffle; the global
+    row_number runs AFTER aggregation on the tiny distinct-token table
+    (vocab size, not corpus size), so the single-partition window is cheap
+    by construction at any corpus scale."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), "token")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 1000)
+        .select("token", "cnt", (F.col("rn") - 1).cast("int").alias("token_id"))
+    )
