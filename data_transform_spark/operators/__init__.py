@@ -5,6 +5,7 @@ from data_transform_spark.operators import (  # noqa: F401
     etl,
     events,
     extras,
+    graph,
     joins,
     projections,
     reshape,

@@ -413,3 +413,38 @@ def agg_sketch_merge(spark, sf_dir):
             <= 0.02 * F.col("exact_users")
         ).alias("merged_within_2pct"),
     )
+
+
+@register(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6)))
+                      AS DOUBLE)
+                 / CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE),
+                 6) AS wavg_price,
+           ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS plain_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_avg(spark, sf_dir):
+    """Quantity-weighted average price per flag (plain avg alongside for
+    contrast) — the weighted-mean primitive behind blended rates/prices.
+
+    Both numerator and denominator are DECIMAL(18,6) partial sums, so the
+    final double division is partition-order independent; one map-side
+    partial + one shuffle, same as any groupBy aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    num = F.sum(dec(F.col("l_extendedprice") * F.col("l_quantity"))).cast("double")
+    den = F.sum(dec(F.col("l_quantity"))).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.round(num / den, 6).alias("wavg_price"),
+        F.round(
+            F.sum(dec(F.col("l_extendedprice"))).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("plain_avg_price"),
+    )

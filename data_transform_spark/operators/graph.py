@@ -1,0 +1,180 @@
+"""Graph analytics over a corpus-derived directed graph.
+
+The graph: nation-level trade edges (customer nation → supplier nation,
+weighted by lineitem count) built from the star schema. Nodes = all 25
+nations, so every derived quantity has an exact SQL twin.
+
+PageRank is THE iterative-DataFrame pattern: each iteration is one
+shuffle join of the rank vector against the edge list. Numeric rule for
+cross-engine determinism: per-edge contributions are rounded to 12 dp in
+DOUBLE (bit-identical in both engines) and cast to DECIMAL(28,12) — an
+EXACT representation — before the partition-order-dependent SUM; the
+damping update then runs on the exact sum cast back to double. At scale
+(billions of edges) the same loop runs with the rank DataFrame
+localCheckpoint-ed every few iterations to cut lineage growth, edges
+pre-partitioned by src so every iteration reuses one exchange, and
+dangling-node mass handled by an extra 1-row aggregate — the fixture
+keeps the standard leak simplification for oracle parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_transform_spark.io import load_table
+from data_transform_spark.registry import register
+
+PR_ITERS = 3
+PR_DAMP = 0.85
+PR_N = 25  # all nations
+
+_EDGES_SQL = """
+        SELECT n1.n_name AS src, n2.n_name AS dst, count(*) AS w
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        GROUP BY n1.n_name, n2.n_name
+"""
+
+
+def _edges(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("src")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("dst")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+@register(
+    "graph_degrees",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL})
+    SELECT n_name AS node,
+           (SELECT count(*) FROM edges WHERE src = n_name) AS out_degree,
+           (SELECT count(*) FROM edges WHERE dst = n_name) AS in_degree,
+           (SELECT COALESCE(CAST(sum(w) AS BIGINT), 0) FROM edges WHERE src = n_name)
+               AS out_weight,
+           (SELECT COALESCE(CAST(sum(w) AS BIGINT), 0) FROM edges WHERE dst = n_name)
+               AS in_weight
+    FROM nation
+    """,
+)
+def graph_degrees(spark, sf_dir):
+    """In/out degree and weighted degree per node of the nation trade graph
+    (isolated nations included with zeros).
+
+    One pass over the edge list per direction, outer-joined onto the node
+    table — the profile query before any graph algorithm runs."""
+    e = _edges(spark, sf_dir)
+    nodes = load_table(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("node")
+    )
+    outs = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_degree"), F.sum("w").alias("out_weight")
+    )
+    ins = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_degree"), F.sum("w").alias("in_weight")
+    )
+    return (
+        nodes.join(outs, "node", "left")
+        .join(ins, "node", "left")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            F.coalesce("out_weight", F.lit(0)).alias("out_weight"),
+            F.coalesce("in_weight", F.lit(0)).alias("in_weight"),
+        )
+    )
+
+
+def _pr_iter_sql(k: int) -> str:
+    """One unrolled PageRank iteration as SQL (rank r{k} -> r{k+1}).
+
+    Multiplication order (rank * share, with share precomputed as w/out_w)
+    mirrors the Spark plan exactly — IEEE doubles are not associative, so
+    both engines must evaluate the same expression tree."""
+    return f"""
+    r{k + 1} AS (
+        SELECT n.node,
+               {(1 - PR_DAMP) / PR_N} + {PR_DAMP} * CAST(COALESCE((
+                   SELECT sum(CAST(round(r.rank * s.share, 12)
+                                   AS DECIMAL(28,12)))
+                   FROM shares s
+                   JOIN r{k} r ON r.node = s.src
+                   WHERE s.dst = n.node), 0) AS DOUBLE) AS rank
+        FROM nodes n
+    )"""
+
+
+@register(
+    "graph_pagerank",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    nodes AS (SELECT n_name AS node FROM nation),
+    out_w AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY src),
+    shares AS (SELECT e.src, e.dst, e.w / ow.out_w AS share
+               FROM edges e JOIN out_w ow ON ow.src = e.src),
+    r0 AS (SELECT node, {1.0 / PR_N} AS rank FROM nodes),
+    {",".join(_pr_iter_sql(k) for k in range(PR_ITERS))}
+    SELECT node, ROUND(rank, 9) AS rank
+    FROM r{PR_ITERS}
+    """,
+)
+def graph_pagerank(spark, sf_dir):
+    """Weighted PageRank, {PR_ITERS} unrolled iterations, damping 0.85.
+
+    Iterative plan building the Spark way: the rank DataFrame is re-joined
+    against the (reused) edge list each iteration — no driver-side loops
+    over DATA, only over the fixed iteration count. Contributions go
+    through round(·,12) + exact DECIMAL(28,12) partials so the per-node
+    sums are identical in any partition order and across engines."""
+    e = _edges(spark, sf_dir)
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    edges = e.join(out_w, "src").select(
+        "src", "dst", (F.col("w") / F.col("out_w")).alias("share")
+    )
+    # edges feed every iteration: checkpoint once so the 5-table build runs
+    # a single time (and, at scale, to cut lineage growth per iteration).
+    edges = edges.localCheckpoint(eager=False)
+    nodes = load_table(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("node")
+    )
+    rank = nodes.select("node", F.lit(1.0 / PR_N).alias("rank"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(rank, edges.src == rank.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("rank") * F.col("share"), 12)
+                .cast("decimal(28,12)")
+                .alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("mass"))
+        )
+        rank = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit((1 - PR_DAMP) / PR_N)
+                + PR_DAMP * F.coalesce(F.col("mass").cast("double"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return rank.select("node", F.round("rank", 9).alias("rank"))
