@@ -277,3 +277,87 @@ class TestMultimodal:
 
         assert fake_decode_image(b"abc") == fake_decode_image(b"abc")
         assert fake_decode_image(b"abc") != fake_decode_image(b"abd")
+
+
+class TestCuration:
+    def test_rag_chunks_reconstruct_documents(self, spark, sf_dir):
+        """Stride-40 chunks of width 50 overlap by 10: dropping each chunk's
+        overlap tail and concatenating must reproduce the original token
+        stream exactly (lossless coverage — the property that matters for
+        retrieval indexing)."""
+        from pyspark.sql import functions as F
+
+        from data_transform_spark.io import load_table
+        from data_transform_spark.pipeline.curation import CHUNK_STRIDE
+        from data_transform_spark.registry import QUERIES
+
+        chunks = QUERIES["rag_chunk"](spark, sf_dir)
+        # Exact coverage check: each chunk's first CHUNK_STRIDE tokens are
+        # its non-overlap contribution; summed per doc they must equal the
+        # doc's token count exactly (no token lost, none double-counted).
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+        )
+        per_doc = chunks.groupBy("doc_id").agg(
+            F.sum(
+                F.least(F.size(F.split("chunk_text", " ")), F.lit(CHUNK_STRIDE))
+            ).alias("covered")
+        )
+        bad = (
+            d.join(per_doc, "doc_id")
+            .filter(F.col("covered") != F.col("n_tok"))
+            .count()
+        )
+        assert bad == 0
+
+    def test_decontaminate_never_flags_benchmark_docs(self, spark, sf_dir):
+        from data_transform_spark.registry import QUERIES
+
+        out = QUERIES["decontaminate_ngram"](spark, sf_dir)
+        assert out.filter("doc_id % 97 = 0").count() == 0
+
+    def test_mix_and_weighted_sampling_are_independent(self, spark, sf_dir):
+        """Distinct salts: the two samples must not be correlated (their
+        intersection rate ~ product of rates, not min of rates)."""
+        from data_transform_spark.registry import QUERIES
+
+        w = set(r.doc_id for r in QUERIES["sample_weighted"](spark, sf_dir).collect())
+        m = set(r.doc_id for r in QUERIES["mix_domains"](spark, sf_dir).collect())
+        n = QUERIES["text_token_count"](spark, sf_dir).count()
+        both = len(w & m) / n
+        expected = (len(w) / n) * (len(m) / n)
+        assert abs(both - expected) < 0.1
+
+
+class TestEventsGraph:
+    def test_cdc_one_row_per_user_no_deletes(self, spark, sf_dir):
+        from data_transform_spark.registry import QUERIES
+
+        out = QUERIES["cdc_latest_wins"](spark, sf_dir)
+        assert out.groupBy("user_id").count().filter("count > 1").count() == 0
+        assert out.filter("last_op = 'error'").count() == 0
+
+    def test_funnel_counts_monotone(self, spark, sf_dir):
+        from data_transform_spark.registry import QUERIES
+
+        row = QUERIES["events_funnel"](spark, sf_dir).collect()[0]
+        assert (
+            row.n_users
+            >= row.signed_up
+            >= row.viewed_after_signup
+            >= row.clicked_in_order
+            >= row.completed_funnel
+            >= 0
+        )
+
+    def test_pagerank_sums_below_one_and_positive(self, spark, sf_dir):
+        """Rank mass is ≤ 1 (dangling leak) and ≥ the teleport floor."""
+        from data_transform_spark.operators.graph import PR_DAMP, PR_N
+        from data_transform_spark.registry import QUERIES
+
+        rows = QUERIES["graph_pagerank"](spark, sf_dir).collect()
+        assert len(rows) == PR_N
+        total = sum(r.rank for r in rows)
+        assert 0 < total <= 1.0 + 1e-6
+        floor = (1 - PR_DAMP) / PR_N
+        assert all(r.rank >= floor - 1e-9 for r in rows)
