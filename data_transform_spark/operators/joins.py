@@ -346,3 +346,74 @@ def join_interval(spark, sf_dir):
         F.col("b.event_id").alias("next_id"),
         F.col("b.event_type").alias("next_type"),
     )
+
+
+RANGE_BUCKET_W = 10.0  # coarse bucket width for the range-join expansion
+
+
+@register(
+    "join_range_bucketed",
+    oracle="""
+    WITH bands AS (
+        SELECT p_brand,
+               min(p_retailprice) AS lo,
+               min(p_retailprice) + 0.2 * (max(p_retailprice) - min(p_retailprice)) AS hi
+        FROM part GROUP BY p_brand
+    ),
+    items AS (
+        SELECT l_orderkey, l_linenumber, l_extendedprice / l_quantity AS unit
+        FROM lineitem WHERE l_returnflag = 'R'
+    )
+    SELECT b.p_brand, count(*) AS n_lines,
+           ROUND(min(i.unit), 4) AS min_unit, ROUND(max(i.unit), 4) AS max_unit
+    FROM items i JOIN bands b ON i.unit >= b.lo AND i.unit <= b.hi
+    GROUP BY b.p_brand
+    """,
+)
+def join_range_bucketed(spark, sf_dir):
+    """PURE range join (no equality key): unit prices against per-brand
+    price bands — executed as a BUCKETIZED equi-join, the scale shape.
+
+    Naively this is a BroadcastNestedLoopJoin (every row against every
+    band — quadratic). Instead each band explodes to the coarse buckets it
+    overlaps (width 10, a few per band), each item computes its single
+    bucket, and the join becomes bucket-equality + residual range filter —
+    shuffle-hash-joinable, linear in rows × avg-bands-per-bucket. The
+    DuckDB twin runs the plain range join (its IEJoin), so the hash check
+    proves the bucketing is lossless. At 100 TB pick W so a bucket's band
+    list stays small; same trick underlies interval/IP-range/geo-band
+    joins."""
+    p = load_table(spark, sf_dir, "part")
+    bands = p.groupBy("p_brand").agg(
+        F.min("p_retailprice").alias("lo"),
+        (
+            F.min("p_retailprice")
+            + 0.2 * (F.max("p_retailprice") - F.min("p_retailprice"))
+        ).alias("hi"),
+    )
+    w = F.lit(RANGE_BUCKET_W)
+    bands_b = bands.select(
+        "p_brand",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / w).cast("long"),
+                F.floor(F.col("hi") / w).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    items = li.select(
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit")
+    ).withColumn("bucket", F.floor(F.col("unit") / w).cast("long"))
+    return (
+        items.join(F.broadcast(bands_b), "bucket")
+        .filter((F.col("unit") >= F.col("lo")) & (F.col("unit") <= F.col("hi")))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.min("unit"), 4).alias("min_unit"),
+            F.round(F.max("unit"), 4).alias("max_unit"),
+        )
+    )

@@ -135,3 +135,73 @@ def scan_jsonl(spark, sf_dir):
         with open(stamp_file, "w") as f:
             f.write(stamp)
     return spark.read.schema(docs.schema).json(out_dir)
+
+
+PYDS_N = 4096
+PYDS_PARTS = 8
+PYDS_MOD = 9973
+
+
+class _DetNumbersReader:
+    """Reader for the deterministic Python data source (split lazily to
+    avoid importing pyspark.sql.datasource at module import)."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", PYDS_N))
+
+    def partitions(self):
+        from pyspark.sql.datasource import InputPartition
+
+        return [InputPartition(i) for i in range(PYDS_PARTS)]
+
+    def read(self, partition):
+        i = partition.value
+        for k in range(i, self.n, PYDS_PARTS):
+            yield (k, (k * k) % PYDS_MOD)
+
+
+def _det_numbers_source():
+    from pyspark.sql.datasource import DataSource, DataSourceReader
+
+    class DetNumbersSource(DataSource):
+        """Custom PYTHON DATA SOURCE (Spark 4 pyspark.sql.datasource API):
+        a deterministic numbers table produced by 8 independent reader
+        partitions — the connector surface for systems with no built-in
+        reader (internal services, custom formats)."""
+
+        @classmethod
+        def name(cls):
+            return "det_numbers"
+
+        def schema(self):
+            return "id long, v long"
+
+        def reader(self, schema):
+            r = _DetNumbersReader(self.options)
+
+            class _R(DataSourceReader):
+                partitions = staticmethod(r.partitions)
+                read = staticmethod(r.read)
+
+            return _R()
+
+    return DetNumbersSource
+
+
+@register(
+    "scan_python_datasource",
+    oracle=f"""
+    SELECT k AS id, (k * k) % {PYDS_MOD} AS v
+    FROM generate_series(0, {PYDS_N - 1}) t(k)
+    """,
+)
+def scan_python_datasource(spark, sf_dir):
+    """Read through a registered Spark 4 Python Data Source: each of the 8
+    InputPartitions yields its residue class of [0, 4096) with a derived
+    column, Arrow-batched into the scan like any file source.
+
+    Demonstrates the extension point for sources Spark lacks natively; at
+    scale partitions() returns one split per shard/chunk of the external
+    system and reads stream per-partition with no driver involvement."""
+    spark.dataSource.register(_det_numbers_source())
+    return spark.read.format("det_numbers").option("n", str(PYDS_N)).load()

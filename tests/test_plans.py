@@ -261,6 +261,16 @@ def test_new_tpch_star_dims_broadcast(spark, sf_dir):
         assert p.count("BroadcastHashJoin") >= at_least, f"{key} dims not broadcast"
 
 
+def test_range_join_is_bucketized_not_nested_loop(spark, sf_dir):
+    """The pure range join must run as bucket-equality + residual filter —
+    a BroadcastNestedLoopJoin here is the quadratic shape it exists to
+    avoid."""
+    p = plan_of(spark, "join_range_bucketed", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in p, f"nested loop in range join:\n{p}"
+    assert "CartesianProduct" not in p
+    assert "Join" in p  # the bucket equi-join is a real join
+
+
 def test_exact_dedup_single_shuffle(spark, sf_dir):
     """Exact dedup is one hash shuffle on the content key + a window —
     adding a second exchange would double the 100 TB shuffle volume."""
