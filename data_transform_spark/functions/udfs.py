@@ -176,3 +176,74 @@ def udf_sql_registered(spark, sf_dir):
         FROM orders_for_udf WHERE o_orderstatus = 'P'
         """
     )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount), 4) AS net,
+           l_quantity > 25 AS bulk
+    FROM lineitem
+    """,
+)
+def udf_map_in_arrow(spark, sf_dir):
+    """mapInArrow: per-partition transform on raw pyarrow RecordBatches —
+    the zero-copy tier below mapInPandas (no pandas conversion at all).
+
+    The right API when the Python work is itself Arrow-native (pyarrow
+    compute, Arrow-backed ML featurizers): batches flow JVM -> Python ->
+    JVM without a pandas materialization. Same batch shape/partitioning
+    contract as mapInPandas."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_quantity"
+    )
+
+    def transform(batches):
+        for batch in batches:
+            net = pc.round(
+                pc.multiply(
+                    batch.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+                ),
+                ndigits=4,
+            )
+            bulk = pc.greater(batch.column("l_quantity"), pa.scalar(25.0))
+            # mapInArrow does NOT auto-cast: the scan delivers l_linenumber
+            # as int32, the declared schema says long — cast explicitly or
+            # the JVM reader throws on the type mismatch.
+            linenum = pc.cast(batch.column("l_linenumber"), pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("l_orderkey"), linenum, net, bulk],
+                names=["l_orderkey", "l_linenumber", "net", "bulk"],
+            )
+
+    return li.mapInArrow(
+        transform, "l_orderkey long, l_linenumber long, net double, bulk boolean"
+    )
+
+
+@register(
+    "udf_arrow_scalar",
+    oracle="""
+    SELECT o_orderkey, length(o_orderpriority) * 100 + o_orderkey % 100 AS tag
+    FROM orders
+    """,
+)
+def udf_arrow_scalar(spark, sf_dir):
+    """Arrow-optimized Python UDF (useArrow=True): row-signature Python code
+    with Arrow-batched transfer — the drop-in accelerator for legacy
+    row-at-a-time UDFs that can't be rewritten as pandas_udf.
+
+    Sits between udf_scalar (pickled rows, the documented slow path) and
+    udf_pandas_scalar (vectorized) in the §2.J ladder."""
+    tag = F.udf(
+        lambda prio, key: len(prio) * 100 + key % 100, "long", useArrow=True
+    )
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", tag(F.col("o_orderpriority"), F.col("o_orderkey")).alias("tag")
+    )
