@@ -14,6 +14,7 @@ from data_transform_spark.operators import (  # noqa: F401
     sorts,
     sqlsurface,
     timeseries,
+    tpch_full,
     tpch_more,
     tpch_rest,
     windows,

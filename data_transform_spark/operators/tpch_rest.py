@@ -1,11 +1,10 @@
-"""Remaining expressible TPC-H-shaped queries — q7, q8, q9, q13, q15, q17, q22.
+"""TPC-H-shaped queries q7, q8, q9, q13, q15, q17, q22.
 
-With these the engine covers 17 of the 22 TPC-H shapes. The other five
-(q2, q11, q16, q20, q21) are inexpressible on this fixture: q2/q11/q16/q20
-require the `partsupp` table (absent) and q21 requires commit/receipt dates
-on lineitem (absent). Where the fixture lacks a predicate column, the
-official filter is swapped for an available one with the SAME plan shape —
-each docstring states the swap.
+The remaining five (q2, q11, q16, q20, q21) live in tpch_full.py, which
+derives the absent `partsupp` relation from lineitem identically in both
+engines — together the suite covers all 22 TPC-H shapes. Where the fixture
+lacks a predicate column, the official filter is swapped for an available
+one with the SAME plan shape — each docstring states the swap.
 
 Money arithmetic follows §5.3.1 (tpch_more.py): per-row double math cast to
 DECIMAL(18,6) before any partition-order-dependent SUM, back to double,
