@@ -417,3 +417,37 @@ def join_range_bucketed(spark, sf_dir):
             F.round(F.max("unit"), 4).alias("max_unit"),
         )
     )
+
+
+@register(
+    "join_nullsafe",
+    oracle="""
+    SELECT l.k, n_name, n_cust
+    FROM (SELECT nullif(c_nationkey, 3) AS k, count(*) AS n_cust
+          FROM customer GROUP BY 1) l
+    JOIN (SELECT nullif(n_nationkey, 3) AS k, n_name FROM nation) r
+      ON l.k IS NOT DISTINCT FROM r.k
+    ORDER BY n_name
+    """,
+)
+def join_nullsafe(spark, sf_dir):
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping, here pairing the NULLed-out
+    nation 3 on both sides.
+
+    Spark plans `<=>` as an ordinary equi hash join (NULL hashes to a
+    normal bucket under null-safe semantics), so the scale story is
+    identical to join_inner — no fallback to nested-loop."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    left = c.groupBy(
+        F.nullif(F.col("c_nationkey"), F.lit(3)).alias("k")
+    ).agg(F.count(F.lit(1)).alias("n_cust"))
+    right = n.select(
+        F.nullif(F.col("n_nationkey"), F.lit(3)).alias("rk"), "n_name"
+    )
+    return (
+        left.join(F.broadcast(right), left.k.eqNullSafe(F.col("rk")))
+        .select("k", "n_name", "n_cust")
+        .orderBy("n_name")
+    )

@@ -210,3 +210,37 @@ def join_lateral(spark, sf_dir):
         ORDER BY c.c_custkey, t.o_orderkey
         """
     )
+
+
+@register(
+    "sql_qualify",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey)
+                AS BIGINT) AS rn
+    FROM orders
+    QUALIFY rn <= 2
+    ORDER BY o_custkey, rn
+    """,
+)
+def sql_qualify(spark, sf_dir):
+    """QUALIFY surface: top-2 orders per customer by price. Spark SQL has no
+    QUALIFY clause, so the engine rewrites it to the standard subquery +
+    WHERE-on-window form (the exact rewrite QUALIFY sugar denotes); the
+    oracle keeps DuckDB's native QUALIFY to prove equivalence. Same plan as
+    win_topk_group: one shuffle on the partition key, rank filter pushed
+    into the window operator."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(row_number() OVER (PARTITION BY o_custkey
+                                           ORDER BY o_totalprice DESC, o_orderkey)
+                        AS BIGINT) AS rn
+            FROM orders
+        ) WHERE rn <= 2
+        ORDER BY o_custkey, rn
+        """
+    )

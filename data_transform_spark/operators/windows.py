@@ -245,3 +245,21 @@ def win_percent_rank(spark, sf_dir):
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "win_cume_dist",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+           cume_dist() OVER (PARTITION BY s_nationkey
+                             ORDER BY s_acctbal, s_suppkey) AS cd
+    FROM supplier
+    """,
+)
+def win_cume_dist(spark, sf_dir):
+    """cume_dist per nation over account balance (unique tiebreak key so the
+    cumulative fraction is deterministic). The ratio is position/count over
+    small exact integers — bit-identical across engines."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return s.select("s_suppkey", "s_nationkey", F.cume_dist().over(w).alias("cd"))

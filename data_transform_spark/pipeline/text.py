@@ -318,3 +318,79 @@ def text_lang_id(spark, sf_dir):
         pred.alias("pred_lang"),
         F.greatest(*scores.values()).alias("hits"),
     )
+
+
+@register(
+    "text_repetition",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(len(ts) AS BIGINT) AS n_tok,
+               CAST(len(list_distinct(ts)) AS BIGINT) AS n_uniq,
+               list_transform(range(1, len(ts)),
+                              i -> ts[i] || ' ' || ts[i + 1]) AS grams
+        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+    ),
+    cnt AS (
+        SELECT doc_id, gram, count(*) AS c
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM base)
+        GROUP BY doc_id, gram
+    ),
+    top AS (SELECT doc_id, max(c) AS max_bi FROM cnt GROUP BY doc_id)
+    SELECT b.doc_id, n_tok,
+           ROUND((n_tok - n_uniq) / n_tok, 6) AS dup_word_frac,
+           ROUND(COALESCE(CAST(2 * max_bi AS DOUBLE) / n_tok, 0), 6)
+               AS top_bigram_frac,
+           ((n_tok - n_uniq) / n_tok <= 0.3
+            AND COALESCE(CAST(2 * max_bi AS DOUBLE) / n_tok, 0) <= 0.2) AS keep
+    FROM base b LEFT JOIN top USING (doc_id)
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition gates: duplicate-word fraction and the text
+    fraction covered by the single most frequent bigram, plus the keep flag
+    (dup <= 0.3 AND top-bigram coverage <= 0.2).
+
+    Bigrams are built as an in-row array (transform over sequence — guarded
+    to empty below 2 tokens, since Spark's sequence(1, 0) DESCENDS where
+    DuckDB's range(1, 1) is empty), then exploded once; the only shuffles
+    are the two doc_id-keyed aggregates, so at 100 TB this is a scan plus
+    bounded per-doc state — same shape as text_tfidf. keep is computed from
+    the UNROUNDED fractions in both engines so the flag never disagrees
+    with the displayed values at the rounding boundary."""
+    d = load_table(spark, sf_dir, "documents")
+    base = (
+        d.select("doc_id", F.split("text", " ").alias("ts"))
+        .select(
+            "doc_id",
+            F.size("ts").cast("long").alias("n_tok"),
+            F.size(F.array_distinct("ts")).cast("long").alias("n_uniq"),
+            F.when(
+                F.size("ts") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1),"
+                    " i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"
+                ),
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("grams"),
+        )
+    )
+    top = (
+        base.select("doc_id", F.explode("grams").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_bi"))
+    )
+    dup_frac = (F.col("n_tok") - F.col("n_uniq")) / F.col("n_tok")
+    bi_frac = F.coalesce(
+        (F.col("max_bi") * 2).cast("double") / F.col("n_tok"), F.lit(0.0)
+    )
+    return base.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        F.round(dup_frac, 6).alias("dup_word_frac"),
+        F.round(bi_frac, 6).alias("top_bigram_frac"),
+        ((dup_frac <= 0.3) & (bi_frac <= 0.2)).alias("keep"),
+    )
