@@ -205,3 +205,28 @@ def scan_python_datasource(spark, sf_dir):
     system and reads stream per-partition with no driver involvement."""
     spark.dataSource.register(_det_numbers_source())
     return spark.read.format("det_numbers").option("n", str(PYDS_N)).load()
+
+
+@register("scan_csv", oracle="SELECT * FROM documents")
+def scan_csv(spark, sf_dir):
+    """CSV source over the documents corpus, RFC-4180 quoting (quote-doubled
+    escapes) on both the staged write and the read-back, with an explicit
+    schema — inference would double the scan at 100 TB exactly like the
+    JSONL case. Hash-checked against the parquet original, so header,
+    quoting, and type round-trips must be exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = path_of(sf_dir, "documents")
+    out_dir = f"{SCRATCH}/scan_csv_{os.path.basename(sf_dir.rstrip('/'))}"
+    stamp_file = f"{out_dir}_stamp"
+    st = os.stat(src)
+    stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    prev = open(stamp_file).read() if os.path.exists(stamp_file) else None
+    if prev != stamp or not os.path.isdir(out_dir):
+        docs.write.mode("overwrite").options(
+            header=True, quote='"', escape='"'
+        ).csv(out_dir)
+        with open(stamp_file, "w") as f:
+            f.write(stamp)
+    return spark.read.schema(docs.schema).options(
+        header=True, quote='"', escape='"'
+    ).csv(out_dir)
