@@ -279,3 +279,36 @@ def test_exact_dedup_single_shuffle(spark, sf_dir):
     p = plan_of(spark, "dedup_exact", sf_dir)
     n = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
     assert n == 1, f"dedup_exact should shuffle once, saw {n}:\n{p}"
+
+
+def test_tpch_full_dims_broadcast(spark, sf_dir):
+    """q2/q16/q21 dims must broadcast; no nested loop anywhere in the
+    completed TPC-H five."""
+    for key, at_least in (("tpch_q2", 3), ("tpch_q16", 2), ("tpch_q21", 2)):
+        p = plan_of(spark, key, sf_dir)
+        assert p.count("BroadcastHashJoin") >= at_least, f"{key} dims not broadcast"
+        assert "CartesianProduct" not in p, f"cartesian in {key}"
+        assert "BroadcastNestedLoopJoin" not in p, f"nested loop in {key}"
+
+
+def test_nullsafe_join_stays_hash_join(spark, sf_dir):
+    """`<=>` must plan as an ordinary (broadcast) hash join — NULL-safe
+    equality is hashable, so any nested-loop fallback is a regression."""
+    p = plan_of(spark, "join_nullsafe", sf_dir)
+    assert "BroadcastHashJoin" in p, f"nullsafe join not a hash join:\n{p}"
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_repetition_gates_stay_jvm_side(spark, sf_dir):
+    """text_repetition is documented as built-in-only (bigrams via
+    transform/explode) — no Python evaluation operator may appear."""
+    p = plan_of(spark, "text_repetition", sf_dir)
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+                "MapInPandas"):
+        assert bad not in p, f"{bad} in text_repetition plan"
+
+
+def test_reachability_frontier_has_no_cartesian(spark, sf_dir):
+    """Each frontier expansion is an equi join on src — never a cartesian."""
+    p = plan_of(spark, "graph_reachability", sf_dir)
+    assert "CartesianProduct" not in p, f"cartesian in reachability:\n{p}"
