@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from data_transform_spark.io import load_table
+from data_transform_spark.io import load_events, load_table
 from data_transform_spark.registry import register
 
 
@@ -450,4 +450,128 @@ def join_nullsafe(spark, sf_dir):
         left.join(F.broadcast(right), left.k.eqNullSafe(F.col("rk")))
         .select("k", "n_name", "n_cust")
         .orderBy("n_name")
+    )
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE l_orderkey IN
+          (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def join_bloom_prefilter(spark, sf_dir):
+    """Semi-join with a runtime bloom-filter prefilter on the fact side.
+
+    The dim keys (urgent orders) are folded into a 65 536-bit bloom filter
+    stored as a <=1024-row (word, mask) table — built with ONE tiny shuffle
+    (bit_or per 64-bit word). The fact probe is a broadcast hash join on the
+    word index plus a JVM bit test, which discards definite non-members
+    BEFORE the exact semi-join shuffles the surviving rows. False positives
+    are removed by the exact semi-join, so the result is identical to the
+    plain IN — only the shuffled volume changes. This is the manual twin of
+    Spark's runtime row-level filtering / DPP: at 100 TB the bitmap stays a
+    few KB however large the dim grows (vs an IN-set that grows linearly),
+    and the prefilter cuts the fact shuffle by the dim's selectivity.
+    """
+    m_bits = 16  # 2^16-bit filter -> at most 1024 64-bit words
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    h = F.pmod(F.xxhash64("o_orderkey"), F.lit(1 << m_bits))
+    bloom = (
+        keys.select(
+            F.shiftright(h, 6).alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64(o_orderkey), {1 << m_bits}) % 64 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("mask"))
+    )
+    lh = F.pmod(F.xxhash64("l_orderkey"), F.lit(1 << m_bits))
+    probed = (
+        li.withColumn("_w", F.shiftright(lh, 6))
+        .withColumn("_b", (lh % 64).cast("int"))
+        .join(F.broadcast(bloom), F.col("_w") == F.col("word"))
+        .filter(F.expr("(mask & shiftleft(CAST(1 AS BIGINT), _b)) != 0"))
+        .drop("_w", "_b", "word", "mask")
+    )
+    return probed.join(keys, probed.l_orderkey == keys.o_orderkey, "left_semi").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+ASOF_TOL_US = 30 * 60 * 1_000_000  # nearest-match tolerance: 30 minutes
+
+
+@register(
+    "join_asof_nearest",
+    oracle=f"""
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT c.ts FROM events c
+            WHERE c.event_type = 'click' AND c.user_id = p.user_id
+              AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= {ASOF_TOL_US}
+            ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)), c.ts
+            LIMIT 1) AS click_ts
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """Nearest-neighbor as-of join: each purchase matches the click with the
+    smallest |time delta| within a 30-minute tolerance (earlier click wins a
+    tie), NULL when no click qualifies.
+
+    Spark-first plan: union-tag the two event sets and take BOTH directional
+    candidates with two window passes over one (user_id, ts) sort — running
+    last(ignorenulls) for the backward candidate and first(ignorenulls) over
+    the following frame for the forward one — then pick the closer
+    candidate. One shuffle, no per-row point join; the oracle's correlated
+    ORDER-BY-LIMIT subquery is the O(N*M) semantics it replaces. At equal
+    ts the click sorts first (tag 0), so a same-instant click is the
+    backward candidate with delta 0, matching the oracle's tie rule.
+    """
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        F.col("ts").alias("cand_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("timestamp").alias("cand_ts"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "tag")
+    back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    tus = F.expr("unix_micros(ts)")
+    d_back = tus - F.expr("unix_micros(back_ts)")
+    d_fwd = F.expr("unix_micros(fwd_ts)") - tus
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("back_ts", F.last("cand_ts", ignorenulls=True).over(back))
+        .withColumn("fwd_ts", F.first("cand_ts", ignorenulls=True).over(fwd))
+        .filter(F.col("tag") == 1)
+        .withColumn(
+            "back_ok", F.col("back_ts").isNotNull() & (d_back <= ASOF_TOL_US)
+        )
+        .withColumn("fwd_ok", F.col("fwd_ts").isNotNull() & (d_fwd <= ASOF_TOL_US))
+        .withColumn(
+            "click_ts",
+            F.when(
+                F.col("back_ok") & (~F.col("fwd_ok") | (d_back <= d_fwd)),
+                F.col("back_ts"),
+            ).when(F.col("fwd_ok"), F.col("fwd_ts")),
+        )
+        .select("event_id", "user_id", "ts", "click_ts")
     )

@@ -130,3 +130,42 @@ def agg_regression(spark, sf_dir):
         F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
         F.regr_count("l_extendedprice", "l_quantity").alias("n"),
     )
+
+
+@register(
+    "agg_mad",
+    oracle="""
+    WITH med AS (
+        SELECT c_mktsegment, median(c_acctbal) AS med
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_mktsegment AS segment,
+           round(m.med, 4) AS med,
+           round(median(abs(c.c_acctbal - m.med)), 4) AS mad,
+           count(*) AS n
+    FROM customer c JOIN med m USING (c_mktsegment)
+    GROUP BY c.c_mktsegment, m.med
+    """,
+)
+def agg_mad(spark, sf_dir):
+    """Robust dispersion per group: median + median-absolute-deviation.
+
+    MAD is inherently two-phase (you need the median before you can rank the
+    deviations): phase 1 aggregates the per-group median, phase 2 broadcasts
+    that tiny result back onto the fact rows and takes the median of
+    |x - med|. Two shuffles on the same group key — at 100 TB the second
+    pass re-reads the fact table but shuffles only (key, deviation) pairs,
+    and the phase-1 result (one row per group) always broadcasts. Both
+    engines interpolate the even-count median identically (midpoint of the
+    two central values)."""
+    c = load_table(spark, sf_dir, "customer")
+    med = c.groupBy("c_mktsegment").agg(F.median("c_acctbal").alias("med"))
+    return (
+        c.join(F.broadcast(med), "c_mktsegment")
+        .groupBy(F.col("c_mktsegment").alias("segment"), "med")
+        .agg(
+            F.round(F.median(F.abs(F.col("c_acctbal") - F.col("med"))), 4).alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("segment", F.round("med", 4).alias("med"), "mad", "n")
+    )

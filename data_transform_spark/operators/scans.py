@@ -230,3 +230,38 @@ def scan_csv(spark, sf_dir):
     return spark.read.schema(docs.schema).options(
         header=True, quote='"', escape='"'
     ).csv(out_dir)
+
+
+@register(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT doc_id, n_chars,
+           CASE WHEN doc_id % 2 <> 0 THEN lang ELSE NULL END AS lang
+    FROM documents
+    """,
+)
+def scan_schema_evolution(spark, sf_dir):
+    """Schema-evolution scan: two parquet batches written with DIFFERENT
+    schemas (the later batch added a `lang` column) read back as ONE table
+    via ``mergeSchema`` — older files null-pad the missing column.
+
+    This is the long-lived-dataset reality at 100 TB: columns get added over
+    months of ingest and a re-write of history is off the table. Footer
+    merging is a metadata-only operation (one schema per FILE, not per row),
+    and column pruning/pushdown still work on the merged scan. mergeSchema
+    is opt-in per read because merging thousands of footers has driver-side
+    cost — at scale you pin the merged schema in a catalog instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = f"{SCRATCH}/schema_evolution"
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars").write.mode(
+        "overwrite"
+    ).parquet(f"{out}/batch=1")
+    docs.filter(F.col("doc_id") % 2 != 0).select(
+        "doc_id", "n_chars", "lang"
+    ).write.mode("overwrite").parquet(f"{out}/batch=2")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", out)
+        .parquet(f"{out}/batch=1", f"{out}/batch=2")
+        .select("doc_id", "n_chars", "lang")
+    )

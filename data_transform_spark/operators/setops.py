@@ -129,3 +129,38 @@ def dedup_subset(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("event_id", "user_id", "event_type")
     )
+
+
+@register(
+    "set_union_byname",
+    oracle="""
+    SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal,
+           CAST(NULL AS BIGINT) AS nationkey
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT s_suppkey, s_name, CAST(NULL AS DOUBLE), s_nationkey
+    FROM supplier
+    """,
+)
+def set_union_byname(spark, sf_dir):
+    """Schema-aligning union: two frames with different column ORDER and
+    non-overlapping extras combine by NAME, missing columns null-padded
+    (``unionByName(allowMissingColumns=True)``) — the schema-drift-tolerant
+    append every multi-source ingest pipeline needs. Positional UNION would
+    silently pair mismatched columns; by-name is order-proof and
+    narrow-to-wide safe. Pure record concat: zero shuffle at any scale."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"),  # extra col, different order
+        F.col("s_name").alias("name"),
+        F.col("s_suppkey").alias("id"),
+    )
+    return cust.unionByName(supp, allowMissingColumns=True)
