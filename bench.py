@@ -52,6 +52,12 @@ OPTIONAL = [
     "udf_grouped_map",
     "stream_tumbling_batch",
     "pipeline_e2e",
+    # round-5 families: curation, graph, sub-doc dedup, layout-aware joins
+    "decontaminate_ngram",
+    "graph_pagerank",
+    "text_chunk_dedup",
+    "tokenize_vocab",
+    "join_bloom_prefilter",
 ]
 
 

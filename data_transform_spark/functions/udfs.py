@@ -204,12 +204,15 @@ def udf_map_in_arrow(spark, sf_dir):
 
     def transform(batches):
         for batch in batches:
-            net = pc.round(
-                pc.multiply(
-                    batch.column("l_extendedprice"),
-                    pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
-                ),
-                ndigits=4,
+            # multiply/subtract are plain IEEE ops — bit-identical to the
+            # oracle's expression. Rounding is deliberately NOT done here:
+            # pyarrow's pc.round is half-to-even while Spark/DuckDB round
+            # half-up, so the 4-dp rounding happens JVM-side below to stay
+            # bit-identical with the oracle (driver_sim strict-compare
+            # caught the drift).
+            net = pc.multiply(
+                batch.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
             )
             bulk = pc.greater(batch.column("l_quantity"), pa.scalar(25.0))
             # mapInArrow does NOT auto-cast: the scan delivers l_linenumber
@@ -221,9 +224,10 @@ def udf_map_in_arrow(spark, sf_dir):
                 names=["l_orderkey", "l_linenumber", "net", "bulk"],
             )
 
-    return li.mapInArrow(
+    mapped = li.mapInArrow(
         transform, "l_orderkey long, l_linenumber long, net double, bulk boolean"
     )
+    return mapped.withColumn("net", F.round("net", 4))
 
 
 @register(

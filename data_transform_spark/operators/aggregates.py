@@ -448,3 +448,32 @@ def agg_weighted_avg(spark, sf_dir):
             6,
         ).alias("plain_avg_price"),
     )
+
+
+@register(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS parts,
+           count(DISTINCT l_suppkey) AS supps,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_multi_distinct(spark, sf_dir):
+    """Several COUNT(DISTINCT ...) over DIFFERENT columns in one aggregate.
+
+    Catalyst plans this with Expand: each input row is replicated once per
+    distinct-column (tagged with a grouping id), then a single two-phase
+    aggregate dedups and counts every branch — one shuffle total instead of
+    one self-join per distinct column (the naive plan). At 100 TB the
+    replication factor equals the number of distinct columns, so the
+    map-side partial dedup is what keeps the exchange bounded; beyond a few
+    columns the sketch path (approx_count_distinct) is the documented
+    fallback."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("parts"),
+        F.countDistinct("l_suppkey").alias("supps"),
+        F.count(F.lit(1)).alias("n"),
+    )

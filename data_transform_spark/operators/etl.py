@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from data_transform_spark.io import load_table
+from data_transform_spark.io import load_events, load_table
 from data_transform_spark.registry import register
 
 
@@ -156,5 +156,63 @@ def cdc_latest_wins(spark, sf_dir):
             "user_id",
             F.col("event_type").alias("last_op"),
             F.round("value", 6).alias("last_value"),
+        )
+    )
+
+
+@register(
+    "join_pit_scd2",
+    oracle="""
+    WITH dim AS (
+        SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+               lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey)
+                   AS valid_to
+        FROM orders
+    )
+    SELECT e.event_id, e.user_id, e.ts, d.o_orderkey AS version_key,
+           d.valid_from
+    FROM events e
+    JOIN dim d
+      ON e.user_id = d.o_custkey
+     AND CAST(e.ts AS DATE) >= d.valid_from
+     AND (d.valid_to IS NULL OR CAST(e.ts AS DATE) < d.valid_to)
+    """,
+)
+def join_pit_scd2(spark, sf_dir):
+    """Point-in-time join: each event is matched to the SCD2 dimension
+    version that was valid AT the event's timestamp ([valid_from,
+    valid_to) half-open, NULL valid_to = current).
+
+    The lookup-the-past shape behind every feature-store / as-was report.
+    The equality conjunct (user = custkey) drives a hash join; the validity
+    range is a residual filter on the matched pairs — never a cartesian.
+    Windows per key are non-overlapping by construction (lead() tiling),
+    so each event matches at most one version and row counts stay stable.
+    At 100 TB both sides hash-partition on the key; a skewed hot key takes
+    the salting path like any other equi-join."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dim = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    )
+    ev = load_events(spark, sf_dir)
+    edate = F.col("ts").cast("date")
+    return (
+        ev.join(
+            dim,
+            (ev.user_id == dim.o_custkey)
+            & (edate >= dim.valid_from)
+            & (dim.valid_to.isNull() | (edate < dim.valid_to)),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("o_orderkey").alias("version_key"),
+            "valid_from",
         )
     )

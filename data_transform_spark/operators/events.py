@@ -8,9 +8,10 @@ hash aggregations (no windows over raw events needed).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from data_transform_spark.io import load_table
+from data_transform_spark.io import load_events, load_table
 from data_transform_spark.registry import register
 
 
@@ -105,4 +106,79 @@ def events_retention(spark, sf_dir):
         active.join(cohort, "user_id")
         .groupBy("cohort_week", week_n.alias("week_n"))
         .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+ATTR_WINDOW_H = 24  # attribution lookback, hours
+
+
+@register(
+    "events_attribution",
+    oracle=f"""
+    WITH touches AS (
+        SELECT p.event_id AS purchase_id, p.user_id, p.value AS amount,
+               c.event_id AS click_id
+        FROM events p
+        JOIN events c
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click'
+         AND c.ts <= p.ts
+         AND c.ts > p.ts - INTERVAL {ATTR_WINDOW_H} HOUR
+        WHERE p.event_type = 'purchase'
+    )
+    SELECT click_id, count(*) AS n_purchases,
+           ROUND(CAST(sum(CAST(credit AS DECIMAL(18,8))) AS DOUBLE), 6)
+               AS attributed
+    FROM (
+        SELECT click_id, purchase_id,
+               amount / count(*) OVER (PARTITION BY purchase_id) AS credit
+        FROM touches
+    )
+    GROUP BY click_id
+    """,
+)
+def events_attribution(spark, sf_dir):
+    """Linear multi-touch attribution: every purchase's value is split
+    equally across the user's clicks in the prior {ATTR_WINDOW_H} h, then
+    rolled up to attributed revenue per click.
+
+    Two key-partitioned shuffles: the touch join is equality-driven on
+    user_id (range residual, never a cartesian — same shape as
+    join_interval), the per-purchase fan-out count is a window on
+    purchase_id, and the final rollup keys on click_id. Credit fractions
+    are summed through DECIMAL(18,8) partials so the rollup is exact in
+    any partition order. Last-touch attribution is the join_asof special
+    case; position-weighted just changes the credit expression."""
+    ev = load_events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("amount"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    touches = p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (
+            F.col("c_ts")
+            > F.col("p_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_H} HOUR")
+        ),
+    )
+    wp = Window.partitionBy("purchase_id")
+    credited = touches.select(
+        "click_id",
+        "purchase_id",
+        (F.col("amount") / F.count(F.lit(1)).over(wp)).alias("credit"),
+    )
+    return credited.groupBy("click_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(
+            F.sum(F.col("credit").cast("decimal(18,8)")).cast("double"), 6
+        ).alias("attributed"),
     )

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from data_transform_spark.io import load_table, normalize_event_ts, path_of
@@ -264,4 +265,149 @@ def scan_schema_evolution(spark, sf_dir):
         .option("basePath", out)
         .parquet(f"{out}/batch=1", f"{out}/batch=2")
         .select("doc_id", "n_chars", "lang")
+    )
+
+
+@register(
+    "join_dpp",
+    oracle="""
+    WITH top_months AS (
+        SELECT strftime(l_shipdate, '%Y-%m') AS m, count(*) AS n_ship
+        FROM lineitem GROUP BY 1
+        QUALIFY row_number() OVER (ORDER BY n_ship DESC, m) <= 3
+    )
+    SELECT l.sm AS ship_month, count(*) AS n,
+           ROUND(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS revenue
+    FROM (SELECT strftime(l_shipdate, '%Y-%m') AS sm, l_extendedprice
+          FROM lineitem) l
+    JOIN top_months t ON l.sm = t.m
+    GROUP BY l.sm
+    """,
+)
+def join_dpp(spark, sf_dir):
+    """Dynamic partition pruning: the fact is laid out partitioned by ship
+    month; the dim side (top-3 busiest months) is DATA-DEPENDENT, so no
+    static rewrite can turn it into a literal partition predicate — the
+    optimizer must inject a dynamicpruningexpression into the fact scan's
+    PartitionFilters, reusing the dim's broadcast as the pruning subquery
+    (pinned by the plan-shape test; a constant-foldable dim filter gets
+    folded into STATIC pruning instead, which is the wrong demonstration).
+
+    At 100 TB this is the difference between scanning three partitions and
+    scanning the table: the dim filter arrives through a join at runtime,
+    and DPP converts it into a partition predicate for free. Requires the
+    fact to be partitioned on the join key — the layout decision that makes
+    date-dim star joins cheap."""
+    out = f"{SCRATCH}/dpp_lineitem_{os.path.basename(sf_dir.rstrip('/'))}"
+    li = load_table(spark, sf_dir, "lineitem")
+    if not os.path.exists(f"{out}/_SUCCESS"):
+        li.withColumn(
+            "sm", F.date_format("l_shipdate", "yyyy-MM")
+        ).write.mode("overwrite").partitionBy("sm").parquet(out)
+    fact = spark.read.parquet(out)
+    w = Window.orderBy(F.col("n_ship").desc(), "m")
+    dim = (
+        li.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("m"))
+        .agg(F.count(F.lit(1)).alias("n_ship"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("m")
+    )
+    return (
+        fact.join(dim, fact.sm == dim.m)
+        .groupBy(F.col("sm").alias("ship_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"),
+                2,
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "sink_bucketed_join",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           ROUND(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def sink_bucketed_join(spark, sf_dir):
+    """Bucketed tables joined WITHOUT a shuffle: both sides are written
+    bucketBy(8, join key) + sortBy, so the sort-merge join reads co-located
+    buckets directly — the explain shows both scans `Bucketed: true` and no
+    Exchange feeding the join (pinned by the plan-shape test).
+
+    THE layout investment for 100 TB star schemas: pay one clustered write,
+    then every subsequent join/aggregation on the bucket key skips its
+    exchange entirely. Bucket count scales with cluster width (buckets >=
+    executor slots); 8 here matches the local fixture. The same layout
+    also feeds bucket-pruned point lookups."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    for df, name, key in ((li, f"bkt_lineitem_{tag}", "l_orderkey"),
+                          (o, f"bkt_orders_{tag}", "o_orderkey")):
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .option("path", f"{SCRATCH}/{name}")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    fact = spark.table(f"bkt_lineitem_{tag}")
+    dim = spark.table(f"bkt_orders_{tag}")
+    return (
+        fact.join(dim.hint("merge"), fact.l_orderkey == dim.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("qty"),
+        )
+    )
+
+
+@register(
+    "sink_compaction",
+    oracle="""
+    SELECT count(*) AS n_rows, TRUE AS files_in_ok, TRUE AS files_out_ok
+    FROM documents
+    """,
+)
+def sink_compaction(spark, sf_dir):
+    """Small-file compaction: a 64-way fragmented parquet layout is
+    rewritten into a handful of right-sized files, with the row count and
+    the before/after file counts verified in the result (invariant-style
+    booleans so the check is engine-portable).
+
+    THE table-maintenance op at 100 TB: streaming ingest leaves thousands
+    of KB-sized files per partition, and every downstream scan pays the
+    per-file open cost (listing, footer read, task scheduling) until a
+    compaction pass rewrites them at spark.sql.files.maxPartitionBytes
+    granularity. Here: repartition(64) fragments, coalesce(4) compacts —
+    coalesce not repartition on the write side, so compaction itself is
+    shuffle-free (it only concatenates partitions). Lakehouse formats run
+    this as OPTIMIZE/rewrite_data_files; the mechanism is identical."""
+    frag = f"{SCRATCH}/compaction_fragmented"
+    compact = f"{SCRATCH}/compaction_out"
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(64).write.mode("overwrite").parquet(frag)
+    n_in = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    spark.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(compact)
+    n_out = len([f for f in os.listdir(compact) if f.endswith(".parquet")])
+    out = spark.read.parquet(compact)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(n_in == 64).alias("files_in_ok"),
+        F.lit(n_out <= 4).alias("files_out_ok"),
     )

@@ -237,3 +237,136 @@ def ts_sessionize(spark, sf_dir):
         )
         .orderBy("user_id", "sid")
     )
+
+
+EWMA_ALPHA = 0.3
+EWMA_K = 8  # truncation depth: 0.7^8 ~ 0.058 residual weight
+_EWMA_W = [(1 - EWMA_ALPHA) ** j for j in range(EWMA_K)]
+_EWMA_NUM_SQL = " + ".join(
+    f"{w!r} * coalesce(lag(value, {j}) OVER w, 0.0)" for j, w in enumerate(_EWMA_W)
+)
+_EWMA_DEN_SQL = " + ".join(
+    f"(CASE WHEN lag(value, {j}) OVER w IS NOT NULL THEN {w!r} ELSE 0.0 END)"
+    for j, w in enumerate(_EWMA_W)
+)
+
+
+@register(
+    "ts_ewma",
+    oracle=f"""
+    SELECT event_id, user_id, ts, value,
+           round(({_EWMA_NUM_SQL}) / ({_EWMA_DEN_SQL}), 6) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def ts_ewma(spark, sf_dir):
+    """Truncated exponentially-weighted moving average per user.
+
+    The textbook recursive EWMA (s_t = a*x_t + (1-a)*s_{{t-1}}) is a
+    sequential scan — the one shape a shared-nothing engine cannot
+    parallelize within a key. The fixed-depth truncation (K={EWMA_K},
+    residual weight 0.7^{EWMA_K} < 6%) turns it into K lag terms over ONE
+    window sort: embarrassingly parallel across users, a single shuffle,
+    whole-stage-codegen-able, and numerically identical across engines
+    because both evaluate the same left-associated sum of literal-weighted
+    lags. Early rows renormalize over the lags that exist (the standard
+    adjust=True bias correction) rather than decaying from a fake zero."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.lag("value", j).over(w) for j in range(EWMA_K)]
+    # match the oracle's term order exactly: w_j * coalesce(lag_j, 0)
+    num = F.lit(_EWMA_W[0]) * F.coalesce(lags[0], F.lit(0.0))
+    den = F.when(lags[0].isNotNull(), F.lit(_EWMA_W[0])).otherwise(F.lit(0.0))
+    for j in range(1, EWMA_K):
+        num = num + F.lit(_EWMA_W[j]) * F.coalesce(lags[j], F.lit(0.0))
+        den = den + F.when(lags[j].isNotNull(), F.lit(_EWMA_W[j])).otherwise(
+            F.lit(0.0)
+        )
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", "user_id", "ts", "value", F.round(num / den, 6).alias("ewma")
+    )
+
+
+@register(
+    "ts_interpolate",
+    oracle="""
+    WITH masked AS (
+        SELECT event_id, user_id, ts, epoch_us(ts) AS tu,
+               CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        FROM events
+    ),
+    ctx AS (
+        SELECT event_id, user_id, ts, tu, v,
+               last_value(v IGNORE NULLS) OVER wp AS prev_v,
+               last_value(CASE WHEN v IS NOT NULL THEN tu END IGNORE NULLS)
+                   OVER wp AS prev_t,
+               first_value(v IGNORE NULLS) OVER wf AS next_v,
+               first_value(CASE WHEN v IS NOT NULL THEN tu END IGNORE NULLS)
+                   OVER wf AS next_t
+        FROM masked
+        WINDOW
+          wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id, ts, v AS value,
+           round(CASE
+               WHEN v IS NOT NULL THEN v
+               WHEN prev_v IS NULL THEN next_v
+               WHEN next_v IS NULL THEN prev_v
+               WHEN next_t = prev_t THEN prev_v
+               ELSE prev_v + (next_v - prev_v) * ((tu - prev_t) / (next_t - prev_t))
+           END, 6) AS value_filled
+    FROM ctx
+    """,
+)
+def ts_interpolate(spark, sf_dir):
+    """Linear interpolation of missing sensor values per user (every 7th
+    event is deterministically masked to create the gaps).
+
+    Gap-filling via TWO frame passes over ONE (user, ts) sort: the running
+    last non-null (value, timestamp) behind each row and the first ahead of
+    it, then a straight lerp on the microsecond axis. Leading/trailing gaps
+    degrade to nearest-neighbor fill. Single shuffle on user_id; both frame
+    directions reuse the same sorted partition, so at 100 TB this costs
+    exactly one sort-exchange however long the series — the same plan shape
+    as ts_ffill, which is this operator's zero-order special case."""
+    ev = load_table(spark, sf_dir, "events")
+    masked = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr("unix_micros(ts)").alias("tu"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    t_of_v = F.when(F.col("v").isNotNull(), F.col("tu"))
+    ctx = (
+        masked.withColumn("prev_v", F.last("v", ignorenulls=True).over(wp))
+        .withColumn("prev_t", F.last(t_of_v, ignorenulls=True).over(wp))
+        .withColumn("next_v", F.first("v", ignorenulls=True).over(wf))
+        .withColumn("next_t", F.first(t_of_v, ignorenulls=True).over(wf))
+    )
+    lerp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
+        (F.col("tu") - F.col("prev_t")) / (F.col("next_t") - F.col("prev_t"))
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .when(F.col("next_t") == F.col("prev_t"), F.col("prev_v"))
+        .otherwise(lerp)
+    )
+    return ctx.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("v").alias("value"),
+        F.round(filled, 6).alias("value_filled"),
+    )

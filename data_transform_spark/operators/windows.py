@@ -263,3 +263,31 @@ def win_cume_dist(spark, sf_dir):
     s = load_table(spark, sf_dir, "supplier")
     w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
     return s.select("s_suppkey", "s_nationkey", F.cume_dist().over(w).alias("cd"))
+
+
+@register(
+    "win_ratio_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           round(o_totalprice / CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               OVER (PARTITION BY o_custkey) AS DOUBLE), 6) AS share
+    FROM orders
+    """,
+)
+def win_ratio_total(spark, sf_dir):
+    """Ratio-to-total: each order's share of its customer's lifetime spend.
+
+    The unbounded-partition sum rides the same single (custkey) shuffle as
+    any other window; the partial sums go through DECIMAL(18,2) so the
+    per-partition total is exact in any evaluation order (a double window
+    sum would make `share` partition-order-dependent — §5.3.1 rule), and
+    the final division happens in double on the exact total."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    total = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.round(F.col("o_totalprice") / total.cast("double"), 6).alias("share"),
+    )

@@ -10,6 +10,7 @@ and cluster sizes — the property training-data curation actually needs.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from data_transform_spark.io import load_table
@@ -175,3 +176,50 @@ def rag_chunk(spark, sf_dir):
         F.array_join(piece, " ").alias("chunk_text"),
         F.size(piece).alias("n_tokens"),
     )
+
+
+@register(
+    "pipeline_funnel",
+    oracle="""
+    WITH surv AS (
+        SELECT doc_id, n_chars, len(string_split(text, ' ')) AS n_words
+        FROM documents
+        QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    ),
+    gated AS (
+        SELECT * FROM surv WHERE n_chars >= 100 AND n_words BETWEEN 20 AND 2000
+    )
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM surv) AS n_unique,
+           (SELECT count(*) FROM gated) AS n_gated,
+           (SELECT CAST(COALESCE(sum(n_words), 0) AS BIGINT) FROM gated)
+               AS tokens_out
+    """,
+)
+def pipeline_funnel(spark, sf_dir):
+    """Curation funnel report: docs in -> exact-dedup survivors -> quality
+    gate -> training tokens out, as ONE row computed entirely in-plan.
+
+    The yield report every corpus run ships with. Each stage count is a
+    1-row aggregate cross-joined onto the next (the same in-plan-scalar
+    discipline as pipeline_e2e after round 4) — NO driver-side .count()
+    anywhere, so the funnel is one job and the lineage stays lazy. At
+    100 TB the stage frames share the single md5-partitioned dedup shuffle;
+    everything after it is metadata-narrow."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    surv = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .withColumn("n_words", F.size(F.split("text", " ")))
+    )
+    gated = surv.filter(
+        (F.col("n_chars") >= 100) & F.col("n_words").between(20, 2000)
+    )
+    total = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    uniq = surv.agg(F.count(F.lit(1)).alias("n_unique"))
+    g = gated.agg(
+        F.count(F.lit(1)).alias("n_gated"),
+        F.coalesce(F.sum("n_words"), F.lit(0)).cast("long").alias("tokens_out"),
+    )
+    return total.crossJoin(uniq).crossJoin(g)

@@ -665,3 +665,131 @@ def dedup_simhash(spark, sf_dir):
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ------------------------------------------------------ sub-document dedup
+
+CHUNK_W = 10  # words per chunk ("line" granularity for the synthetic corpus)
+
+
+@register(
+    "text_chunk_dedup",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS s FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               unnest(range(CAST(ceil(len(s) / {CHUNK_W}.0) AS BIGINT))) AS chunk,
+               unnest(list_transform(
+                   range(CAST(ceil(len(s) / {CHUNK_W}.0) AS BIGINT)),
+                   c -> array_to_string(
+                       s[c*{CHUNK_W}+1 : least((c+1)*{CHUNK_W}, len(s))], ' ')
+               )) AS chunk_text
+        FROM docs
+    ),
+    kept AS (
+        SELECT doc_id, chunk, chunk_text
+        FROM chunks
+        QUALIFY row_number()
+            OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk) = 1
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_total FROM chunks GROUP BY doc_id),
+    agg AS (
+        SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+           CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept, t.n_total
+    FROM tot t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def text_chunk_dedup(spark, sf_dir):
+    """Sub-document dedup: split every document into {CHUNK_W}-word chunks,
+    keep only each chunk's corpus-wide FIRST occurrence (by doc_id, then
+    position), and reassemble the surviving chunks in document order.
+
+    This is line-level dedup (CCNet / RefinedWeb style: boilerplate nav
+    bars, cookie banners, repeated headers) at chunk granularity, since the
+    synthetic corpus has no newlines. Three shuffles, all key-partitioned:
+    explode->chunk agg (doc_id), first-occurrence window (chunk_text — i.e.
+    content-hash partitioning, the same layout exact dedup uses), regroup
+    (doc_id). Documents whose every chunk already appeared elsewhere come
+    back with empty clean_text rather than vanishing — the row set is the
+    full corpus, so downstream joins never silently drop docs. At 100 TB
+    the chunk_text partition key is md5(chunk) (bounded width); no step
+    ever holds a whole document set in one task."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    chunks = (
+        words.withColumn("chunk", (F.col("pos") / F.lit(CHUNK_W)).cast("bigint"))
+        .groupBy("doc_id", "chunk")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("chunk_text")
+        )
+    )
+    w = Window.partitionBy("chunk_text").orderBy("doc_id", "chunk")
+    kept = (
+        chunks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    tot = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_total"))
+    agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk", "chunk_text"))),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return tot.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        "n_total",
+    )
+
+
+@register(
+    "dedup_priority_source",
+    oracle="""
+    SELECT doc_id, md5(text) AS content_hash, source, lang
+    FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY md5(text)
+        ORDER BY CAST(substr(source, 4) AS INTEGER), doc_id
+    ) = 1
+    """,
+)
+def dedup_priority_source(spark, sf_dir):
+    """Source-priority dedup: among content-identical documents the
+    survivor comes from the most-trusted source (lowest source rank),
+    doc_id breaking ties — "prefer curated over crawled" when merging
+    overlapping corpora, vs dedup_exact's neutral min-id rule.
+
+    Identical plan shape to exact dedup (one shuffle on the content hash +
+    one window); only the ORDER BY inside the window changes. The general
+    form at 100 TB keeps a tiny source->priority broadcast table instead
+    of the parse, so editorial re-rankings never rewrite the plan."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("content_hash").orderBy(
+        F.substring("source", 4, 10).cast("int"), "doc_id"
+    )
+    return (
+        d.withColumn("content_hash", F.md5("text"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "content_hash", "source", "lang")
+    )

@@ -8,6 +8,7 @@ embarrassingly parallel scans plus one token-keyed shuffle for DF/IDF.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from data_transform_spark.io import load_table
@@ -393,4 +394,55 @@ def text_repetition(spark, sf_dir):
         F.round(dup_frac, 6).alias("dup_word_frac"),
         F.round(bi_frac, 6).alias("top_bigram_frac"),
         ((dup_frac <= 0.3) & (bi_frac <= 0.2)).alias("keep"),
+    )
+
+
+@register(
+    "text_unigram_score",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    ranks AS (
+        SELECT token,
+               row_number() OVER (ORDER BY count(*) DESC, token) AS rnk
+        FROM tok GROUP BY token
+    ),
+    words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    )
+    SELECT doc_id, count(*) AS n_words,
+           round(CAST(sum(r.rnk) AS DOUBLE) / count(*), 4) AS avg_rank
+    FROM words w JOIN ranks r ON r.token = w.word
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_score(spark, sf_dir):
+    """Unigram-rank fluency score: every corpus token gets a frequency rank
+    (1 = most common) and each document is scored by its mean token rank —
+    the integer-exact stand-in for LM-perplexity quality scoring (CCNet
+    style): prose full of common words scores low, keyboard mash scores
+    high.
+
+    Rank table is vocabulary-sized -> broadcast onto the exploded word
+    stream; the rank sum is exact integer arithmetic (no float logs), so
+    the score is bit-identical across engines and cluster layouts. The
+    real-perplexity upgrade swaps rank for a quantized logprob column in
+    the same broadcast table."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("token"))
+    wv = Window.orderBy(F.col("cnt").desc(), "token")
+    ranks = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("token", F.row_number().over(wv).alias("rnk"))
+    )
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    return (
+        words.join(F.broadcast(ranks), words.word == ranks.token)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(
+                F.sum("rnk").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_rank"),
+        )
     )

@@ -253,3 +253,68 @@ def vocab_build(spark, sf_dir):
         .filter(F.col("rn") <= 1000)
         .select("token", "cnt", (F.col("rn") - 1).cast("int").alias("token_id"))
     )
+
+
+TOKV_VOCAB = 200  # vocabulary size for the OOV fallback demonstration
+
+
+@register(
+    "tokenize_vocab",
+    oracle=f"""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    vocab AS (
+        SELECT token FROM c
+        QUALIFY row_number() OVER (ORDER BY cnt DESC, token) <= {TOKV_VOCAB}
+    ),
+    words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    )
+    SELECT doc_id, count(*) AS n_words,
+           CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST(sum(CASE WHEN v.token IS NULL THEN length(word) ELSE 1 END)
+               AS BIGINT) AS n_tokens
+    FROM words w LEFT JOIN vocab v ON v.token = w.word
+    GROUP BY doc_id
+    """,
+)
+def tokenize_vocab(spark, sf_dir):
+    """Vocabulary-based tokenization with character-level OOV fallback:
+    in-vocab words cost one token, out-of-vocab words explode to their
+    characters (the WordPiece/BPE degenerate case) — per document: word
+    count, OOV count, and the resulting token count.
+
+    The tokenizer-vocab pattern at scale: the vocabulary (top-{TOKV_VOCAB}
+    corpus words) is TINY relative to the corpus, so membership is a
+    broadcast hash join against the exploded word stream — no shuffle of
+    the corpus besides the per-doc re-aggregation, which reuses the doc_id
+    partitioning the explode preserved. This is also the honest way to
+    budget token counts before a training run without running the real
+    tokenizer over 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("token"))
+    wv = Window.orderBy(F.col("cnt").desc(), "token")
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") <= TOKV_VOCAB)
+        .select("token")
+    )
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    return (
+        words.join(F.broadcast(vocab), words.word == vocab.token, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.when(F.col("token").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.sum(
+                F.when(F.col("token").isNull(), F.length("word")).otherwise(1)
+            )
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )

@@ -20,6 +20,7 @@ import os
 import shutil
 import uuid
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from data_transform_spark.io import normalize_event_ts, path_of
@@ -413,4 +414,64 @@ def stream_tumbling_batch(spark, sf_dir):
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
         .select(F.col("window.start").alias("w_start"), "event_type", "n", "sum_value")
+    )
+
+
+def _latest_per_user(df):
+    """Canonical keyed reduce: newest (ts, event_id) row per user."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+@register(
+    "stream_upsert_sink",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value
+    FROM events
+    QUALIFY row_number()
+        OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def stream_upsert_sink(spark, sf_dir):
+    """foreachBatch MERGE-style upsert sink: each micro-batch is reduced to
+    its newest row per user, merged against the keyed table on disk (newest
+    (ts, event_id) wins), and the merged state atomically replaces the old
+    snapshot (write-to-tmp + rename). The canonical production pattern for
+    maintaining a keyed mirror from a stream when the sink has no native
+    MERGE — convergent under ANY batch slicing, so the final table equals
+    the batch latest-per-user query whatever AvailableNow does.
+
+    Scale posture: state size is |keys|, not |events| — each merge shuffles
+    only (existing keys + batch updates). On a real cluster the same
+    foreachBatch body targets a format with native MERGE INTO (Delta /
+    Iceberg), turning the read-union-rewrite into a log append; the
+    rename-swap here is the plain-parquet equivalent of that commit."""
+    out = f"{SCRATCH}/stream_upsert_{uuid.uuid4().hex[:8]}"
+    tmp = f"{out}_tmp"
+
+    def upsert(batch_df, _batch_id: int):
+        upd = _latest_per_user(batch_df)
+        if os.path.exists(out):
+            upd = _latest_per_user(
+                batch_df.sparkSession.read.parquet(out).unionByName(upd)
+            )
+        upd.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(out, ignore_errors=True)
+        os.rename(tmp, out)
+
+    q = (
+        events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select(
+        "user_id", "event_id", "ts", "event_type", "value"
     )

@@ -215,7 +215,7 @@ def test_plan_build_runs_no_jobs(spark, sf_dir):
     100 TB an eager .count() at plan-build time is an extra full pass."""
     sc = spark.sparkContext
     tracker = sc.statusTracker()
-    for key in ("pipeline_e2e", "dq_checks", "text_tfidf"):
+    for key in ("pipeline_e2e", "dq_checks", "text_tfidf", "pipeline_funnel"):
         group = f"plan-build-{key}"
         sc.setJobGroup(group, "plan-build eager-job guard")
         try:
@@ -312,3 +312,99 @@ def test_reachability_frontier_has_no_cartesian(spark, sf_dir):
     """Each frontier expansion is an equi join on src — never a cartesian."""
     p = plan_of(spark, "graph_reachability", sf_dir)
     assert "CartesianProduct" not in p, f"cartesian in reachability:\n{p}"
+
+
+def test_dpp_injects_dynamic_pruning(spark, sf_dir):
+    """join_dpp exists to demonstrate dynamic partition pruning: the fact
+    scan must carry a dynamicpruningexpression partition filter (a
+    constant-foldable dim would degrade to static pruning — wrong demo)."""
+    p = plan_of(spark, "join_dpp", sf_dir)
+    assert "dynamicpruning" in p.lower(), f"no DPP in fact scan:\n{p}"
+
+
+def test_bucketed_sink_join_reads_buckets_without_exchange(spark, sf_dir):
+    """sink_bucketed_join: both scans bucketed, sort-merge join, and the
+    ONLY exchange is the final aggregation's (none feeding the join)."""
+    import re
+
+    p = plan_of(spark, "sink_bucketed_join", sf_dir)
+    assert p.lower().count("bucketed: true") == 2, f"scans not bucketed:\n{p}"
+    assert "SortMergeJoin" in p
+    n = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
+    assert n <= 1, f"bucketed join plan has {n} exchanges:\n{p}"
+
+
+def test_bloom_prefilter_probes_via_broadcast(spark, sf_dir):
+    """The bloom bitmap probe must be a broadcast hash join on the word
+    index — shuffling the fact to test membership would defeat the filter."""
+    p = plan_of(spark, "join_bloom_prefilter", sf_dir)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_asof_nearest_single_shuffle(spark, sf_dir):
+    """Both directional candidate passes must reuse ONE (user_id) sort."""
+    import re
+
+    p = plan_of(spark, "join_asof_nearest", sf_dir)
+    n = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
+    assert n == 1, f"nearest as-of should shuffle once, saw {n}:\n{p}"
+
+
+def test_interpolate_and_ewma_single_shuffle(spark, sf_dir):
+    """Lag stack and both interpolation frames ride one window sort each."""
+    import re
+
+    for key in ("ts_ewma", "ts_interpolate"):
+        p = plan_of(spark, key, sf_dir)
+        n = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
+        assert n == 1, f"{key} should shuffle once, saw {n}:\n{p}"
+
+
+def test_chunk_dedup_and_tokenize_vocab_stay_jvm_side(spark, sf_dir):
+    """Chunk dedup and vocab tokenization are built-in-only pipelines."""
+    for key in ("text_chunk_dedup", "tokenize_vocab"):
+        p = plan_of(spark, key, sf_dir)
+        for bad in ("BatchEvalPython", "ArrowEvalPython",
+                    "FlatMapGroupsInPandas", "MapInPandas"):
+            assert bad not in p, f"{bad} in {key} plan"
+
+
+def test_tokenize_vocab_broadcasts_vocab(spark, sf_dir):
+    p = plan_of(spark, "tokenize_vocab", sf_dir)
+    assert "BroadcastHashJoin" in p, f"vocab membership not broadcast:\n{p}"
+
+
+def test_triangles_no_cartesian(spark, sf_dir):
+    """Wedge build + closing check are equi-joins on canonical endpoints."""
+    p = plan_of(spark, "graph_triangles", sf_dir)
+    assert "CartesianProduct" not in p, f"cartesian in triangle count:\n{p}"
+
+
+def test_pit_join_is_hash_join_not_cartesian(spark, sf_dir):
+    """The SCD2 point-in-time join must be driven by the user/custkey
+    equality conjunct; the validity range is a residual filter."""
+    p = plan_of(spark, "join_pit_scd2", sf_dir)
+    assert "CartesianProduct" not in p, f"cartesian in PIT join:\n{p}"
+    assert "BroadcastNestedLoopJoin" not in p, f"nested loop in PIT join:\n{p}"
+
+
+def test_multi_distinct_uses_expand(spark, sf_dir):
+    """Multiple COUNT(DISTINCT) must plan as one Expand+aggregate, not a
+    join of per-column subqueries."""
+    p = plan_of(spark, "agg_multi_distinct", sf_dir)
+    assert "Expand" in p, f"no Expand in multi-distinct plan:\n{p}"
+    assert "Join" not in p, f"multi-distinct planned as a join:\n{p}"
+
+
+def test_unigram_score_broadcasts_ranks(spark, sf_dir):
+    p = plan_of(spark, "text_unigram_score", sf_dir)
+    assert "BroadcastHashJoin" in p, f"rank table not broadcast:\n{p}"
+
+
+def test_attribution_touch_join_no_cartesian(spark, sf_dir):
+    """The attribution touch join must be equality-driven on user_id."""
+    p = plan_of(spark, "events_attribution", sf_dir)
+    assert "CartesianProduct" not in p, f"cartesian in attribution:\n{p}"
+    assert "BroadcastNestedLoopJoin" not in p
