@@ -216,3 +216,67 @@ def join_pit_scd2(spark, sf_dir):
             "valid_from",
         )
     )
+
+
+@register(
+    "dq_profile",
+    oracle="""
+    SELECT 'c_custkey' AS col, count(*) - count(c_custkey) AS n_nulls,
+           count(DISTINCT c_custkey) AS n_distinct,
+           CAST(min(c_custkey) AS VARCHAR) AS min_val,
+           CAST(max(c_custkey) AS VARCHAR) AS max_val
+    FROM customer
+    UNION ALL
+    SELECT 'c_name', count(*) - count(c_name), count(DISTINCT c_name),
+           min(c_name), max(c_name)
+    FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', count(*) - count(c_mktsegment),
+           count(DISTINCT c_mktsegment), min(c_mktsegment), max(c_mktsegment)
+    FROM customer
+    UNION ALL
+    SELECT 'c_acctbal', count(*) - count(c_acctbal),
+           count(DISTINCT c_acctbal),
+           CAST(CAST(min(c_acctbal) AS DECIMAL(12,2)) AS VARCHAR),
+           CAST(CAST(max(c_acctbal) AS DECIMAL(12,2)) AS VARCHAR)
+    FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', count(*) - count(c_nationkey),
+           count(DISTINCT c_nationkey),
+           CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR)
+    FROM customer
+    """,
+)
+def dq_profile(spark, sf_dir):
+    """Column profiling (ANALYZE-style): null count, distinct count, min
+    and max per column, long-format — the first query run against any
+    unfamiliar 100 TB table, and the stats feed for partition/layout
+    decisions.
+
+    One pass per column expressed as 1-row aggregates UNION ALL-ed (Spark
+    fuses them over the shared cached scan; column-pruned so each branch
+    reads exactly one column). min/max are normalized to strings —
+    doubles through DECIMAL(12,2) so the text form is engine-portable. At
+    scale the exact count-distinct branches swap to approx_count_distinct
+    (the sketch is mergeable across partitions); exact is kept here for
+    the hash oracle."""
+    c = load_table(spark, sf_dir, "customer")
+
+    def prof(col, minmax):
+        return c.agg(
+            F.lit(col).alias("col"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
+            F.countDistinct(col).alias("n_distinct"),
+            minmax(F.min(col)).alias("min_val"),
+            minmax(F.max(col)).alias("max_val"),
+        )
+
+    as_str = lambda e: e.cast("string")  # noqa: E731
+    as_dec = lambda e: e.cast("decimal(12,2)").cast("string")  # noqa: E731
+    return (
+        prof("c_custkey", as_str)
+        .unionAll(prof("c_name", lambda e: e))
+        .unionAll(prof("c_mktsegment", lambda e: e))
+        .unionAll(prof("c_acctbal", as_dec))
+        .unionAll(prof("c_nationkey", as_str))
+    )

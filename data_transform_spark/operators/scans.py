@@ -253,7 +253,7 @@ def scan_schema_evolution(spark, sf_dir):
     is opt-in per read because merging thousands of footers has driver-side
     cost — at scale you pin the merged schema in a catalog instead."""
     docs = load_table(spark, sf_dir, "documents")
-    out = f"{SCRATCH}/schema_evolution"
+    out = f"{SCRATCH}/schema_evolution_{os.path.basename(sf_dir.rstrip(chr(47)))}"
     docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars").write.mode(
         "overwrite"
     ).parquet(f"{out}/batch=1")
@@ -398,8 +398,9 @@ def sink_compaction(spark, sf_dir):
     coalesce not repartition on the write side, so compaction itself is
     shuffle-free (it only concatenates partitions). Lakehouse formats run
     this as OPTIMIZE/rewrite_data_files; the mechanism is identical."""
-    frag = f"{SCRATCH}/compaction_fragmented"
-    compact = f"{SCRATCH}/compaction_out"
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    frag = f"{SCRATCH}/compaction_fragmented_{tag}"
+    compact = f"{SCRATCH}/compaction_out_{tag}"
     docs = load_table(spark, sf_dir, "documents")
     docs.repartition(64).write.mode("overwrite").parquet(frag)
     n_in = len([f for f in os.listdir(frag) if f.endswith(".parquet")])

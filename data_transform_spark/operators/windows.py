@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from data_transform_spark.io import load_table
+from data_transform_spark.io import load_events, load_table
 from data_transform_spark.registry import register
 
 
@@ -290,4 +290,46 @@ def win_ratio_total(spark, sf_dir):
         "o_orderkey",
         "o_totalprice",
         F.round(F.col("o_totalprice") / total.cast("double"), 6).alias("share"),
+    )
+
+
+@register(
+    "win_islands",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn_t
+        FROM events
+    )
+    SELECT user_id, event_type, min(ts) AS island_start,
+           count(*) AS island_len
+    FROM seq
+    GROUP BY user_id, event_type, rn - rn_t
+    """,
+)
+def win_islands(spark, sf_dir):
+    """Gaps-and-islands: maximal runs of CONSECUTIVE same-type events per
+    user (value-change sessionization, vs ts_sessionize's time-gap rule) —
+    "how long do users stay in one activity before switching".
+
+    The classic two-row_number difference: rn (per user) minus rn_t (per
+    user+type) is constant exactly within a run, so one grouped aggregate
+    over (user, type, rn-rn_t) materializes every island. Both window
+    passes AND the final aggregate share the user_id hash partitioning —
+    one shuffle total at any scale (plan-pinned)."""
+    ev = load_events(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wt = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(wu))
+        .withColumn("rn_t", F.row_number().over(wt))
+        .groupBy("user_id", "event_type", (F.col("rn") - F.col("rn_t")).alias("_g"))
+        .agg(
+            F.min("ts").alias("island_start"),
+            F.count(F.lit(1)).alias("island_len"),
+        )
+        .drop("_g")
     )

@@ -408,3 +408,13 @@ def test_attribution_touch_join_no_cartesian(spark, sf_dir):
     p = plan_of(spark, "events_attribution", sf_dir)
     assert "CartesianProduct" not in p, f"cartesian in attribution:\n{p}"
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_islands_single_shuffle(spark, sf_dir):
+    """Both row_numbers and the island aggregate share the user_id
+    partitioning — one exchange total."""
+    import re
+
+    p = plan_of(spark, "win_islands", sf_dir)
+    n = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
+    assert n == 1, f"win_islands should shuffle once, saw {n}:\n{p}"
