@@ -128,3 +128,37 @@ def fn_hash(spark, sf_dir):
         F.sha2(F.col("text"), 256).alias("text_sha256"),
         F.md5(F.concat(F.col("lang"), F.lit("|"), F.col("source"))).alias("meta_md5"),
     )
+
+
+@register(
+    "fn_encrypt_roundtrip",
+    oracle="""
+    SELECT count(*) AS n_docs, TRUE AS roundtrip_ok, TRUE AS ciphertext_differs
+    FROM documents
+    """,
+)
+def fn_encrypt_roundtrip(spark, sf_dir):
+    """Column-level AES-GCM encryption round-trip: every document text is
+    encrypted with a 16-byte key and decrypted back, asserting (in-plan)
+    that decryption restores the exact bytes and the ciphertext is not the
+    plaintext — the column-protection primitive for PII at rest.
+
+    DuckDB has no AES surface, so this key uses the repo's invariant-
+    oracle pattern: the Spark side computes the booleans over every row
+    (bool_and), the twin states the expected constants. GCM mode is
+    randomized per row (fresh IV), so ciphertext is NOT deterministic —
+    exactly why the check must be a round-trip property, not a hash. All
+    JVM expressions, zero shuffle beyond the final 1-row aggregate."""
+    key = "0123456789abcdef"
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "ct", F.expr(f"aes_encrypt(encode(text, 'UTF-8'), '{key}')")
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.bool_and(
+            F.expr(f"decode(aes_decrypt(ct, '{key}'), 'UTF-8')") == F.col("text")
+        ).alias("roundtrip_ok"),
+        F.bool_and(F.expr("ct != encode(text, 'UTF-8')")).alias(
+            "ciphertext_differs"
+        ),
+    )

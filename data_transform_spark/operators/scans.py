@@ -412,3 +412,47 @@ def sink_compaction(spark, sf_dir):
         F.lit(n_in == 64).alias("files_in_ok"),
         F.lit(n_out <= 4).alias("files_out_ok"),
     )
+
+
+@register(
+    "scan_binary_files",
+    oracle="""
+    SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS fname,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text) AS checksum
+    FROM documents WHERE doc_id < 3
+    """,
+)
+def scan_binary_files(spark, sf_dir):
+    """Raw-file ingestion via the binaryFile source: opaque files land as
+    (path, modificationTime, length, content BINARY) rows — the entry
+    point for image/audio/video corpora before any decode.
+
+    The fixture docs are materialized as real files (deterministic bytes),
+    scanned back with `format("binaryFile")`, and verified by md5 over the
+    bytes. At 100 TB this is the bootstrap scan of a media lake: one row
+    per object, content kept as an opaque binary column (or swapped for an
+    object-store pointer above the driver's 2 GB row limit), metadata
+    extracted once downstream (multimodal_* family). binaryFile supports
+    pathGlobFilter/recursiveFileLookup for prefix pruning — partition
+    discipline comes from the object-store layout, not the file contents."""
+    out = f"{SCRATCH}/binary_files_{os.path.basename(sf_dir.rstrip('/'))}"
+    os.makedirs(out, exist_ok=True)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 3)
+        .select("doc_id", "text")
+        .collect()  # 3 rows by contract: fixture files, not data flow
+    )
+    for r in docs:
+        with open(f"{out}/doc_{r.doc_id}.txt", "wb") as fh:
+            fh.write(r.text.encode("utf-8"))
+    return (
+        spark.read.format("binaryFile")
+        .load(out)
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("fname"),
+            F.col("length").alias("byte_len"),
+            F.md5("content").alias("checksum"),
+        )
+    )

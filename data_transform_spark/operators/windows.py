@@ -333,3 +333,61 @@ def win_islands(spark, sf_dir):
         )
         .drop("_g")
     )
+
+
+@register(
+    "win_running_distinct",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                            ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS first_seen
+        FROM events
+    )
+    SELECT user_id, ts, event_id,
+           CAST(sum(first_seen) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT)
+               AS distinct_types_seen
+    FROM flagged
+    """,
+)
+def win_running_distinct(spark, sf_dir):
+    """Running COUNT(DISTINCT) over a window — which no engine supports
+    directly — via the first-occurrence decomposition: flag each (user,
+    type)'s first event with one window, then a running sum of flags over
+    a second frame on the same (user, ts) sort. "How many distinct
+    activities has this user tried so far" at every event.
+
+    Both windows partition on user_id ALONE — the first-seen flag comes
+    from a lag over (event_type, ts) order rather than a per-(user, type)
+    row_number, because the latter would hash on a different key and cost
+    a second exchange. Same flag rows (the first row of each type block in
+    (type, ts) order IS that type's earliest event), but the whole query
+    is ONE shuffle + two sorts on the reused partitioning (plan-pinned).
+    This decomposition is THE scale answer wherever a windowed distinct
+    appears — the naive alternative (collect_set over the frame) holds
+    per-row state proportional to the frame and blows up on long
+    histories."""
+    ev = load_events(spark, sf_dir)
+    wt = Window.partitionBy("user_id").orderBy("event_type", "ts", "event_id")
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_type = F.lag("event_type").over(wt)
+    return (
+        ev.withColumn(
+            "first_seen",
+            F.when(
+                prev_type.isNull() | (prev_type != F.col("event_type")), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "distinct_types_seen", F.sum("first_seen").over(wr).cast("long")
+        )
+        .select("user_id", "ts", "event_id", "distinct_types_seen")
+    )

@@ -418,3 +418,12 @@ def test_islands_single_shuffle(spark, sf_dir):
     p = plan_of(spark, "win_islands", sf_dir)
     n = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
     assert n == 1, f"win_islands should shuffle once, saw {n}:\n{p}"
+
+
+def test_running_distinct_single_shuffle(spark, sf_dir):
+    """Both the first-seen flag and the running sum hash on user_id."""
+    import re
+
+    p = plan_of(spark, "win_running_distinct", sf_dir)
+    n = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
+    assert n == 1, f"running distinct should shuffle once, saw {n}:\n{p}"

@@ -27,6 +27,8 @@ PROP_SETTINGS = dict(
     max_examples=12,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
+    # the driver's verify must be reproducible: same examples every run
+    derandomize=True,
 )
 
 
