@@ -182,3 +182,84 @@ def events_attribution(spark, sf_dir):
             F.sum(F.col("credit").cast("decimal(18,8)")).cast("double"), 6
         ).alias("attributed"),
     )
+
+
+ZS_LOOKBACK = 24  # trailing buckets for the rolling baseline
+ZS_MIN_N = 12  # minimum history before scoring
+ZS_THRESHOLD = 2.0
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle=f"""
+    WITH buckets AS (
+        SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT event_type, hour_ts, n,
+               CAST(sum(n) OVER w AS BIGINT) AS s1,
+               CAST(sum(n * n) OVER w AS BIGINT) AS s2,
+               count(n) OVER w AS cnt
+        FROM buckets
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+                     ROWS BETWEEN {ZS_LOOKBACK} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour_ts, n,
+           round((n - s1 / cnt)
+                 / sqrt(greatest((s2 - s1 * s1 / cnt) / (cnt - 1), 1e-9)), 6)
+               AS z
+    FROM scored
+    WHERE cnt >= {ZS_MIN_N}
+      AND abs(round((n - s1 / cnt)
+                    / sqrt(greatest((s2 - s1 * s1 / cnt) / (cnt - 1), 1e-9)), 6))
+          > {ZS_THRESHOLD}
+    """,
+)
+def events_anomaly_zscore(spark, sf_dir):
+    """Rolling z-score anomaly detection over hourly event-rate series:
+    each (type, hour) bucket is scored against the mean/std of its own
+    trailing {ZS_LOOKBACK} buckets (current excluded) and flagged when
+    |z| > {ZS_THRESHOLD} with at least {ZS_MIN_N} history points.
+
+    The variance comes from EXPLICIT rolling integer sums (Σn, Σn²) —
+    bit-identical across engines and partition orders because the inputs
+    are exact integers and both engines evaluate the same expression tree
+    (a windowed stddev_samp would tie the result to each engine's
+    streaming-moments implementation). Plan: one shuffle for the bucket
+    aggregate, one for the per-type window — and |types| is tiny, so at
+    100 TB the window stage is trivially parallel while the bucket
+    aggregate does the heavy lifting map-side. Gaps (empty hours) simply
+    don't produce buckets; compose ts_gapfill first for strict-cadence
+    baselines."""
+    ev = load_events(spark, sf_dir)
+    buckets = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(-ZS_LOOKBACK, -1)
+    )
+    scored = buckets.select(
+        "event_type",
+        "hour_ts",
+        "n",
+        F.sum("n").over(w).cast("long").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).cast("long").alias("s2"),
+        F.count("n").over(w).alias("cnt"),
+    )
+    mean = F.col("s1") / F.col("cnt")
+    var = F.greatest(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("cnt"))
+        / (F.col("cnt") - 1),
+        F.lit(1e-9),
+    )
+    z = F.round((F.col("n") - mean) / F.sqrt(var), 6)
+    return (
+        scored.filter(F.col("cnt") >= ZS_MIN_N)
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > ZS_THRESHOLD)
+        .select("event_type", "hour_ts", "n", "z")
+    )

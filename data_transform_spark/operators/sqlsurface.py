@@ -244,3 +244,40 @@ def sql_qualify(spark, sf_dir):
         ORDER BY o_custkey, rn
         """
     )
+
+
+@register(
+    "sql_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COALESCE(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0)
+               AS BIGINT) AS n_f,
+           CAST(COALESCE(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0)
+               AS BIGINT) AS n_o,
+           CAST(COALESCE(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0)
+               AS BIGINT) AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def sql_pivot(spark, sf_dir):
+    """SQL PIVOT clause surface (vs agg_pivot's DataFrame .pivot()): order
+    counts per priority pivoted wide by status, absent combinations
+    normalized to 0.
+
+    Catalyst rewrites PIVOT into the same single-shuffle conditional
+    aggregation the portable oracle spells out — pivoting never costs more
+    than the underlying groupBy as long as the IN list is explicit.
+    (An UNBOUNDED pivot — values discovered at runtime — needs an extra
+    distinct-values job first, which is why the API requires the list for
+    plannability at scale.)"""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sql_pivot_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COALESCE(n_f, CAST(0 AS BIGINT)) AS n_f,
+               COALESCE(n_o, CAST(0 AS BIGINT)) AS n_o,
+               COALESCE(n_p, CAST(0 AS BIGINT)) AS n_p
+        FROM (SELECT o_orderpriority, o_orderstatus FROM sql_pivot_orders)
+        PIVOT (count(*) FOR o_orderstatus IN ('F' AS n_f, 'O' AS n_o, 'P' AS n_p))
+        """
+    )

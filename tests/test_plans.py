@@ -427,3 +427,12 @@ def test_running_distinct_single_shuffle(spark, sf_dir):
     p = plan_of(spark, "win_running_distinct", sf_dir)
     n = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
     assert n == 1, f"running distinct should shuffle once, saw {n}:\n{p}"
+
+
+def test_anomaly_zscore_two_shuffles(spark, sf_dir):
+    """Bucket aggregate + per-type window — two exchanges, nothing more."""
+    import re
+
+    p = plan_of(spark, "events_anomaly_zscore", sf_dir)
+    n = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
+    assert n <= 2, f"anomaly scoring grew a third shuffle:\n{p}"
