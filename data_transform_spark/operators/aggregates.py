@@ -477,3 +477,42 @@ def agg_multi_distinct(spark, sf_dir):
         F.countDistinct("l_suppkey").alias("supps"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "agg_grouping_id",
+    oracle="""
+    SELECT COALESCE(o_orderpriority, '<all>') AS priority,
+           COALESCE(o_orderstatus, '<all>') AS status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           count(*) AS n
+    FROM orders
+    GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    """,
+)
+def agg_grouping_id(spark, sf_dir):
+    """ROLLUP with GROUPING() flags: subtotal rows carry an explicit
+    marker per dimension, so a real NULL in the data can never be confused
+    with the NULL that means "all values" — the correctness detail every
+    rollup consumer eventually hits.
+
+    Same single Expand+aggregate plan as agg_rollup; grouping() reads the
+    expand branch's bitmask, costing nothing extra. The COALESCE to a
+    sentinel makes the subtotal rows self-describing for report sinks."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            "g_priority",
+            "g_status",
+            "n",
+        )
+    )

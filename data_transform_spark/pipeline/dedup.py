@@ -793,3 +793,81 @@ def dedup_priority_source(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("doc_id", "content_hash", "source", "lang")
     )
+
+
+def cc_labels(nodes, pairs):
+    """Min-label propagation to FIXPOINT → (doc_id, label) per node.
+
+    Same loop as cc_survivor_ids but returns the full labeling instead of
+    only the surviving ids (kept separate: that function backs two
+    driver-green keys whose behavior the source-hash guard cannot see
+    through helpers, so it stays untouched)."""
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)
+    labels = nodes.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(MAX_CC_ROUNDS):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if new_labels.exceptAll(labels).isEmpty():
+            return new_labels
+        labels = new_labels
+    raise RuntimeError(
+        f"connected components did not converge in {MAX_CC_ROUNDS} rounds"
+    )
+
+
+@register(
+    "dedup_cluster_stats",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLE_PAIRS},
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM exact_pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM exact_pairs
+    ),
+    reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+    ),
+    minlab AS (SELECT node, min(label) AS label FROM reach GROUP BY node),
+    csizes AS (SELECT label, count(*) AS cluster_size FROM minlab GROUP BY label)
+    SELECT cluster_size, count(*) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM csizes GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_stats(spark, sf_dir):
+    """Near-duplicate cluster census: histogram of connected-component
+    sizes (size 1 = unique doc) with the doc mass per size — the report
+    that tells you whether your corpus has a long tail of pairwise dups or
+    a few mega-clusters (boilerplate, mirrors) BEFORE you pick a survivor
+    policy.
+
+    Reuses the MinHash-LSH pair stage and the same min-label propagation
+    as the survivor keys, then two tiny aggregates over the label table
+    (component count ≪ corpus). The interesting scale fact: the histogram
+    itself is bounded by the largest component, so this report stays
+    KB-sized at 100 TB while the labeling does the real work."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_near_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    labels = cc_labels(docs, pairs)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+    )

@@ -318,3 +318,52 @@ def tokenize_vocab(spark, sf_dir):
             .alias("n_tokens"),
         )
     )
+
+
+CURR_BUCKETS = 4
+
+
+@register(
+    "curriculum_buckets",
+    oracle=f"""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    ranks AS (
+        SELECT token, row_number() OVER (ORDER BY count(*) DESC, token) AS rnk
+        FROM tok GROUP BY token
+    ),
+    words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               round(CAST(sum(r.rnk) AS DOUBLE) / count(*), 4) AS difficulty
+        FROM words w JOIN ranks r ON r.token = w.word
+        GROUP BY doc_id
+    )
+    SELECT doc_id, difficulty,
+           CAST(ntile({CURR_BUCKETS})
+               OVER (ORDER BY difficulty, doc_id) AS INTEGER) AS bucket
+    FROM scored
+    """,
+)
+def curriculum_buckets(spark, sf_dir):
+    """Curriculum ordering: documents are scored by the unigram-rank
+    difficulty proxy (text_unigram_score) and split into {CURR_BUCKETS}
+    equal-height stages, easiest first — the standard easy→hard training
+    schedule, made reproducible because both the score and the ntile
+    boundary rule (difficulty, doc_id tiebreak) are deterministic.
+
+    The global ntile is a single-partition window over (doc_id, score)
+    pairs — metadata-narrow, same cheap-by-construction argument as
+    vocab_build's global rank. At 100 TB you'd swap ntile for fixed score
+    quantiles (computed once, broadcast) so the assignment is a pure map;
+    the bucket semantics stay identical."""
+    from data_transform_spark.pipeline.text import text_unigram_score
+
+    scored = text_unigram_score(spark, sf_dir).select(
+        "doc_id", F.col("avg_rank").alias("difficulty")
+    )
+    w = Window.orderBy("difficulty", "doc_id")
+    return scored.select(
+        "doc_id", "difficulty", F.ntile(CURR_BUCKETS).over(w).alias("bucket")
+    )
