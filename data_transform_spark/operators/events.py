@@ -263,3 +263,44 @@ def events_anomaly_zscore(spark, sf_dir):
         .filter(F.abs(F.col("z")) > ZS_THRESHOLD)
         .select("event_type", "hour_ts", "n", "z")
     )
+
+
+@register(
+    "agg_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS k
+        FROM events GROUP BY user_id, event_type
+    ),
+    n AS (SELECT user_id, CAST(sum(k) AS BIGINT) AS n FROM c GROUP BY user_id)
+    SELECT c.user_id, n.n AS n_events,
+           round(-sum((k / n.n) * ln(k / n.n)) / ln(2), 6) AS entropy_bits
+    FROM c JOIN n ON c.user_id = n.user_id
+    GROUP BY c.user_id, n.n
+    """,
+)
+def agg_entropy(spark, sf_dir):
+    """Shannon entropy (bits) of each user's event-type distribution — the
+    behavioral-diversity metric: 0 = single-activity users, log2(5) ≈ 2.32
+    = uniform across all five types. The same aggregate scores label
+    balance in training splits and source diversity in corpus shards.
+
+    Two key-local aggregates on user_id (counts, then the entropy fold) —
+    one shuffle, since every stage reuses the same hash partitioning. The
+    probabilities come from exact integer counts, and ln/division are
+    evaluated with the identical expression tree in both engines (the
+    earlier strict audit established that libm/JVM ln agree bit-for-bit
+    here via text_tfidf), so the rounded score is engine-portable."""
+    ev = load_events(spark, sf_dir)
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("k"))
+    n = c.groupBy("user_id").agg(F.sum("k").cast("long").alias("n"))
+    p = F.col("k") / F.col("n")
+    return (
+        c.join(n, "user_id")
+        .groupBy("user_id", F.col("n").alias("n_events"))
+        .agg(
+            F.round(-F.sum(p * F.log(p)) / F.log(F.lit(2.0)), 6).alias(
+                "entropy_bits"
+            )
+        )
+    )

@@ -4,9 +4,15 @@ Tokenization, TF-IDF, quality scoring, token counting, fingerprinting,
 language filtering — all pure built-in Column expressions (no Python in the
 hot path), each with an exact DuckDB twin. At 100 TB these are
 embarrassingly parallel scans plus one token-keyed shuffle for DF/IDF.
+
+One deliberate exception: text_compression_ratio needs a compressor no JVM
+builtin exposes, so it runs an Arrow-batched pandas UDF — the documented
+pattern for Python-that-must-run (SURVEY §2.J ladder), not a hot-path slip.
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -445,4 +451,51 @@ def text_unigram_score(spark, sf_dir):
                 F.sum("rnk").cast("double") / F.count(F.lit(1)), 4
             ).alias("avg_rank"),
         )
+    )
+
+
+@register(
+    "text_compression_ratio",
+    oracle="""
+    SELECT count(*) AS n_docs, TRUE AS ratios_in_range, TRUE AS has_spread
+    FROM documents
+    """,
+)
+def text_compression_ratio(spark, sf_dir):
+    """Compressibility quality signal: zlib-compressed length over raw
+    length per document. Repetitive boilerplate compresses far below
+    typical prose, so a low ratio is a cheap junk detector (used alongside
+    the Gopher-style gates in text_repetition / text_quality).
+
+    This is a LEGITIMATE Python-in-the-hot-path case — no JVM builtin
+    exposes a compressor — so it runs as an Arrow-batched pandas UDF
+    (vectorized transfer, one zlib call per value, no per-row py4j). The
+    oracle is the invariant pattern: DuckDB has no zlib either, so the
+    Spark side folds the per-row checks into booleans the twin states as
+    constants: every ratio lands in (0.2, 1.5) (measured 0.39-1.13 across
+    fixture SFs), and the distribution actually discriminates — both
+    sides of the 0.45 mark are populated, so thresholding on the ratio
+    splits the corpus rather than passing everything."""
+    @F.pandas_udf("double")
+    def comp_ratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        return texts.map(
+            lambda t: round(len(zlib.compress(t.encode("utf-8"))) / len(t), 6)
+            if t
+            else 1.0
+        )
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "ratio", comp_ratio(F.col("text"))
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.bool_and((F.col("ratio") > 0.2) & (F.col("ratio") < 1.5)).alias(
+            "ratios_in_range"
+        ),
+        (
+            (F.sum(F.when(F.col("ratio") < 0.45, 1).otherwise(0)) > 0)
+            & (F.sum(F.when(F.col("ratio") > 0.45, 1).otherwise(0)) > 0)
+        ).alias("has_spread"),
     )
