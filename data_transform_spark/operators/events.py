@@ -304,3 +304,74 @@ def agg_entropy(spark, sf_dir):
             )
         )
     )
+
+
+BOT_RATE = 6  # events in a single hour
+BOT_ENTROPY = 1.2  # bits; low diversity + high rate = automation signature
+
+
+@register(
+    "events_bot_flag",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    peak AS (SELECT user_id, CAST(max(n) AS BIGINT) AS max_hourly
+             FROM hourly GROUP BY user_id),
+    c AS (SELECT user_id, event_type, count(*) AS k
+          FROM events GROUP BY user_id, event_type),
+    tot AS (SELECT user_id, CAST(sum(k) AS BIGINT) AS n FROM c GROUP BY user_id),
+    ent AS (
+        SELECT c.user_id,
+               round(-sum((k / t.n) * ln(k / t.n)) / ln(2), 6) AS entropy_bits
+        FROM c JOIN tot t ON c.user_id = t.user_id
+        GROUP BY c.user_id
+    )
+    SELECT p.user_id, p.max_hourly, e.entropy_bits,
+           p.max_hourly >= {BOT_RATE} AND e.entropy_bits < {BOT_ENTROPY}
+               AS is_bot
+    FROM peak p JOIN ent e ON p.user_id = e.user_id
+    """,
+)
+def events_bot_flag(spark, sf_dir):
+    """Rule-based automation flag per user: burst rate (max events in any
+    one hour) combined with low behavioral entropy — the
+    high-volume-single-action signature that poisons engagement data and,
+    in a training-corpus pipeline, marks machine-generated interaction
+    logs for exclusion.
+
+    Both features reduce over the SAME user_id partitioning (hourly peak
+    and type entropy), so the composite is two key-local aggregate chains
+    joined on the key — no extra shuffle beyond the feature builds. The
+    thresholds are data-model constants; at scale they'd come from a
+    broadcast config table, same plan. Every arithmetic input is an exact
+    integer count, so the flag is bit-portable across engines."""
+    ev = load_events(spark, sf_dir)
+    peak = (
+        ev.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("user_id")
+        .agg(F.max("n").cast("long").alias("max_hourly"))
+    )
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("k"))
+    tot = c.groupBy("user_id").agg(F.sum("k").cast("long").alias("n"))
+    p = F.col("k") / F.col("n")
+    ent = (
+        c.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.round(-F.sum(p * F.log(p)) / F.log(F.lit(2.0)), 6).alias(
+                "entropy_bits"
+            )
+        )
+    )
+    return peak.join(ent, "user_id").select(
+        "user_id",
+        "max_hourly",
+        "entropy_bits",
+        (
+            (F.col("max_hourly") >= BOT_RATE)
+            & (F.col("entropy_bits") < BOT_ENTROPY)
+        ).alias("is_bot"),
+    )

@@ -871,3 +871,51 @@ def dedup_cluster_stats(spark, sf_dir):
         F.count(F.lit(1)).alias("n_clusters"),
         (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
     )
+
+
+PREFIX_W = 20  # words compared for prefix-duplicate families
+
+
+@register(
+    "dedup_prefix",
+    oracle=f"""
+    WITH pref AS (
+        SELECT doc_id, n_chars,
+               md5(array_to_string(string_split(text, ' ')[1:{PREFIX_W}], ' '))
+                   AS prefix_hash
+        FROM documents
+    )
+    SELECT prefix_hash, count(*) AS family_size,
+           CAST(min(doc_id) AS BIGINT) AS survivor_id,
+           CAST(max(n_chars) AS BIGINT) AS longest_chars
+    FROM pref
+    GROUP BY prefix_hash
+    HAVING count(*) > 1
+    """,
+)
+def dedup_prefix(spark, sf_dir):
+    """Prefix-duplicate families: documents sharing their first
+    {PREFIX_W} words — the truncated-copy / re-crawl signature that exact
+    hashing misses (the copies differ in length) and shingle similarity
+    under-scores (a short truncation shares few shingles with its long
+    original). Output: one row per family with its canonical survivor and
+    the longest member, the usual keep-the-longest repair input.
+
+    One shuffle on the prefix hash (md5 — uniform, skew-free), identical
+    layout to exact dedup; the prefix is computed in-row with slice+join,
+    so the shuffled key is 32 bytes regardless of document size. Suffix
+    families are the same query over the reversed slice."""
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.md5(
+        F.array_join(F.slice(F.split("text", " "), 1, PREFIX_W), " ")
+    )
+    return (
+        d.select("doc_id", "n_chars", prefix.alias("prefix_hash"))
+        .groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).alias("family_size"),
+            F.min("doc_id").cast("long").alias("survivor_id"),
+            F.max("n_chars").cast("long").alias("longest_chars"),
+        )
+        .filter(F.col("family_size") > 1)
+    )
