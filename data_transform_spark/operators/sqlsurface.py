@@ -281,3 +281,42 @@ def sql_pivot(spark, sf_dir):
         PIVOT (count(*) FOR o_orderstatus IN ('F' AS n_f, 'O' AS n_o, 'P' AS n_p))
         """
     )
+
+
+@register(
+    "sql_values_inline",
+    oracle="""
+    SELECT r.r_name, t.tier, count(*) AS n
+    FROM region r
+    JOIN (VALUES ('AFRICA', 'emerging'), ('AMERICA', 'core'),
+                 ('ASIA', 'core'), ('EUROPE', 'core'),
+                 ('MIDDLE EAST', 'emerging')) AS t(name, tier)
+      ON r.r_name = t.name
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, t.tier
+    """,
+)
+def sql_values_inline(spark, sf_dir):
+    """Inline VALUES table surface: a literal lookup (region → market
+    tier) joined against real tables without any file or temp view — the
+    idiom for small config/mapping tables embedded in a query.
+
+    Catalyst folds the VALUES into a LocalRelation: zero scan, always the
+    broadcast side, and the literal rows travel inside the plan — exactly
+    how threshold/mapping configs should reach a 100 TB query (vs a
+    one-row-per-executor file read). The DataFrame twin is
+    spark.createDataFrame; both collapse to the same LocalRelation."""
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("vi_region")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("vi_nation")
+    return spark.sql(
+        """
+        SELECT r.r_name, t.tier, count(*) AS n
+        FROM vi_region r
+        JOIN (VALUES ('AFRICA', 'emerging'), ('AMERICA', 'core'),
+                     ('ASIA', 'core'), ('EUROPE', 'core'),
+                     ('MIDDLE EAST', 'emerging')) AS t(name, tier)
+          ON r.r_name = t.name
+        JOIN vi_nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, t.tier
+        """
+    )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from data_transform_spark.io import load_table
+from data_transform_spark.io import load_events, load_table
 from data_transform_spark.registry import register
 
 
@@ -369,4 +369,44 @@ def ts_interpolate(spark, sf_dir):
         "ts",
         F.col("v").alias("value"),
         F.round(filled, 6).alias("value_filled"),
+    )
+
+
+@register(
+    "ts_rate_of_change",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           round((value - lag(value) OVER w)
+                 / greatest((epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1e6,
+                            1e-6), 6) + 0.0 AS rate_per_sec
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def ts_rate_of_change(spark, sf_dir):
+    """Discrete derivative per user: (value delta) / (seconds elapsed)
+    between consecutive events — the sensor-rate / spend-velocity
+    primitive under trend alerts and physical-unit conversions. First
+    event per user yields NULL (no predecessor); simultaneous events are
+    guarded by the epsilon denominator instead of dividing by zero. The
+    `+ 0.0` after the rounding normalizes IEEE negative zero (a tiny
+    negative delta rounds to -0.0 in DuckDB but 0.0 in Spark — the one
+    bit the engines disagree on).
+
+    One window sort on (user_id, ts) — the lag pair rides a single
+    shuffle, and the microsecond axis is exact integer arithmetic so the
+    double division is the only float op, evaluated with the identical
+    tree in both engines."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt = (
+        F.expr("unix_micros(ts)") - F.expr("unix_micros(lag(ts) OVER "
+                                           "(PARTITION BY user_id ORDER BY ts, event_id))")
+    ) / F.lit(1e6)
+    rate = (F.col("value") - F.lag("value").over(w)) / F.greatest(
+        dt, F.lit(1e-6)
+    )
+    return ev.select(
+        "event_id", "user_id", "ts", "value",
+        (F.round(rate, 6) + F.lit(0.0)).alias("rate_per_sec"),
     )
