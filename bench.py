@@ -61,6 +61,22 @@ OPTIONAL = [
 ]
 
 
+def _steal_ticks() -> int | None:
+    """Cumulative CPU-steal ticks from /proc/stat (col 8 of the 'cpu' line).
+
+    Snapshotted around each query's timed reps so a future reader can
+    distinguish a real regression from co-tenant contention WITHOUT
+    re-running: this host shows ~4% steady steal with multi-second bursts
+    that inflate any single wall sample 2-10× (r5 VERDICT "Next round" #6).
+    """
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return int(parts[8]) if parts[0] == "cpu" and len(parts) > 8 else None
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as em
@@ -87,6 +103,7 @@ def main() -> None:
     hard_deadline = now + int(os.environ.get("BENCH_TOTAL_BUDGET_SEC", "420"))
 
     timings: dict[str, float] = {}
+    steal_ticks: dict[str, int] = {}
     for n in names:
         # Per-query warm-up AT the bench SF (BASELINE.md protocol: "1
         # warm-up run, then median of 3"): the smoke-SF pass above is too
@@ -112,6 +129,7 @@ def main() -> None:
             if time.time() > warm_deadline:
                 break
             prev = w
+        steal0 = _steal_ticks()
         reps = []
         for _ in range(3):
             t0 = time.time()
@@ -120,20 +138,26 @@ def main() -> None:
             if time.time() > hard_deadline:
                 break
         timings[n] = round(statistics.median(reps), 3)
+        steal1 = _steal_ticks()
+        if steal0 is not None and steal1 is not None:
+            steal_ticks[n] = steal1 - steal0
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else sf_dir,
-            }
-        )
-    )
+    out: dict = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else sf_dir,
+    }
+    if steal_ticks:
+        # ticks are USER_HZ (100/s) summed over all CPUs; 32 cores → 3200
+        # ticks/s of capacity. A query whose timed window accrued steal
+        # comparable to its wall×cores was contended, not regressed.
+        out["steal_ticks"] = steal_ticks
+        out["steal_unit"] = "USER_HZ ticks across all cpus during the 3 timed reps"
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

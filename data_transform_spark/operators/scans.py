@@ -9,6 +9,7 @@ hash-checked against the original table's oracle.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -268,6 +269,26 @@ def scan_schema_evolution(spark, sf_dir):
     )
 
 
+def _path_fingerprint(path: str) -> str:
+    """Short content fingerprint of a parquet file-or-directory: sha256 of
+    every member file's (relpath, size, mtime_ns), driver-side metadata only.
+    Changes whenever the fixture is regenerated — cache-dir keys built from
+    it can never alias a stale layout to fresh source data."""
+    import hashlib
+
+    h = hashlib.sha256()
+    if os.path.isdir(path):
+        for dirpath, _dirnames, filenames in sorted(os.walk(path)):
+            for fname in sorted(filenames):
+                st = os.stat(os.path.join(dirpath, fname))
+                rel = os.path.relpath(os.path.join(dirpath, fname), path)
+                h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns};".encode())
+    elif os.path.exists(path):
+        st = os.stat(path)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:12]
+
+
 @register(
     "join_dpp",
     oracle="""
@@ -299,7 +320,15 @@ def join_dpp(spark, sf_dir):
     and DPP converts it into a partition predicate for free. Requires the
     fact to be partitioned on the join key — the layout decision that makes
     date-dim star joins cheap."""
-    out = f"{SCRATCH}/dpp_lineitem_{os.path.basename(sf_dir.rstrip('/'))}"
+    # Cache key = basename + content fingerprint (mtime+size of the source
+    # parquet), so a regenerated fixture at the same path — or two fixture
+    # roots sharing a basename — can never serve a stale partitioned layout
+    # while the oracle reads the live file (r5 ADVICE).
+    src = f"{sf_dir}/lineitem.parquet"
+    out = (
+        f"{SCRATCH}/dpp_lineitem_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{_path_fingerprint(src)}"
+    )
     li = load_table(spark, sf_dir, "lineitem")
     if not os.path.exists(f"{out}/_SUCCESS"):
         li.withColumn(
@@ -352,7 +381,9 @@ def sink_bucketed_join(spark, sf_dir):
         "l_orderkey", "l_quantity"
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    # Catalog identifiers admit only [A-Za-z0-9_]; sanitize EVERY other
+    # character (not just '.') so any fixture dir name works (r5 ADVICE).
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/")))
     for df, name, key in ((li, f"bkt_lineitem_{tag}", "l_orderkey"),
                           (o, f"bkt_orders_{tag}", "o_orderkey")):
         (
@@ -407,9 +438,13 @@ def sink_compaction(spark, sf_dir):
     spark.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(compact)
     n_out = len([f for f in os.listdir(compact) if f.endswith(".parquet")])
     out = spark.read.parquet(compact)
+    # Invariant: fragmented input has MORE files than compacted output.
+    # Pinning n_in == 64 assumed every round-robin partition non-empty —
+    # fragile to smaller fixtures / writers that skip empty parts (r5
+    # ADVICE); the compaction claim itself is the strict inequality.
     return out.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.lit(n_in == 64).alias("files_in_ok"),
+        F.lit(n_in > n_out).alias("files_in_ok"),
         F.lit(n_out <= 4).alias("files_out_ok"),
     )
 

