@@ -317,3 +317,81 @@ def graph_triangles(spark, sf_dir):
     return nodes.join(counts, "node", "left").select(
         "node", F.coalesce("cnt", F.lit(0)).cast("long").alias("triangles")
     )
+
+
+def pagerank_converged(
+    spark,
+    sf_dir,
+    tol: float = 1e-7,
+    max_iters: int = 40,
+    checkpoint_every: int = 3,
+):
+    """PageRank iterated until the L1 rank delta drops below ``tol``.
+
+    The production counterpart of the unrolled ``graph_pagerank`` key:
+    instead of a fixed iteration count baked into one lazy plan, each
+    iteration materializes the rank vector and a 1-row L1-delta aggregate,
+    and the loop stops when the delta converges (or at ``max_iters``).
+    Every ``checkpoint_every`` iterations the rank DataFrame is eagerly
+    localCheckpoint-ed, truncating the lineage so plan size and task
+    deserialization cost stay O(1) in the iteration count — without it,
+    iteration k replans the whole k-join tower and optimizer time grows
+    superlinearly.
+
+    Crossover (measured, SCALING.md "Iterative graph algorithms"): the
+    unrolled form wins when the iteration count is small and known —
+    one job, no per-iteration driver sync. Convergence-stop wins whenever
+    the needed depth is data-dependent (power-law graphs converge in
+    5-30 iterations depending on damping and structure): it pays one tiny
+    driver round-trip per iteration (a 1-row collect — the convergence
+    decision is inherently a driver decision) but never computes an
+    iteration it doesn't need, and bounded lineage keeps per-iteration
+    cost flat where the unrolled plan's grows.
+
+    Returns ``(rank_df, iterations_run, final_delta)``; ``rank_df`` has
+    (node, rank) with full double precision (no cross-engine rounding —
+    this is the library surface, not an oracle key).
+    """
+    e = _edges(spark, sf_dir)
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    edges = (
+        e.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("share"))
+        .localCheckpoint(eager=True)  # feeds every iteration: build once
+    )
+    nodes = load_table(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("node")
+    ).localCheckpoint(eager=True)
+    rank = nodes.select("node", F.lit(1.0 / PR_N).alias("rank"))
+
+    iters, delta = 0, float("inf")
+    for i in range(max_iters):
+        contrib = (
+            edges.join(rank, edges.src == rank.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") * F.col("share")).alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("mass"))
+        )
+        new_rank = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit((1 - PR_DAMP) / PR_N)
+                + PR_DAMP * F.coalesce(F.col("mass"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_rank = new_rank.localCheckpoint(eager=True)
+        delta = (
+            new_rank.alias("n")
+            .join(rank.alias("o"), "node")
+            .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        rank = new_rank
+        iters = i + 1
+        if delta < tol:
+            break
+    return rank, iters, delta

@@ -413,15 +413,17 @@ def ivf_index(e):
     return cent, assign
 
 
-def sim_ann_ivf_topk(spark, sf_dir):
+def sim_ann_ivf_topk(spark, sf_dir, probes: int = IVF_PROBES):
     """ANN top-k via an IVF coarse quantizer (k-means inverted lists).
 
-    Queries probe their IVF_PROBES nearest centroids and score exact cosine
-    only against those lists' members — the classic IVF-Flat shape. At scale
-    the centroid set stays broadcast-sized (K ~ sqrt(N)) and each list is a
-    partition-prunable bucket of the corpus. Recall is asserted vs
-    sim_topk_bruteforce in tests/test_pipeline.py and bounds-checked by the
-    registered sim_ann_ivf key.
+    Queries probe their ``probes`` nearest centroids (default IVF_PROBES)
+    and score exact cosine only against those lists' members — the classic
+    IVF-Flat shape. At scale the centroid set stays broadcast-sized
+    (K ~ sqrt(N)) and each list is a partition-prunable bucket of the
+    corpus. Recall is asserted vs sim_topk_bruteforce in
+    tests/test_pipeline.py and bounds-checked by the registered sim_ann_ivf
+    key; the measured recall/probes curve is in SCALING.md (probes is THE
+    runtime recall/latency knob — the index itself is probe-agnostic).
     """
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
@@ -443,7 +445,7 @@ def sim_ann_ivf_topk(spark, sf_dir):
         q.crossJoin(F.broadcast(cent))
         .select("query_id", "q_emb", "c_id", sqdiff_q.alias("qdist"))
         .withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= IVF_PROBES)
+        .filter(F.col("_rn") <= probes)
         .select("query_id", "q_emb", F.col("c_id").alias("list_id"))
     )
     cand = F.broadcast(probes).join(corpus, "list_id").filter(

@@ -400,3 +400,31 @@ class TestMinhashSizeGate:
         assert not tracker.getJobIdsForGroup(group), (
             "filtered-frame gate probe ran a Spark job"
         )
+
+
+class TestPagerankConverged:
+    def test_converges_and_preserves_mass(self, spark, sf_dir):
+        from data_transform_spark.operators.graph import PR_DAMP, PR_N, pagerank_converged
+
+        rank, iters, delta = pagerank_converged(spark, sf_dir, tol=1e-9, max_iters=60)
+        assert delta < 1e-9, f"did not converge: delta={delta} after {iters} iters"
+        assert iters < 60, "hit max_iters — convergence stop never fired"
+        rows = rank.collect()
+        assert len(rows) == PR_N
+        total = sum(r.rank for r in rows)
+        assert 0 < total <= 1.0 + 1e-9  # dangling leak keeps mass <= 1
+        floor = (1 - PR_DAMP) / PR_N
+        assert all(r.rank >= floor - 1e-12 for r in rows)
+
+    def test_fixpoint_refines_unrolled_ranks(self, spark, sf_dir):
+        """The converged vector is what the 3-iteration unrolled key is
+        approaching: per-node |converged - unrolled_3| must be well below
+        the unrolled key's own first-to-third iteration movement."""
+        from data_transform_spark.operators.graph import pagerank_converged
+        from data_transform_spark.registry import QUERIES
+
+        conv = {r.node: r.rank for r in pagerank_converged(spark, sf_dir)[0].collect()}
+        un3 = {r.node: r.rank for r in QUERIES["graph_pagerank"](spark, sf_dir).collect()}
+        assert set(conv) == set(un3)
+        max_gap = max(abs(conv[n] - un3[n]) for n in conv)
+        assert max_gap < 0.01, f"converged vs unrolled-3 diverged: {max_gap}"
