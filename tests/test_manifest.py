@@ -90,3 +90,28 @@ def test_real_key_closure_reaches_shared_helpers():
 def test_oracle_string_still_hashed(tmp_path):
     mod = _load(tmp_path, _V1)
     assert key_hash(mod.op, "SELECT 1") != key_hash(mod.op, "SELECT 2")
+
+
+def test_registry_growth_does_not_flip_hashes():
+    """The register decorator's code reaches the mutable QUERIES/ORACLES
+    dicts; they must be excluded from closures — their content and order
+    depend on module import order (pytest's differs from the driver's),
+    which made udtf_tokenize / udf_sql_registered / scan_python_datasource
+    hashes flip between processes (r6 full-suite flake)."""
+    import __spark_entry__  # noqa: F401
+
+    from data_transform_spark.registry import ORACLES, QUERIES, register
+
+    keys = ("udtf_tokenize", "udf_sql_registered", "scan_python_datasource")
+    before = {k: key_hash(QUERIES[k], ORACLES.get(k)) for k in keys}
+
+    @register("_manifest_probe_key", oracle="SELECT 1 AS one")
+    def _probe(spark, sf_dir):  # pragma: no cover - never executed
+        return None
+
+    try:
+        after = {k: key_hash(QUERIES[k], ORACLES.get(k)) for k in keys}
+        assert before == after, "registry growth flipped existing key hashes"
+    finally:
+        QUERIES.pop("_manifest_probe_key", None)
+        ORACLES.pop("_manifest_probe_key", None)

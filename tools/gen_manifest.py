@@ -39,6 +39,14 @@ MANIFEST = os.path.join(_REPO, "tools", "source_manifest.json")
 
 _PKG = "data_transform_spark"
 
+# Module-level MUTABLE state reachable from closures (via the register
+# decorator's own code) that must never join a key's hash: populated at
+# import time in import order, so its repr is process-dependent.
+_MUTABLE_STATE = {
+    f"{_PKG}.registry.QUERIES",
+    f"{_PKG}.registry.ORACLES",
+}
+
 # Constant leaves whose repr is deterministic across processes. Containers
 # qualify only when every leaf does (a dict of FUNCTIONS like
 # registry.QUERIES reprs with 0x addresses — per-process noise, skipped);
@@ -119,6 +127,11 @@ def _walk(obj, items: dict[str, str]) -> None:
     for name in sorted(_code_names(code)):
         if name.startswith("__") and name.endswith("__"):
             continue  # dunders (__name__, __file__) — not behavior
+        if f"{owner}.{name}" in _MUTABLE_STATE:
+            # registry state, not key behavior: content/order depends on
+            # module import order (pytest imports differ from the driver's),
+            # which made these keys' hashes flip between processes
+            continue
         ref = g.get(name)
         if ref is None:
             continue
