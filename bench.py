@@ -58,6 +58,10 @@ OPTIONAL = [
     "text_chunk_dedup",
     "tokenize_vocab",
     "join_bloom_prefilter",
+    # round-6 additions: containment dedup, transition matrix, centroids
+    "dedup_containment",
+    "events_transitions",
+    "sim_label_centroids",
 ]
 
 

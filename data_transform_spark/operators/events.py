@@ -375,3 +375,48 @@ def events_bot_flag(spark, sf_dir):
             & (F.col("entropy_bits") < BOT_ENTROPY)
         ).alias("is_bot"),
     )
+
+
+@register(
+    "events_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev
+        FROM events
+    )
+    SELECT prev, event_type AS curr, count(*) AS n,
+           count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY prev) AS p
+    FROM seq WHERE prev IS NOT NULL
+    GROUP BY prev, event_type
+    """,
+)
+def events_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event sequences:
+    (prev event_type -> curr event_type) counts and row-normalized
+    transition probabilities — the user-journey fingerprint behind
+    next-action prediction and bot detection.
+
+    One window sort per user (lag) + one aggregation: both shuffle on
+    user_id / the 5x5 transition key respectively, so the plan is two
+    exchanges regardless of corpus size; the transition matrix itself is
+    |event_types|^2 rows — driver-tiny at any scale. p = n / row_total is
+    an exact integer-ratio double, bit-identical across engines.
+    (event_id breaks ts ties so the sequence — and thus the matrix — is
+    deterministic.)"""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    counts = seq.groupBy("prev", F.col("event_type").alias("curr")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_total = Window.partitionBy("prev")
+    return counts.select(
+        "prev",
+        "curr",
+        "n",
+        (F.col("n") * 1.0 / F.sum("n").over(row_total)).alias("p"),
+    )

@@ -957,3 +957,116 @@ def dedup_prefix(spark, sf_dir):
         )
         .filter(F.col("family_size") > 1)
     )
+
+
+CONTAIN_TAU = 0.8  # containment acceptance threshold (|A∩B| / min set size)
+# Containment uses WIDER shingles than the jaccard/minhash family: 5-grams.
+# Width is the blocking-selectivity knob — on this fixture's 31-word vocab a
+# 3-gram has median df≈9 (31³ possible shingles vs 260k rows), which bloated
+# the prefix⋈full candidate join to 180k pairs; 5-grams are near-unique
+# (df≈1) and containment of long spans is what the operator detects anyway.
+CONTAIN_K = 5
+
+
+def _kgrams(df, k: int):
+    """doc_id, shingle — word k-grams (parametrized twin of _shingles)."""
+    df = spread(df)
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return df.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+{CONTAIN_K - 1}], ' ') AS shingle
+        FROM toks, unnest(generate_series(1, greatest(len(t) - {CONTAIN_K - 1}, 1))) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, c * 1.0 / least(sa.n, sb.n) AS containment
+    FROM shared
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE c * 1.0 / least(sa.n, sb.n) >= {CONTAIN_TAU}
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Asymmetric near-dup detection: shingle-set CONTAINMENT
+    |A∩B| / min(|A|,|B|) >= tau — catches doc-inside-doc overlap (quoted
+    pages, boilerplate-wrapped reposts, chunk supersets) that symmetric
+    jaccard structurally misses: a small doc fully contained in one 10x
+    its size has jaccard <= 0.1 but containment 1.0.
+
+    Lossless probe-prefix filter (the asymmetric variant of
+    dedup_ngram_jaccard's PPJoin): order shingles globally by (df,
+    shingle); each doc indexes its p = n - ceil(tau*n) + 1 rarest
+    shingles, and candidates come from joining that prefix against the
+    FULL shingle index. Proof of losslessness: for a qualifying pair let
+    S be the smaller set — shared >= tau*|S|, while a pair sharing
+    nothing in S's prefix shares <= |S| - p = ceil(tau*|S|) - 1 <
+    tau*|S| shingles; contradiction, so some shared shingle sits in S's
+    prefix, and the full index guarantees the partner indexed it too.
+    (Jaccard's prefix⋈prefix join does not work here — the LARGER doc's
+    lossless prefix depends on its partner's size, so the big side must
+    expose its full set.) Cost: |prefix| × df per shingle, and the
+    prefix prefers the LOWEST-df shingles, so high-df shingles rarely
+    enter it; the exact verify then touches candidates only. containment
+    is an exact integer ratio → bit-identical double in both engines
+    (the oracle is the quadratic all-pairs twin)."""
+    # sh feeds FIVE subtrees (sizes, df, prefix, full index, exact verify):
+    # checkpoint eagerly so the tokenize+explode runs once, not five times
+    # (same discipline as dedup_near_minhash's signature reuse).
+    sh = _kgrams(
+        load_table(spark, sf_dir, "documents"), CONTAIN_K
+    ).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+
+    w_rarity = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    # ceil(tau*n) on a double can land one ulp HIGH (0.8*20 -> 16.0000…04,
+    # ceil 17), silently shortening the prefix below the lossless minimum —
+    # nudge down by 1e-9 so ties resolve to the longer (still lossless) side.
+    p_len = F.col("n") - F.ceil(F.lit(CONTAIN_TAU) * F.col("n") - F.lit(1e-9)) + 1
+    prefix = (
+        sh.join(df, "shingle")
+        .withColumn("rn", F.row_number().over(w_rarity))
+        .join(sizes, "doc_id")
+        .filter(F.col("rn") <= p_len)
+        .select("doc_id", "shingle")
+    )
+    full = sh.select(F.col("doc_id").alias("f_id"), "shingle")
+    cand = (
+        prefix.join(full, "shingle")
+        .filter(F.col("doc_id") != F.col("f_id"))
+        .select(
+            F.least("doc_id", "f_id").alias("doc_a"),
+            F.greatest("doc_id", "f_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("sh_b"))
+    shared = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, (F.col("doc_b") == F.col("b_id")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    cont = F.col("c") * 1.0 / F.least("na", "nb")
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(cont >= CONTAIN_TAU)
+        .select("doc_a", "doc_b", cont.alias("containment"))
+    )

@@ -649,3 +649,84 @@ def dedup_embed_cosine(spark, sf_dir):
     nodes = emb.select(F.col("vec_id").alias("doc_id"))
     survivors = cc_survivor_ids(nodes, pairs).select(F.col("doc_id").alias("vec_id"))
     return emb.join(survivors, "vec_id", "left_semi").orderBy("vec_id")
+
+
+@register(
+    "sim_label_centroids",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    pos AS (SELECT label, vec_id, i - 1 AS pos, emb[i] AS v
+            FROM e, unnest(generate_series(1, len(emb))) AS u(i)),
+    cent AS (SELECT label, pos,
+                    CAST(sum(CAST(round(v, 12) AS DECIMAL(27,12))) AS DOUBLE)
+                        / count(*) AS cv
+             FROM pos GROUP BY label, pos),
+    carr AS (SELECT label, list(cv ORDER BY pos) AS c_emb FROM cent GROUP BY label),
+    scored AS (SELECT e.label, e.vec_id,
+                      round({{cos}}, 12) AS cos
+               FROM e JOIN carr c ON e.label = c.label),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY label
+                                            ORDER BY cos, vec_id) AS rn
+               FROM scored)
+    SELECT label, count(*) AS n_vecs,
+           round(CAST(sum(CAST(cos AS DECIMAL(27,12))) AS DOUBLE) / count(*), 6)
+               AS avg_cos,
+           round(min(cos), 6) AS min_cos,
+           min(CASE WHEN rn = 1 THEN vec_id END) AS outlier_vec_id
+    FROM ranked GROUP BY label
+    """.format(cos=_sql_cos("e.emb", "c.c_emb")),
+)
+def sim_label_centroids(spark, sf_dir):
+    """Per-label centroid quality profile: each label's mean vector, every
+    member's cosine to its own centroid, and the per-label outlier (lowest
+    cosine) — the curation primitive behind label-noise detection and
+    centroid-distance quality filtering.
+
+    Shape: one posexplode + (label, pos) aggregation builds the centroids
+    (|labels| x dim rows — broadcast-tiny at any corpus size), then one
+    broadcast join scores every vector in a single pass; the final
+    aggregate is |labels| rows. No pairwise work anywhere — this is the
+    O(N·d) companion to the O(N²) similarity keys.
+
+    Numeric discipline (same as graph_pagerank): centroid components and
+    the avg-cosine are summed as round(·,12)-then-DECIMAL(27,12) partials —
+    exact, partition-order-independent — and divided in double, so both
+    engines produce bit-identical values and the key is hash-checkable.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    pos = e.select("label", "vec_id", F.posexplode("emb").alias("pos", "v"))
+    cent = (
+        pos.groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.round("v", 12).cast("decimal(27,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("cv")
+        )
+        .groupBy("label")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "cv"))).alias("pc"))
+        .select("label", F.col("pc.cv").alias("c_emb"))
+    )
+    scored = e.join(F.broadcast(cent), "label").select(
+        "label",
+        "vec_id",
+        F.round(_cos(F.col("emb"), F.col("c_emb")), 12).alias("cos"),
+    )
+    w = Window.partitionBy("label").orderBy("cos", "vec_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum(F.col("cos").cast("decimal(27,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_cos"),
+            F.round(F.min("cos"), 6).alias("min_cos"),
+            F.min(F.when(F.col("_rn") == 1, F.col("vec_id"))).alias("outlier_vec_id"),
+        )
+    )

@@ -454,3 +454,12 @@ def test_anomaly_zscore_two_shuffles(spark, sf_dir):
     p = plan_of(spark, "events_anomaly_zscore", sf_dir)
     n = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
     assert n <= 2, f"anomaly scoring grew a third shuffle:\n{p}"
+
+
+def test_label_centroids_broadcast_no_smj(spark, sf_dir):
+    """The |labels| x dim centroid table must broadcast onto the corpus —
+    a shuffle join would re-shuffle every embedding row at 100 TB for a
+    dimension that is driver-tiny by construction."""
+    p = plan_of(spark, "sim_label_centroids", sf_dir)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p, f"centroid join fell back to SMJ:\n{p}"
