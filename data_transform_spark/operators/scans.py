@@ -491,3 +491,74 @@ def scan_binary_files(spark, sf_dir):
             F.md5("content").alias("checksum"),
         )
     )
+
+
+def _z_interleave_sql(bx: str, by: str) -> str:
+    """16-bit Morton code: interleave two 8-bit bucket ranks (bx gets the
+    odd/high bit lanes). Plain `>> & <<` arithmetic — parses identically in
+    Spark SQL and DuckDB, so the same string serves operator and oracle."""
+    terms = []
+    for i in range(8):
+        terms.append(f"((({bx} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({by} >> {i}) & 1) << {2 * i})")
+    return "CAST(" + " | ".join(terms) + " AS BIGINT)"
+
+
+@register(
+    "sink_zorder",
+    oracle=f"""
+    WITH r AS (
+        SELECT l_orderkey, l_linenumber, l_shipdate, l_partkey,
+               ntile(256) OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber)
+                   - 1 AS bx,
+               ntile(256) OVER (ORDER BY l_partkey, l_orderkey, l_linenumber)
+                   - 1 AS by
+        FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_partkey,
+           {_z_interleave_sql("bx", "by")} AS zval
+    FROM r
+    """,
+)
+def sink_zorder(spark, sf_dir):
+    """Z-ORDER layout rewrite: cluster the fact on TWO dimensions at once
+    (ship date x part key) by sorting on the Morton interleave of their
+    256-bucket equal-height ranks, then range-partition the write. Each
+    output file then covers a narrow range of BOTH dimensions, so file-level
+    min/max pruning works for predicates on either — the multi-dimensional
+    counterpart of sink_partitioned (one dim) and sink_bucketed_join (hash,
+    no range locality). Lakehouse OPTIMIZE ZORDER is this exact mechanism.
+
+    The write itself is fully distributed (repartitionByRange on zval =
+    one range-partitioned sort — the same job shape any large sort uses).
+    The 256-bucket ranks here come from exact global ntile windows so the
+    key is hash-checkable against the SQL twin; at 100 TB the ranks come
+    from sampled quantile boundaries instead (what production z-ordering
+    does — layout quality is unchanged, only boundary placement is
+    approximate, and the pruning test is the invariant that matters).
+    Pruning win is pinned by tests/test_plans.py::test_zorder_files_cluster_both_dims.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    wq = Window.orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    wp = Window.orderBy("l_partkey", "l_orderkey", "l_linenumber")
+    ranked = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        "l_partkey",
+        (F.ntile(256).over(wq) - 1).alias("bx"),
+        (F.ntile(256).over(wp) - 1).alias("by"),
+    ).withColumn("zval", F.expr(_z_interleave_sql("bx", "by")))
+    out = f"{SCRATCH}/zorder_lineitem_{os.path.basename(sf_dir.rstrip('/'))}"
+    (
+        ranked.select(
+            "l_orderkey", "l_linenumber", "l_shipdate", "l_partkey", "zval"
+        )
+        .repartitionByRange(16, "zval")
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out).select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_partkey", "zval"
+    )

@@ -463,3 +463,33 @@ def test_label_centroids_broadcast_no_smj(spark, sf_dir):
     p = plan_of(spark, "sim_label_centroids", sf_dir)
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p, f"centroid join fell back to SMJ:\n{p}"
+
+
+def test_zorder_files_cluster_both_dims(spark, sf_dir):
+    """Every z-ordered output file must cover a NARROW range of BOTH
+    clustering dimensions — that is the property file-level min/max pruning
+    needs, and the reason z-order beats a single-dim sort (which clusters
+    one dimension and leaves the other's per-file range at ~100%)."""
+    from pyspark.sql import functions as F
+
+    from data_transform_spark.operators.scans import SCRATCH
+
+    QUERIES["sink_zorder"](spark, sf_dir).count()  # materialize layout
+    tag = __import__("os").path.basename(sf_dir.rstrip("/"))
+    df = spark.read.parquet(f"{SCRATCH}/zorder_lineitem_{tag}").withColumn(
+        "f", F.input_file_name()
+    )
+    per_file = df.groupBy("f").agg(
+        (F.max("l_partkey") - F.min("l_partkey")).alias("pk_w"),
+        (F.datediff(F.max("l_shipdate"), F.min("l_shipdate"))).alias("sd_w"),
+    )
+    glob = df.agg(
+        (F.max("l_partkey") - F.min("l_partkey")).alias("pk_g"),
+        (F.datediff(F.max("l_shipdate"), F.min("l_shipdate"))).alias("sd_g"),
+    ).first()
+    rows = per_file.collect()
+    assert len(rows) >= 8, f"expected >=8 z-range files, got {len(rows)}"
+    avg_pk = sum(r.pk_w for r in rows) / len(rows) / glob.pk_g
+    avg_sd = sum(r.sd_w for r in rows) / len(rows) / glob.sd_g
+    assert avg_pk < 0.55, f"partkey not clustered: avg file width {avg_pk:.2f}"
+    assert avg_sd < 0.55, f"shipdate not clustered: avg file width {avg_sd:.2f}"
