@@ -251,3 +251,41 @@ def udf_arrow_scalar(spark, sf_dir):
     return o.select(
         "o_orderkey", tag(F.col("o_orderpriority"), F.col("o_orderkey")).alias("tag")
     )
+
+
+@register(
+    "udf_pandas_window",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(avg(o_totalprice) OVER (
+               PARTITION BY o_orderpriority ORDER BY o_orderkey
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS roll_avg
+    FROM orders
+    """,
+)
+def udf_pandas_window(spark, sf_dir):
+    """Pandas UDF evaluated OVER A WINDOW FRAME — the third pandas-UDF
+    execution mode after scalar (udf_pandas_scalar) and grouped-agg
+    (udf_pandas_agg): Spark slices each bounded frame (3 PRECEDING .. 
+    CURRENT ROW) out of the Arrow batch and hands it to the UDF as a
+    Series, so arbitrary Python aggregations become window functions
+    without JVM code. Bounded frames are required by the engine (an
+    unbounded pandas window frame would re-ship the whole partition per
+    row); the oracle is the built-in AVG over the identical frame."""
+    from pyspark.sql import Window
+
+    @F.pandas_udf("double")
+    def p_mean(v: pd.Series) -> float:
+        return float(v.mean())
+
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderkey")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(p_mean("o_totalprice").over(w), 4).alias("roll_avg"),
+    )

@@ -562,3 +562,43 @@ def sink_zorder(spark, sf_dir):
     return spark.read.parquet(out).select(
         "l_orderkey", "l_linenumber", "l_shipdate", "l_partkey", "zval"
     )
+
+
+@register(
+    "sink_dynamic_overwrite",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           CASE WHEN l_returnflag = 'A' THEN 0.0 ELSE l_discount END AS l_discount
+    FROM lineitem
+    """,
+)
+def sink_dynamic_overwrite(spark, sf_dir):
+    """INSERT-OVERWRITE with DYNAMIC partition overwrite: a backfill that
+    rewrites ONLY the partitions present in the incoming data (here: the
+    'A' return-flag partition gets its discounts zeroed) while every other
+    partition's files are left physically untouched — `static` mode would
+    have deleted them. THE incremental-reprocessing primitive at 100 TB:
+    re-run one day/segment without touching (or even listing) the rest of
+    the table. The conf is set per-write and restored; untouched-partition
+    file identity is pinned by
+    tests/test_plans.py::test_dynamic_overwrite_leaves_other_partitions.
+    """
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"{SCRATCH}/dynover_lineitem_{tag}"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_discount"
+    )
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    patched = li.filter(F.col("l_returnflag") == "A").withColumn(
+        "l_discount", F.lit(0.0)
+    )
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        patched.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    df = spark.read.parquet(out)
+    # partitionBy moves the column last and infers its type; restore the
+    # original name/type/order (same recipe as sink_partitioned)
+    return df.select(*[F.col(c.name).cast(c.dataType) for c in li.schema])

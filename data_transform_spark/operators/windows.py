@@ -391,3 +391,38 @@ def win_running_distinct(spark, sf_dir):
         )
         .select("user_id", "ts", "event_id", "distinct_types_seen")
     )
+
+
+@register(
+    "win_moving_median",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5) OVER (
+               PARTITION BY o_orderpriority ORDER BY o_orderkey
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS mov_median
+    FROM orders
+    """,
+)
+def win_moving_median(spark, sf_dir):
+    """Moving MEDIAN over a 7-row frame — the robust (outlier-immune)
+    counterpart of win_moving's rolling mean, the shape monitoring systems
+    use for spiky series. Spark's `percentile` is frame-capable where
+    `median` is not (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC); both
+    engines linearly interpolate even-sized frames (DuckDB twin:
+    quantile_cont), so the rounded values hash-match. Per-frame cost is
+    O(frame log frame) — fine for small frames; a 100 TB sliding median
+    over large frames would use the two-heap streaming algorithm inside
+    applyInPandas instead."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderkey")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.expr("percentile(o_totalprice, 0.5)").over(w), 4).alias(
+            "mov_median"
+        ),
+    )
