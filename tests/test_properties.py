@@ -100,3 +100,106 @@ def test_groupby_sum_matches_duckdb(spark, rows):
     }
     con.close()
     assert got == want
+
+
+def test_transition_probabilities_row_normalize(spark, sf_dir):
+    """Each prev-state's outgoing transition probabilities must sum to 1
+    and every count must be positive."""
+    import __spark_entry__  # noqa: F401
+    from data_transform_spark.registry import QUERIES
+
+    rows = QUERIES["events_transitions"](spark, sf_dir).collect()
+    assert rows
+    by_prev = {}
+    for r in rows:
+        assert r.n > 0
+        assert 0 < r.p <= 1
+        by_prev.setdefault(r.prev, 0.0)
+        by_prev[r.prev] += r.p
+    for prev, total in by_prev.items():
+        assert abs(total - 1.0) < 1e-9, f"{prev}: probabilities sum to {total}"
+
+
+def test_containment_bounds_and_includes_exact_dups(spark, sf_dir):
+    """Containment values live in [tau, 1]; every EXACT duplicate pair
+    (identical text, distinct ids) must appear with containment 1.0 —
+    exact dups are the easiest containment case and losing one would mean
+    the prefix filter dropped a qualifying pair."""
+    import __spark_entry__  # noqa: F401
+    from data_transform_spark.io import load_table
+    from data_transform_spark.pipeline.dedup import CONTAIN_TAU
+    from data_transform_spark.registry import QUERIES
+
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in QUERIES["dedup_containment"](spark, sf_dir).collect()
+    }
+    for v in got.values():
+        assert CONTAIN_TAU <= v <= 1.0
+    # brute-force python containment over the whole (small) fixture: the
+    # lossless-prefix claim means the operator must find EVERY pair
+    from data_transform_spark.pipeline.dedup import CONTAIN_K
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    sets = {}
+    for r in d:
+        toks = r.text.split(" ")
+        ks = {
+            " ".join(toks[i : i + CONTAIN_K])
+            for i in range(max(len(toks) - CONTAIN_K + 1, 1))
+        }
+        sets[r.doc_id] = ks
+    ids = sorted(sets)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            m = min(len(sets[a]), len(sets[b]))
+            if m and inter / m >= CONTAIN_TAU:
+                want[(a, b)] = inter / m
+    assert want, "fixture has no qualifying containment pairs?"
+    assert set(got) == set(want), (
+        f"pair sets differ: missing={set(want) - set(got)} "
+        f"extra={set(got) - set(want)}"
+    )
+
+
+@given(st.lists(st.tuples(st.integers(0, 255), st.integers(0, 255)),
+                min_size=1, max_size=50))
+@settings(max_examples=30, deadline=None)
+def test_morton_interleave_is_injective_and_monotone_in_blocks(pairs):
+    """The z-interleave must be a bijection on (bx, by) in [0,256)² and
+    share the high-bit block structure (same top bits of both dims → same
+    z block) — the property file-range clustering relies on."""
+    from data_transform_spark.operators.scans import _z_interleave_sql
+
+    expr = _z_interleave_sql("bx", "by")
+
+    def z_py(bx, by):
+        z = 0
+        for i in range(8):
+            z |= ((bx >> i) & 1) << (2 * i + 1)
+            z |= ((by >> i) & 1) << (2 * i)
+        return z
+
+    seen = {}
+    for bx, by in pairs:
+        z = z_py(bx, by)
+        assert 0 <= z < 1 << 16
+        if (bx, by) in seen:
+            assert seen[(bx, by)] == z
+        else:
+            assert z not in seen.values() or (bx, by) in seen
+            seen[(bx, by)] = z
+        # block structure: top 2 bits of each dim = top 4 bits of z
+        assert z >> 12 == (
+            ((bx >> 7) & 1) << 3
+            | ((by >> 7) & 1) << 2
+            | ((bx >> 6) & 1) << 1
+            | ((by >> 6) & 1)
+        )
+    # the SQL string matches the python model on a sample row (spot check
+    # via literal substitution happens in the oracle parity suite; here we
+    # just pin that the expression mentions every bit lane once)
+    for i in range(8):
+        assert f"<< {2 * i + 1})" in expr and f"<< {2 * i})" in expr
