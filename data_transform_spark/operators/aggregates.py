@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from data_transform_spark.io import load_table
+from data_transform_spark.io import load_events, load_table
 from data_transform_spark.registry import register
 
 
@@ -514,5 +514,127 @@ def agg_grouping_id(spark, sf_dir):
             "g_priority",
             "g_status",
             "n",
+        )
+    )
+
+
+CMS_D = 4  # count-min sketch depth (independent hash rows)
+CMS_W = 64  # sketch width (cells per row)
+CMS_PROBES = 5  # heavy hitters probed against the sketch
+
+
+@register(
+    "agg_cms_heavyhitters",
+    oracle=f"""
+    WITH h AS (
+        SELECT user_id, r,
+               CAST(('0x' || substring(md5(CAST(r AS VARCHAR) || ':' ||
+                    CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % {CMS_W} AS c
+        FROM events, unnest([0, 1, 2, 3]) AS t(r)
+    ),
+    cells AS (SELECT r, c, count(*) AS n FROM h GROUP BY r, c),
+    heavy AS (
+        SELECT user_id, count(*) AS true_n FROM events GROUP BY user_id
+        QUALIFY row_number() OVER (ORDER BY true_n DESC, user_id) <= {CMS_PROBES}
+    ),
+    probe AS (
+        SELECT hv.user_id, hv.true_n, r.r,
+               CAST(('0x' || substring(md5(CAST(r.r AS VARCHAR) || ':' ||
+                    CAST(hv.user_id AS VARCHAR)), 1, 8)) AS BIGINT) % {CMS_W} AS c
+        FROM heavy hv, unnest([0, 1, 2, 3]) AS r(r)
+    )
+    SELECT p.user_id, p.true_n, CAST(min(ce.n) AS BIGINT) AS est_n,
+           min(ce.n) >= p.true_n AS no_undercount
+    FROM probe p JOIN cells ce ON p.r = ce.r AND p.c = ce.c
+    GROUP BY p.user_id, p.true_n
+    """,
+)
+def agg_cms_heavyhitters(spark, sf_dir):
+    """Count-min sketch built as TWO shard sketches merged by cell-wise
+    sum, then probed for the top heavy hitters: est(u) = min over rows of
+    cell[r][hash_r(u)], with the CMS guarantee est >= true (one-sided
+    error) surfacing as the hash-checked no_undercount column.
+
+    The sketch is a d×w integer grid — mergeable by + (shards/executors/
+    days combine associatively, demonstrated here by building the two
+    event_id-parity shards separately), O(d·w) memory regardless of key
+    cardinality, and built in ONE shuffle of (r, c) cells. The oracle
+    builds the same cells directly from all events — cell-wise sum over
+    shards is definitionally the same multiset count, so the hash match
+    also proves the merge correct. Hashes are the engine-portable 32-bit
+    md5 prefixes (same recipe as sample_hash)."""
+    ev = load_events(spark, sf_dir).select("event_id", "user_id")
+
+    def cms_cells(df):
+        rows = df.select(
+            "user_id",
+            F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("r"),
+        ).withColumn(
+            "c",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("r").cast("string"),
+                            F.lit(":"),
+                            F.col("user_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % CMS_W,
+        )
+        return rows.groupBy("r", "c").agg(F.count(F.lit(1)).alias("n"))
+
+    shard_a = cms_cells(ev.filter(F.col("event_id") % 2 == 0))
+    shard_b = cms_cells(ev.filter(F.col("event_id") % 2 == 1))
+    cells = (
+        shard_a.unionByName(shard_b)
+        .groupBy("r", "c")
+        .agg(F.sum("n").alias("n"))
+    )
+    # orderBy+limit plans as TakeOrderedAndProject (distributed per-partition
+    # top-k + tiny driver merge) — a global row_number window here would
+    # single-partition the per-user counts
+    heavy = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .orderBy(F.col("true_n").desc(), "user_id")
+        .limit(CMS_PROBES)
+    )
+    probe = heavy.select(
+        "user_id",
+        "true_n",
+        F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("r"),
+    ).withColumn(
+        "c",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("r").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CMS_W,
+    )
+    return (
+        F.broadcast(probe)
+        .join(cells, ["r", "c"])
+        .groupBy("user_id", "true_n")
+        .agg(
+            F.min("n").cast("long").alias("est_n"),
+            (F.min("n") >= F.col("true_n")).alias("no_undercount"),
         )
     )

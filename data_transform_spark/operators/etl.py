@@ -280,3 +280,52 @@ def dq_profile(spark, sf_dir):
         .unionAll(prof("c_acctbal", as_dec))
         .unionAll(prof("c_nationkey", as_str))
     )
+
+
+@register(
+    "agg_incremental_merge",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS total,
+           min(o_totalprice) AS mn, max(o_totalprice) AS mx
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_incremental_merge(spark, sf_dir):
+    """Incremental aggregation via MERGEABLE partial state: the table is
+    split into an 'already processed' half and a 'new data' delta (by
+    order date), each half aggregated to per-group partials (count /
+    decimal-exact sum / min / max), and the two partial sets are merged —
+    count+count, sum+sum, min(min), max(max). The oracle recomputes from
+    scratch, so the hash match IS the incremental-equals-full proof.
+
+    The production pattern behind every incremental ETL: at 100 TB you
+    never re-aggregate history — you keep yesterday's partials (a tiny
+    per-group table) and fold in today's delta. Works for any
+    commutative-monoid aggregate; avg rides as sum+count (never avg of
+    avgs); exactness of the merged sum comes from DECIMAL partials, the
+    same discipline as graph_pagerank."""
+    o = load_table(spark, sf_dir, "orders")
+    split = "1995-01-01"
+
+    def partials(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_d"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+
+    history = partials(o.filter(F.col("o_orderdate") < split))
+    delta = partials(o.filter(F.col("o_orderdate") >= split))
+    return (
+        history.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("total_d").cast("double"), 2).alias("total"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
