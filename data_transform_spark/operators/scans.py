@@ -602,3 +602,40 @@ def sink_dynamic_overwrite(spark, sf_dir):
     # partitionBy moves the column last and infers its type; restore the
     # original name/type/order (same recipe as sink_partitioned)
     return df.select(*[F.col(c.name).cast(c.dataType) for c in li.schema])
+
+
+@register("scan_csv_malformed", oracle="SELECT * FROM nation")
+def scan_csv_malformed(spark, sf_dir):
+    """Error-tolerant CSV ingestion: the staged directory contains the
+    clean nation export PLUS a file of planted malformed lines (bad int,
+    wrong arity), read back in DROPMALFORMED mode — bad rows are skipped,
+    clean rows survive byte-exact (the oracle is the original table).
+    Real landed data always contains garbage lines; at 100 TB the choice
+    is per-row tolerance (this), PERMISSIVE quarantine into a
+    _corrupt_record column (pinned by
+    tests/test_plans.py::test_permissive_csv_quarantines_bad_rows), or
+    FAILFAST for contract-enforced feeds — all three are one option flag
+    on the same scan, never a cleansing pre-pass over the corpus."""
+    nation = load_table(spark, sf_dir, "nation")
+    out_dir = f"{SCRATCH}/scan_csv_malformed_{os.path.basename(sf_dir.rstrip('/'))}"
+    marker = f"{out_dir}/_planted"
+    if not os.path.exists(marker):
+        nation.write.mode("overwrite").options(
+            header=True, quote='"', escape='"'
+        ).csv(out_dir)
+        # separate file: Spark skips line 1 of EVERY file as header, so the
+        # sacrificial header keeps the planted rows aligned
+        with open(f"{out_dir}/malformed.csv", "w") as f:
+            f.write(
+                "n_nationkey,n_name,n_regionkey,n_comment\n"
+                "notanint,BADLAND,0,unparseable key\n"
+                "1,2,3,4,5,6,7\n"
+                'alsobad,"X",zero,"trailing mess"\n'
+            )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return (
+        spark.read.schema(nation.schema)
+        .options(header=True, quote='"', escape='"', mode="DROPMALFORMED")
+        .csv(out_dir)
+    )

@@ -541,3 +541,43 @@ def test_dynamic_overwrite_leaves_other_partitions(spark, sf_dir):
     assert files_of("R") == before_r, "partition R was rewritten"
     assert files_of("N") == before_n, "partition N was rewritten"
     assert files_of("A") != a_before, "partition A was NOT rewritten"
+
+
+def test_permissive_csv_quarantines_bad_rows(spark, sf_dir):
+    """PERMISSIVE mode must load every line, quarantining exactly the 3
+    planted malformed rows into _corrupt_record with nulls elsewhere —
+    the audit-trail alternative to DROPMALFORMED's silent skip."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField
+
+    from data_transform_spark.io import load_table
+    from data_transform_spark.operators.scans import SCRATCH
+
+    QUERIES["scan_csv_malformed"](spark, sf_dir).count()  # stage the dir
+    nation = load_table(spark, sf_dir, "nation")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    schema = nation.schema.add(StructField("_corrupt_record", StringType()))
+    df = (
+        spark.read.schema(schema)
+        .options(
+            header=True,
+            quote='"',
+            escape='"',
+            mode="PERMISSIVE",
+            columnNameOfCorruptRecord="_corrupt_record",
+        )
+        .csv(f"{SCRATCH}/scan_csv_malformed_{tag}")
+        .cache()
+    )
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    try:
+        assert bad.count() == 3, "expected exactly the 3 planted corrupt rows"
+        assert df.count() == nation.count() + 3
+        # every quarantined line is one of the planted ones
+        planted = {"notanint", "alsobad", "1,2,3,4,5,6,7"}
+        for r in bad.collect():
+            assert any(p in r["_corrupt_record"] for p in planted), r
+    finally:
+        df.unpersist()
