@@ -575,3 +575,76 @@ def join_asof_nearest(spark, sf_dir):
         )
         .select("event_id", "user_id", "ts", "click_ts")
     )
+
+
+@register(
+    "join_fuzzy_match",
+    oracle="""
+    WITH probes AS (
+        SELECT c_custkey AS probe_key,
+               substring(c_name, 1, 5) || substring(c_name, 7) AS probe_name
+        FROM customer WHERE c_custkey % 97 = 0
+    ),
+    cand AS (
+        SELECT p.probe_key, c.c_custkey AS matched_key,
+               levenshtein(p.probe_name, c.c_name) AS dist
+        FROM probes p JOIN customer c
+          ON abs(length(p.probe_name) - length(c.c_name)) <= 2
+         AND levenshtein(p.probe_name, c.c_name) <= 2
+    )
+    SELECT probe_key, matched_key, CAST(dist AS BIGINT) AS dist,
+           probe_key = matched_key AS is_source
+    FROM cand
+    QUALIFY row_number() OVER (PARTITION BY probe_key ORDER BY dist, matched_key) = 1
+    """,
+)
+def join_fuzzy_match(spark, sf_dir):
+    """Fuzzy entity-resolution join: a probe set of corrupted names (one
+    deleted character) matched back to the customer table within edit
+    distance 2, keeping the best (lowest-distance) match per probe — the
+    record-linkage shape behind dedupe-by-name, catalog matching, and log
+    attribution with dirty keys.
+
+    Plan: probes broadcast (the probe side is small by construction in
+    lookup workloads); the LENGTH band |len(a)-len(b)| <= 2 is a LOSSLESS
+    prefilter for edit distance <= 2 (each edit changes length by at most
+    1) and is evaluated before the O(len²) levenshtein, so the expensive
+    predicate only runs on the banded pairs. At 100 TB with a LARGE probe
+    side, the same band becomes the join key (bucket by length, replicate
+    ±2) and a q-gram prefix filter cuts candidates further — the blocking
+    ladder is the containment/jaccard one, applied to strings."""
+    c = load_table(spark, sf_dir, "customer")
+    probes = c.filter(F.col("c_custkey") % 97 == 0).select(
+        F.col("c_custkey").alias("probe_key"),
+        F.concat(
+            F.substring("c_name", 1, 5), F.expr("substring(c_name, 7)")
+        ).alias("probe_name"),
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(
+            c,
+            (
+                F.abs(F.length("probe_name") - F.length("c_name")) <= 2
+            )
+            & (F.levenshtein(F.col("probe_name"), F.col("c_name")) <= 2),
+        )
+        .select(
+            "probe_key",
+            F.col("c_custkey").alias("matched_key"),
+            F.levenshtein(F.col("probe_name"), F.col("c_name"))
+            .cast("long")
+            .alias("dist"),
+        )
+    )
+    w = Window.partitionBy("probe_key").orderBy("dist", "matched_key")
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "probe_key",
+            "matched_key",
+            "dist",
+            (F.col("probe_key") == F.col("matched_key")).alias("is_source"),
+        )
+    )
