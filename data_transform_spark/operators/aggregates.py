@@ -638,3 +638,34 @@ def agg_cms_heavyhitters(spark, sf_dir):
             (F.min("n") >= F.col("true_n")).alias("no_undercount"),
         )
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct counting via bitmaps: keys bucket into 32k-bit
+    bitmap segments (bitmap_bucket_number), each (group, bucket) builds
+    one bitmap with bitmap_construct_agg, and the group's distinct count
+    is the sum of per-bucket bitmap_count — exact, unlike HLL
+    (agg_approx_distinct), yet MERGEABLE: bitmaps OR across shards/days
+    and counts sum across buckets, so incremental pipelines keep exact
+    distincts without re-scanning history. Memory is |buckets touched| ×
+    4 KB per group — bounded by the key range, not the row count; the
+    classic bitmap-index trade vs count(DISTINCT)'s full shuffle of every
+    distinct pair."""
+    ev = load_events(spark, sf_dir).select("event_type", "user_id")
+    per_bucket = ev.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("b")
+    ).agg(
+        F.expr(
+            "bitmap_count(bitmap_construct_agg(bitmap_bit_position(user_id)))"
+        ).alias("cnt")
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("n_users")
+    )

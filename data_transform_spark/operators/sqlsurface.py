@@ -320,3 +320,34 @@ def sql_values_inline(spark, sf_dir):
         GROUP BY r.r_name, t.tier
         """
     )
+
+
+@register(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS total
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01' AND o_totalprice > 50000
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark, sf_dir):
+    """Named-parameter SQL (`spark.sql(query, args={...})`): values bind as
+    typed literals server-side, never via string interpolation — the
+    injection-safe templating surface for SQL users. Catalyst folds the
+    bound parameters into the plan exactly like inline literals (pushdown
+    included), so the parameterization is free at execution time."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n,
+               ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS total
+        FROM orders
+        WHERE o_orderdate >= :cutoff AND o_totalprice > :min_price
+        GROUP BY o_orderpriority
+        """,
+        args={"cutoff": "1995-01-01", "min_price": 50000},
+    )
