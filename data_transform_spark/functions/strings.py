@@ -149,3 +149,32 @@ def fn_url(spark, sf_dir):
         decoded.alias("decoded"),
         (decoded == val).alias("round_trip_ok"),
     )
+
+
+@register(
+    "fn_collation",
+    oracle="""
+    SELECT count(CASE WHEN lower(c_mktsegment) = 'building' THEN 1 END)
+               AS n_building_ci,
+           count(DISTINCT lower(c_mktsegment)) AS n_segments_ci,
+           min(lower(c_mktsegment)) AS first_segment_ci
+    FROM customer
+    """,
+)
+def fn_collation(spark, sf_dir):
+    """Collation-aware string semantics (Spark 4): collate(col,
+    'UTF8_LCASE') makes comparisons, DISTINCT, and MIN case-insensitive at
+    the type level — no lower() rewrites sprinkled through the query, and
+    the collation survives into joins and aggregates. The oracle twin IS
+    the lower() rewrite (DuckDB has no column collations), pinning that
+    UTF8_LCASE equality == lowercase equality for this data. min() under
+    UTF8_LCASE returns the stored spelling, so it is normalized with
+    lower() on output to keep the comparison well-defined when mixed-case
+    spellings of the same value tie."""
+    c = load_table(spark, sf_dir, "customer")
+    seg_ci = F.expr("collate(c_mktsegment, 'UTF8_LCASE')")
+    return c.agg(
+        F.count(F.when(seg_ci == F.lit("building"), 1)).alias("n_building_ci"),
+        F.countDistinct(seg_ci).alias("n_segments_ci"),
+        F.lower(F.min(seg_ci)).cast("string").alias("first_segment_ci"),
+    )

@@ -669,3 +669,26 @@ def agg_bitmap_distinct(spark, sf_dir):
     return per_bucket.groupBy("event_type").agg(
         F.sum("cnt").cast("long").alias("n_users")
     )
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS names,
+           count(*) AS n
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_listagg(spark, sf_dir):
+    """listagg ... WITHIN GROUP (ORDER BY ...) — the ANSI ordered
+    string-concatenation aggregate (Spark 4's native surface; DuckDB's twin
+    is string_agg with ORDER BY). The explicit WITHIN GROUP ordering is
+    what makes the result deterministic — the same §5.3.2 rule that forces
+    sort_array around collect_list elsewhere, expressed declaratively so
+    the sort rides inside the aggregate instead of as a second pass."""
+    na = load_table(spark, sf_dir, "nation")
+    return na.groupBy("n_regionkey").agg(
+        F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias("names"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -329,3 +329,66 @@ def agg_incremental_merge(spark, sf_dir):
             F.max("mx").alias("mx"),
         )
     )
+
+
+@register(
+    "join_snapshot_diff",
+    oracle="""
+    WITH before_s AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 <> 0
+    ),
+    after_s AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT * FROM (
+        SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+               CASE WHEN b.o_orderkey IS NULL THEN 'added'
+                    WHEN a.o_orderkey IS NULL THEN 'removed'
+                    WHEN a.o_totalprice <> b.o_totalprice THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               b.o_totalprice AS price_before,
+               a.o_totalprice AS price_after
+        FROM before_s b FULL JOIN after_s a ON b.o_orderkey = a.o_orderkey
+    ) WHERE status <> 'unchanged'
+    """,
+)
+def join_snapshot_diff(spark, sf_dir):
+    """Snapshot reconciliation: diff two versions of a table into a
+    row-level change set (added / removed / changed with before+after
+    values) via ONE full outer join on the key — the data-diff primitive
+    behind CDC backfills, migration validation, and "what changed since
+    yesterday" audits. The two snapshots are derived deterministically from
+    orders (drop keys %10==0 from 'before'; drop %7==0 and bump prices
+    %3==0 in 'after') so the oracle sees identical inputs. At 100 TB both
+    sides shuffle once on the join key — same cost as the upsert MERGE
+    shape (transform_upsert) — and unchanged rows are filtered before any
+    downstream materialization."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    before = o.filter(F.col("o_orderkey") % 10 != 0)
+    after = o.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 1.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    b = before.alias("b")
+    a = after.alias("a")
+    joined = b.join(a, F.col("b.o_orderkey") == F.col("a.o_orderkey"), "full_outer")
+    status = (
+        F.when(F.col("b.o_orderkey").isNull(), "added")
+        .when(F.col("a.o_orderkey").isNull(), "removed")
+        .when(F.col("a.o_totalprice") != F.col("b.o_totalprice"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("b.o_orderkey"), F.col("a.o_orderkey")).alias("o_orderkey"),
+            status.alias("status"),
+            F.col("b.o_totalprice").alias("price_before"),
+            F.col("a.o_totalprice").alias("price_after"),
+        )
+        .filter(F.col("status") != "unchanged")
+    )

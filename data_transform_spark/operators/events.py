@@ -420,3 +420,59 @@ def events_transitions(spark, sf_dir):
         "n",
         (F.col("n") * 1.0 / F.sum("n").over(row_total)).alias("p"),
     )
+
+
+@register(
+    "events_windowed_funnel",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click
+        FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           count(t_signup) AS signed_up,
+           count(CASE WHEN t_view > t_signup
+                       AND t_view <= t_signup + INTERVAL 2 HOUR
+                      THEN 1 END) AS viewed_within_2h,
+           count(CASE WHEN t_view > t_signup
+                       AND t_view <= t_signup + INTERVAL 2 HOUR
+                       AND t_click > t_view
+                       AND t_click <= t_view + INTERVAL 2 HOUR
+                      THEN 1 END) AS clicked_within_2h
+    FROM s
+    """,
+)
+def events_windowed_funnel(spark, sf_dir):
+    """Time-bounded funnel: each stage must follow the previous one's first
+    occurrence WITHIN a 2-hour conversion window — the product-analytics
+    variant of events_funnel where late conversions don't count. Same
+    single-shuffle shape (conditional-min per user, then row-local interval
+    checks); the deadline arithmetic is timestamp + INTERVAL, evaluated
+    identically on both engines. Never the naive per-stage self-join."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(etype):
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+    )
+    viewed = (F.col("t_view") > F.col("t_signup")) & (
+        F.col("t_view") <= F.expr("t_signup + INTERVAL 2 HOUR")
+    )
+    clicked = (
+        viewed
+        & (F.col("t_click") > F.col("t_view"))
+        & (F.col("t_click") <= F.expr("t_view + INTERVAL 2 HOUR"))
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_signup").alias("signed_up"),
+        F.count(F.when(viewed, 1)).alias("viewed_within_2h"),
+        F.count(F.when(clicked, 1)).alias("clicked_within_2h"),
+    )

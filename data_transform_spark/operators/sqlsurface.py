@@ -351,3 +351,78 @@ def sql_parameterized(spark, sf_dir):
         """,
         args={"cutoff": "1995-01-01", "min_price": 50000},
     )
+
+
+@register(
+    "sql_group_by_all",
+    oracle="""
+    SELECT r.r_name, o.o_orderpriority, count(*) AS n,
+           ROUND(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS total
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    JOIN region r ON n2.n_regionkey = r.r_regionkey
+    GROUP BY ALL
+    """,
+)
+def sql_group_by_all(spark, sf_dir):
+    """GROUP BY ALL: every non-aggregate select item becomes a grouping key
+    automatically — the modern-SQL ergonomics surface (identical syntax in
+    DuckDB, so the oracle is the same text). Catalyst resolves it to an
+    ordinary Aggregate during analysis; the physical plan (partial agg →
+    shuffle on the inferred keys → final agg, dims broadcast) is exactly
+    the explicit-GROUP BY plan, so the sugar costs nothing at scale."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r.r_name, o.o_orderpriority, count(*) AS n,
+               ROUND(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS total
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        JOIN region r ON n2.n_regionkey = r.r_regionkey
+        GROUP BY ALL
+        """
+    )
+
+
+@register(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE spine(day) AS (
+        SELECT DATE '1995-01-01'
+        UNION ALL
+        SELECT day + 1 FROM spine WHERE day < DATE '1995-03-31'
+    )
+    SELECT CAST(s.day AS VARCHAR) AS day, count(o.o_orderkey) AS n_orders,
+           ROUND(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS total
+    FROM spine s LEFT JOIN orders o ON o.o_orderdate = s.day
+    GROUP BY s.day
+    """,
+)
+def sql_recursive_cte(spark, sf_dir):
+    """WITH RECURSIVE (Spark 4): a 90-day calendar spine generated by the
+    recursive anchor/step form, left-joined to daily order totals — the
+    canonical date-spine pattern that surfaces zero-activity days a plain
+    GROUP BY o_orderdate silently drops. The recursion is driver-bounded
+    (90 iterations over a one-row frame) and the spine is broadcast into
+    the join, so the fact side stays one scan + one aggregate; days with
+    no orders report n_orders=0 and NULL total on both engines."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(day) AS (
+            SELECT DATE '1995-01-01'
+            UNION ALL
+            SELECT date_add(day, 1) FROM spine WHERE day < DATE '1995-03-31'
+        )
+        SELECT CAST(s.day AS STRING) AS day, count(o.o_orderkey) AS n_orders,
+               ROUND(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS total
+        FROM spine s LEFT JOIN orders o ON o.o_orderdate = s.day
+        GROUP BY s.day
+        """
+    )

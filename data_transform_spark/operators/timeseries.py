@@ -410,3 +410,49 @@ def ts_rate_of_change(spark, sf_dir):
         "event_id", "user_id", "ts", "value",
         (F.round(rate, 6) + F.lit(0.0)).alias("rate_per_sec"),
     )
+
+
+@register(
+    "ts_yoy",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(a.month AS VARCHAR) AS month, a.rev, b.rev AS rev_prev_year,
+           ROUND(a.rev - b.rev, 2) AS yoy_delta
+    FROM m a LEFT JOIN m b ON b.month = CAST(a.month - INTERVAL 1 YEAR AS DATE)
+    """,
+)
+def ts_yoy(spark, sf_dir):
+    """Year-over-year comparison: monthly revenue self-joined to the same
+    month one year earlier (calendar-shift join on add_months, NOT lag(12)
+    — lag silently compares the wrong months when any month is missing
+    from the series). Months without a prior-year twin report NULL deltas.
+    The month series is a tiny aggregate (one row per month), so the
+    self-join broadcasts; at 100 TB the only real cost is the single
+    partial-agg shuffle that builds it."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.trunc("o_orderdate", "month").alias("month")).agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("rev")
+    )
+    prev = m.select(
+        F.col("month").alias("pmonth"), F.col("rev").alias("rev_prev_year")
+    )
+    return (
+        m.join(
+            F.broadcast(prev),
+            F.add_months(F.col("month"), -12) == F.col("pmonth"),
+            "left",
+        )
+        .select(
+            F.col("month").cast("string").alias("month"),
+            "rev",
+            "rev_prev_year",
+            F.round(F.col("rev") - F.col("rev_prev_year"), 2).alias("yoy_delta"),
+        )
+    )
