@@ -692,3 +692,73 @@ def agg_listagg(spark, sf_dir):
         F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias("names"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "agg_sketch_intersect",
+    oracle="""
+    SELECT
+        (SELECT count(DISTINCT user_id) FROM events
+          WHERE event_type = 'click') AS exact_click,
+        (SELECT count(DISTINCT user_id) FROM events
+          WHERE event_type = 'purchase') AS exact_purchase,
+        (SELECT count(DISTINCT user_id) FROM events
+          WHERE event_type IN ('click', 'purchase')) AS exact_either,
+        (SELECT count(DISTINCT user_id) FROM (
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        )) AS exact_both,
+        TRUE AS intersect_within_5pct
+    """,
+)
+def agg_sketch_intersect(spark, sf_dir):
+    """Set-INTERSECTION estimation from mergeable HLL sketches via
+    inclusion-exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), where the
+    union sketch is hll_union of the two stored sketches — no rescan of
+    either side. This is the audience-overlap primitive (users who clicked
+    AND purchased) that pre-aggregated sketch stores answer in O(sketch)
+    instead of re-shuffling raw IDs; the error compounds across the three
+    estimates, so the bound checks against 5% of |A∪B| (the IE error
+    scale), not of the small intersection itself. Exact counts ride
+    beside the sketch verdict as broadcast 1-row aggregates."""
+    ev = load_events(spark, sf_dir).select("event_type", "user_id")
+    a = ev.filter(F.col("event_type") == "click").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk_a"),
+        F.countDistinct("user_id").alias("exact_click"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk_b"),
+        F.countDistinct("user_id").alias("exact_purchase"),
+    )
+    either = ev.filter(F.col("event_type").isin("click", "purchase")).agg(
+        F.countDistinct("user_id").alias("exact_either")
+    )
+    both = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .intersect(
+            ev.filter(F.col("event_type") == "purchase").select("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_both"))
+    )
+    est_both = (
+        F.expr("hll_sketch_estimate(sk_a)")
+        + F.expr("hll_sketch_estimate(sk_b)")
+        - F.expr("hll_sketch_estimate(hll_union(sk_a, sk_b))")
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(either))
+        .crossJoin(F.broadcast(both))
+        .select(
+            "exact_click",
+            "exact_purchase",
+            "exact_either",
+            "exact_both",
+            (
+                F.abs(est_both - F.col("exact_both"))
+                <= 0.05 * F.col("exact_either")
+            ).alias("intersect_within_5pct"),
+        )
+    )

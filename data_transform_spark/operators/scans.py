@@ -639,3 +639,24 @@ def scan_csv_malformed(spark, sf_dir):
         .options(header=True, quote='"', escape='"', mode="DROPMALFORMED")
         .csv(out_dir)
     )
+
+
+@register(
+    "scan_metadata_cols",
+    oracle="""
+    SELECT 'events.parquet' AS file_name, count(*) AS n_rows FROM events
+    """,
+)
+def scan_metadata_cols(spark, sf_dir):
+    """The hidden `_metadata` struct on file-based scans: file_name /
+    file_path / file_size / row_index surface per-file provenance without
+    any side-channel — the lineage primitive for quarantine pipelines
+    ("which input file produced this bad row?") and incremental loaders
+    ("skip files already ingested"). Selecting `_metadata` columns adds no
+    shuffle and no extra scan: the values come from the scan's own file
+    metadata. The oracle pins the grouped row count per (single-file
+    fixture) file name."""
+    ev = spark.read.parquet(path_of(sf_dir, "events")).select(
+        F.col("_metadata.file_name").alias("file_name")
+    )
+    return ev.groupBy("file_name").agg(F.count(F.lit(1)).alias("n_rows"))

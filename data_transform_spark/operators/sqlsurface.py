@@ -426,3 +426,30 @@ def sql_recursive_cte(spark, sf_dir):
         GROUP BY s.day
         """
     )
+
+
+@register(
+    "sql_cluster_by",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_quantity >= 45
+    """,
+)
+def sql_cluster_by(spark, sf_dir):
+    """DISTRIBUTE BY / SORT BY — SQL's handle on the physical layout:
+    DISTRIBUTE BY hash-partitions the result on a key (the SQL twin of
+    repartition) and SORT BY orders rows *within* each partition (the twin
+    of sortWithinPartitions) — together, CLUSTER BY. Row content is
+    unchanged, which is exactly the point: these clauses shape downstream
+    shuffle-free consumption (bucketed writes, merge joins, ordered
+    window scans) without touching semantics, so the oracle is the plain
+    filter — the hash compare proves layout clauses never leak into
+    values."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem WHERE l_quantity >= 45
+        DISTRIBUTE BY l_orderkey SORT BY l_orderkey, l_linenumber
+        """
+    )

@@ -730,3 +730,124 @@ def sim_label_centroids(spark, sf_dir):
             F.min(F.when(F.col("_rn") == 1, F.col("vec_id"))).alias("outlier_vec_id"),
         )
     )
+
+
+PCA_TOL_REL = 1e-6  # relative tolerance for the PC1-variance invariant
+
+
+@register(
+    "embed_pca",
+    oracle="""
+    SELECT ROUND(SUM(v), 4) AS total_var,
+           TRUE AS trace_matches,
+           TRUE AS eigs_sorted_nonneg,
+           TRUE AS components_orthonormal,
+           TRUE AS pc1_variance_matches
+    FROM (
+        SELECT dim, var_pop(e) AS v FROM (
+            SELECT unnest(embedding) AS e,
+                   unnest(range(1, 1 + len(embedding))) AS dim
+            FROM embeddings
+        ) GROUP BY dim
+    )
+    """,
+)
+def embed_pca(spark, sf_dir):
+    """Distributed PCA over the embedding column — the MLlib shape: each
+    Arrow batch reduces to a (count, sum-vector, Gram-matrix) partial via
+    numpy, partials element-wise-sum in one shuffle, and ONLY the d²-sized
+    moment matrix (64×64 here) reaches the driver for the LAPACK
+    eigendecomposition; the corpus itself never moves. The eigenbasis then
+    goes BACK into the plan as a broadcast literal to verify, on the data,
+    that var_pop of the PC1 projection equals λ₁ (the defining property of
+    the top principal component — sign-invariant, so safe under LAPACK's
+    sign indeterminacy). The oracle pins total variance (trace of the
+    covariance) computed independently per-dimension, plus the spectral
+    invariants: Σλᵢ = trace, λ sorted non-negative, eigenbasis orthonormal.
+    At 100 TB the three passes over the corpus (partials, total-var,
+    projection-var) would fuse into the partials pass; kept separate here
+    so each invariant is independently hash-checked."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+    def moment_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(list(pdf["embedding"]), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [float(len(x))],
+                    "s": [x.sum(axis=0).tolist()],
+                    "g": [(x.T @ x).reshape(-1).tolist()],
+                }
+            )
+
+    partials = e.mapInPandas(
+        moment_batches, "n double, s array<double>, g array<double>"
+    )
+    # Element-wise reduce of the fixed-size partials: flatten each partial to
+    # (pos, value) rows and sum by position — 1 + d + d² cells total, a
+    # d²-bounded collect (4161 doubles for d=64), never corpus-sized.
+    summed = (
+        partials.select(
+            F.posexplode(F.concat(F.array(F.col("n")), F.col("s"), F.col("g")))
+        )
+        .groupBy("pos")
+        .agg(F.sum("col").alias("v"))
+        .collect()
+    )
+    cells = {r["pos"]: r["v"] for r in summed}
+    d = int(round((len(cells) - 1 + 0.25) ** 0.5 - 0.5))  # solve 1+d+d² = len
+    n = cells[0]
+    s = np.array([cells[1 + i] for i in range(d)])
+    g = np.array([cells[1 + d + i] for i in range(d * d)]).reshape(d, d)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    cov = (cov + cov.T) / 2.0
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(eigvals)[::-1]
+    eigvals, eigvecs = eigvals[order], eigvecs[:, order]
+    trace = float(np.trace(cov))
+    trace_matches = bool(abs(float(eigvals.sum()) - trace) <= 1e-8 * max(1.0, trace))
+    eigs_sorted_nonneg = bool(
+        np.all(np.diff(eigvals) <= 1e-12) and eigvals[-1] >= -1e-10
+    )
+    ortho = bool(np.max(np.abs(eigvecs.T @ eigvecs - np.eye(d))) <= 1e-8)
+
+    # Total variance recomputed IN-PLAN (per-dim var_pop summed) so the
+    # headline number is engine-rounded, never Python-rounded.
+    total_var = (
+        e.select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.var_pop("x").alias("v"))
+        .agg(F.round(F.sum("v"), 4).alias("total_var"))
+    )
+    # PC1 projection variance must equal λ₁ — verified on the data in-plan
+    # with the eigenvector as a broadcast literal.
+    pc1 = F.array(*[F.lit(float(w)) for w in eigvecs[:, 0]])
+    proj = F.aggregate(
+        F.zip_with(F.col("embedding"), pc1, lambda x, w: x * w),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    lam1 = float(eigvals[0])
+    pc1_check = e.select(proj.alias("p")).agg(
+        (
+            F.abs(F.var_pop("p") - F.lit(lam1))
+            <= PCA_TOL_REL * F.lit(max(abs(lam1), 1e-12))
+        ).alias("pc1_variance_matches")
+    )
+    return (
+        total_var.crossJoin(F.broadcast(pc1_check))
+        .select(
+            "total_var",
+            F.lit(trace_matches).alias("trace_matches"),
+            F.lit(eigs_sorted_nonneg).alias("eigs_sorted_nonneg"),
+            F.lit(ortho).alias("components_orthonormal"),
+            "pc1_variance_matches",
+        )
+    )
