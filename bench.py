@@ -62,6 +62,12 @@ OPTIONAL = [
     "dedup_containment",
     "events_transitions",
     "sim_label_centroids",
+    # late round-6: ML-data + analytics flagships
+    "embed_pca",
+    "agg_bitmap_distinct",
+    "events_windowed_funnel",
+    "join_snapshot_diff",
+    "train_shuffle_epoch",
 ]
 
 

@@ -162,3 +162,33 @@ def fn_encrypt_roundtrip(spark, sf_dir):
             "ciphertext_differs"
         ),
     )
+
+
+@register(
+    "fn_binary",
+    oracle="""
+    SELECT doc_id,
+           base64(encode(source)) AS src_b64,
+           hex(source) AS src_hex,
+           decode(from_base64(base64(encode(source)))) AS src_roundtrip,
+           (decode(from_base64(base64(encode(source)))) = source) AS b64_ok
+    FROM documents
+    """,
+)
+def fn_binary(spark, sf_dir):
+    """Binary codec bundle: string → bytes (encode), base64 / hex
+    rendering, and the unbase64 → decode round-trip — the wire-format
+    primitives under every opaque-payload column (multimodal binaries,
+    checksummed exports, HTTP-safe IDs). All JVM Column functions; both
+    engines emit RFC-4648 base64 with padding and uppercase hex over UTF-8
+    bytes, so the strings hash-match exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    b64 = F.base64(F.encode(F.col("source"), "UTF-8"))
+    rt = F.decode(F.unbase64(b64), "UTF-8")
+    return d.select(
+        "doc_id",
+        b64.alias("src_b64"),
+        F.hex(F.col("source")).alias("src_hex"),
+        rt.alias("src_roundtrip"),
+        (rt == F.col("source")).alias("b64_ok"),
+    )

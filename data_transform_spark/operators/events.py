@@ -476,3 +476,48 @@ def events_windowed_funnel(spark, sf_dir):
         F.count(F.when(viewed, 1)).alias("viewed_within_2h"),
         F.count(F.when(clicked, 1)).alias("clicked_within_2h"),
     )
+
+
+ROLLING_WINDOW_DAYS = 7  # trailing-week active-user window
+
+
+@register(
+    "events_rolling_actives",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+         days AS (SELECT DISTINCT day FROM ud)
+    SELECT CAST(d.day AS VARCHAR) AS day,
+           count(DISTINCT CASE WHEN u.day = d.day THEN u.user_id END) AS dau,
+           count(DISTINCT u.user_id) AS wau
+    FROM days d
+    JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+)
+def events_rolling_actives(spark, sf_dir):
+    """DAU / trailing-7-day WAU per calendar day — the engagement headline
+    metric. Rolling DISTINCT cannot ride a window frame (no distinct over
+    RANGE), so the scalable form is the bounded interval join: distinct
+    (user, day) activity rows join to the day spine within the trailing
+    window, multiplying the (already day-deduplicated) activity set by at
+    most the window length — 7× a |users|·|days| frame, NOT 7× raw events.
+    One distinct shuffle + one bounded join + one agg; the spine side is
+    tiny and broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    days = ud.select("day").distinct().select(F.col("day").alias("d"))
+    return (
+        ud.join(
+            F.broadcast(days),
+            (F.col("day") >= F.date_sub(F.col("d"), ROLLING_WINDOW_DAYS - 1))
+            & (F.col("day") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("day") == F.col("d"), F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct("user_id").alias("wau"),
+        )
+        .select(F.col("d").cast("string").alias("day"), "dau", "wau")
+    )

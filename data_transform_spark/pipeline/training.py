@@ -367,3 +367,55 @@ def curriculum_buckets(spark, sf_dir):
     return scored.select(
         "doc_id", "difficulty", F.ntile(CURR_BUCKETS).over(w).alias("bucket")
     )
+
+
+SHUFFLE_EPOCH_SEED = "epoch42"  # content-stable epoch salt
+SHUFFLE_SHARDS = 8
+
+
+@register(
+    "train_shuffle_epoch",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+               ORDER BY md5(concat('{SHUFFLE_EPOCH_SEED}|',
+                                   CAST(doc_id AS VARCHAR)))
+           ) AS BIGINT) AS position,
+           CAST((row_number() OVER (
+               ORDER BY md5(concat('{SHUFFLE_EPOCH_SEED}|',
+                                   CAST(doc_id AS VARCHAR)))
+           ) - 1) % {SHUFFLE_SHARDS} AS BIGINT) AS shard
+    FROM documents
+    """,
+)
+def train_shuffle_epoch(spark, sf_dir):
+    """Deterministic global shuffle for a training epoch: every doc gets a
+    position in a pseudo-random total order keyed by md5(seed|doc_id) —
+    reproducible on any cluster size, new epoch = new salt, no RNG state.
+    The global row_number is computed the SCALABLE way: rows bucket by the
+    hash's first byte (256 buckets), each bucket numbers its rows locally
+    (one partitioned window), and bucket offsets come from a 256-row
+    cumulative count joined back by broadcast — never a single-partition
+    global window, which is the ordering bottleneck that dies first at
+    100 TB. Round-robin over the shuffled order then gives each of the
+    8 shards a balanced random sample of the corpus."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    key = F.md5(
+        F.concat(F.lit(SHUFFLE_EPOCH_SEED + "|"), F.col("doc_id").cast("string"))
+    )
+    keyed = d.select("doc_id", key.alias("k"), F.substring(key, 1, 2).alias("bucket"))
+    counts = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bucket", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("offset")
+    )
+    w_in = Window.partitionBy("bucket").orderBy("k")
+    pos = (F.col("offset") + F.row_number().over(w_in)).cast("long")
+    return (
+        keyed.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            pos.alias("position"),
+            ((pos - 1) % SHUFFLE_SHARDS).cast("long").alias("shard"),
+        )
+    )
