@@ -762,3 +762,35 @@ def agg_sketch_intersect(spark, sf_dir):
             ).alias("intersect_within_5pct"),
         )
     )
+
+
+@register(
+    "agg_bitmap_merge",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitmap_merge(spark, sf_dir):
+    """The INCREMENTAL half of the bitmap-distinct story: per-day partial
+    bitmaps (the shape a daily pipeline would persist) OR-merge with
+    bitmap_or_agg into exact all-time distincts — no rescan of history,
+    no approximation. agg_bitmap_distinct proves construct-and-count;
+    this key proves the merge is lossless by building the partials over a
+    real shard dimension (calendar day) and hash-matching the exact
+    count. Bitmap OR is commutative and associative, so daily partials
+    can also roll up month→year hierarchically with the same operator."""
+    ev = load_events(spark, sf_dir).select(
+        "event_type", "user_id", F.col("ts").cast("date").alias("day")
+    )
+    per_day = ev.groupBy(
+        "event_type", "day", F.expr("bitmap_bucket_number(user_id)").alias("b")
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm")
+    )
+    merged = per_day.groupBy("event_type", "b").agg(
+        F.expr("bitmap_count(bitmap_or_agg(bm))").alias("cnt")
+    )
+    return merged.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("n_users")
+    )

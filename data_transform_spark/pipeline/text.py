@@ -499,3 +499,70 @@ def text_compression_ratio(spark, sf_dir):
             & (F.sum(F.when(F.col("ratio") > 0.45, 1).otherwise(0)) > 0)
         ).alias("has_spread"),
     )
+
+
+@register(
+    "text_bigram_surprisal",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pairs AS (
+        SELECT doc_id, t[i] AS tok, t[i+1] AS nxt
+        FROM toks, unnest(generate_series(1, len(t) - 1)) u(i)
+        WHERE len(t) >= 2
+    ),
+    ranks AS (
+        SELECT tok, nxt,
+               row_number() OVER (PARTITION BY tok
+                                  ORDER BY count(*) DESC, nxt) AS rnk
+        FROM pairs GROUP BY tok, nxt
+    )
+    SELECT p.doc_id, count(*) AS n_bigrams,
+           round(CAST(sum(r.rnk) AS DOUBLE) / count(*), 4) AS avg_cont_rank
+    FROM pairs p JOIN ranks r ON r.tok = p.tok AND r.nxt = p.nxt
+    GROUP BY p.doc_id
+    """,
+)
+def text_bigram_surprisal(spark, sf_dir):
+    """Bigram continuation-rank scoring — the CONTEXTUAL upgrade of
+    text_unigram_score: each (token → next) transition is ranked against
+    all corpus continuations of that token (1 = the most common next
+    word), and a document scores the mean rank of its transitions —
+    predictable prose scores low, scrambled or machine-generated text
+    scores high even when its unigrams look fluent. Same integer-exact
+    discipline as the unigram key (ranks, not float log-probs, so the
+    score is bit-identical across engines and partition layouts); bigrams
+    come from one JVM-side transform over the token array (no self-join
+    on position), and the rank table is corpus-bigram-sized — broadcast
+    here; at 100 TB it stays a shuffle join or is truncated to top-K
+    continuations per token, the documented fallback."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = (
+        d.select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t)-1),"
+                    " i -> struct(t[i-1] AS tok, t[i] AS nxt))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.tok").alias("tok"), F.col("p.nxt").alias("nxt"))
+    )
+    wr = Window.partitionBy("tok").orderBy(F.col("cnt").desc(), "nxt")
+    ranks = (
+        pairs.groupBy("tok", "nxt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("tok", "nxt", F.row_number().over(wr).alias("rnk"))
+    )
+    return (
+        pairs.join(F.broadcast(ranks), ["tok", "nxt"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum("rnk").cast("double") / F.count(F.lit(1)), 4).alias(
+                "avg_cont_rank"
+            ),
+        )
+    )
