@@ -521,3 +521,46 @@ def events_rolling_actives(spark, sf_dir):
         )
         .select(F.col("d").cast("string").alias("day"), "dau", "wau")
     )
+
+
+@register(
+    "events_dow_seasonality",
+    oracle="""
+    WITH d AS (
+        SELECT dayname(ts) AS dow, count(*) AS n_events
+        FROM events GROUP BY 1
+    )
+    SELECT dow, n_events,
+           ROUND(CAST(n_events AS DOUBLE)
+                 / (SELECT sum(n_events) FROM d), 6) AS share,
+           ROUND(CAST(n_events AS DOUBLE) * 7
+                 / (SELECT sum(n_events) FROM d), 4) AS seasonality_index
+    FROM d
+    """,
+)
+def events_dow_seasonality(spark, sf_dir):
+    """Day-of-week seasonality profile: event share per weekday and the
+    seasonality index (share × 7; 1.0 = flat traffic) — the capacity-
+    planning / anomaly-baseline primitive. The total rides in-plan as a
+    broadcast 1-row aggregate over the 7-row day frame (never an eager
+    count), and weekday names — not engine-specific numeric dow
+    conventions (Spark counts Sunday=1, DuckDB Sunday=0) — keep the twin
+    dialect-proof."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_format("ts", "EEEE").alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    total = d.agg(F.sum("n_events").alias("tot"))
+    return (
+        d.crossJoin(F.broadcast(total))
+        .select(
+            "dow",
+            "n_events",
+            F.round(F.col("n_events").cast("double") / F.col("tot"), 6).alias(
+                "share"
+            ),
+            F.round(
+                F.col("n_events").cast("double") * 7 / F.col("tot"), 4
+            ).alias("seasonality_index"),
+        )
+    )

@@ -395,3 +395,80 @@ def pagerank_converged(
         if delta < tol:
             break
     return rank, iters, delta
+
+
+LPA_ITERS = 2  # synchronous label-propagation rounds
+
+
+@register(
+    "graph_label_prop",
+    oracle="""
+    WITH edges AS (
+        SELECT n1.n_name AS src, n2.n_name AS dst, count(*) AS w
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        GROUP BY n1.n_name, n2.n_name
+    ),
+    l0 AS (SELECT n_name AS node, n_name AS label FROM nation),
+    p1 AS (
+        SELECT dst AS node, label,
+               row_number() OVER (PARTITION BY dst
+                                  ORDER BY sum(w) DESC, label) AS rnk
+        FROM edges e JOIN l0 ON l0.node = e.src
+        GROUP BY dst, label
+    ),
+    l1 AS (
+        SELECT l0.node, COALESCE(p1.label, l0.label) AS label
+        FROM l0 LEFT JOIN p1 ON p1.node = l0.node AND p1.rnk = 1
+    ),
+    p2 AS (
+        SELECT dst AS node, label,
+               row_number() OVER (PARTITION BY dst
+                                  ORDER BY sum(w) DESC, label) AS rnk
+        FROM edges e JOIN l1 ON l1.node = e.src
+        GROUP BY dst, label
+    )
+    SELECT l1.node, COALESCE(p2.label, l1.label) AS label
+    FROM l1 LEFT JOIN p2 ON p2.node = l1.node AND p2.rnk = 1
+    """,
+)
+def graph_label_prop(spark, sf_dir):
+    """Weighted label propagation (community detection): each round every
+    node adopts the label carrying the highest incoming edge weight
+    (ties → lexicographically smallest label), run for LPA_ITERS
+    synchronous rounds from node-name seed labels. Deterministic by
+    construction — argmax resolved by (weight DESC, label ASC)
+    row_number — so the oracle replays the identical rounds as chained
+    CTEs. Each round is ONE shuffle (labels join edges on src, aggregate
+    on dst) against a reusable edge partitioning; nodes without in-edges
+    keep their label via the left join. The same loop at 100 TB runs with
+    per-round localCheckpoint and an early-exit when no label changes —
+    the convergence-stop pattern committed for graph_pagerank."""
+    edges = _edges(spark, sf_dir)
+    nodes = load_table(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("node")
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(LPA_ITERS):
+        scored = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst", "label")
+            .agg(F.sum("w").alias("wt"))
+        )
+        wv = Window.partitionBy("dst").orderBy(F.col("wt").desc(), "label")
+        best = (
+            scored.withColumn("rnk", F.row_number().over(wv))
+            .filter(F.col("rnk") == 1)
+            .select(F.col("dst").alias("bnode"), F.col("label").alias("blabel"))
+        )
+        labels = (
+            labels.join(F.broadcast(best), labels.node == F.col("bnode"), "left")
+            .select(
+                "node", F.coalesce(F.col("blabel"), F.col("label")).alias("label")
+            )
+        )
+    return labels
