@@ -410,3 +410,139 @@ def agg_skew_twophase(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+BASKET_MIN_SUPPORT = 5  # minimum co-occurrence count
+
+
+@register(
+    "basket_pair_lift",
+    oracle=f"""
+    WITH lines AS (
+        SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    tot AS (SELECT count(DISTINCT ok) AS n_orders FROM lines),
+    cnt AS (SELECT brand, count(*) AS n FROM lines GROUP BY brand),
+    pairs AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_co
+        FROM lines a JOIN lines b ON a.ok = b.ok AND a.brand < b.brand
+        GROUP BY a.brand, b.brand
+    )
+    SELECT brand_a, brand_b, n_co,
+           ROUND(CAST(n_co AS DOUBLE) * t.n_orders / (ca.n * cb.n), 4) AS lift
+    FROM pairs
+    JOIN cnt ca ON ca.brand = pairs.brand_a
+    JOIN cnt cb ON cb.brand = pairs.brand_b
+    CROSS JOIN tot t
+    WHERE n_co >= {BASKET_MIN_SUPPORT}
+    """,
+)
+def basket_pair_lift(spark, sf_dir):
+    """Market-basket pair mining: brands co-purchased in the same order,
+    scored by lift = P(a,b) / (P(a)·P(b)) — the association-rule
+    primitive behind recommendations. The co-occurrence self-join keys on
+    the order id, so the fanout per order is |basket|², bounded by basket
+    width (≤7 lineitems in TPC-H; a production run caps pathological
+    baskets first — the standard A-Priori hygiene). Item space is
+    aggregated to the 25 brands before pairing, so the pair table is
+    ≤300 rows whatever the corpus size; order count and brand supports
+    ride in as broadcast aggregates, and a support floor prunes noise
+    pairs before the lift math."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    lines = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    tot = lines.agg(F.countDistinct("ok").alias("n_orders"))
+    cnt = lines.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
+    a = lines.alias("a")
+    b = lines.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.brand") < F.col("b.brand")))
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= BASKET_MIN_SUPPORT)
+    )
+    ca = cnt.select(F.col("brand").alias("brand_a"), F.col("n").alias("n_a"))
+    cb = cnt.select(F.col("brand").alias("brand_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_co",
+            F.round(
+                F.col("n_co").cast("double")
+                * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b")),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+RFM_ASOF = "1998-12-31"  # reference date for recency
+
+
+@register(
+    "customer_rfm",
+    oracle=f"""
+    WITH m AS (
+        SELECT o_custkey,
+               max(o_orderdate) AS last_order,
+               count(*) AS frequency,
+               ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS monetary
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           CAST(date_diff('day', last_order, DATE '{RFM_ASOF}') AS BIGINT)
+               AS recency_days,
+           frequency, monetary,
+           CAST(ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS BIGINT)
+               AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT)
+               AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT)
+               AS m_score
+    FROM m
+    """,
+)
+def customer_rfm(spark, sf_dir):
+    """RFM segmentation: recency (days since last order at a fixed as-of
+    date), frequency, monetary per customer, each quintile-scored with
+    ntile (1 = best, deterministic via the custkey tiebreak) — the
+    classic CRM scoring table. The three global ntile windows run over
+    the per-customer AGGREGATE (one row per customer), not raw orders; at
+    100 TB global ntile becomes approx-percentile cutoffs broadcast as a
+    5-row map — same scores, no single-partition sort (the win_ntile
+    scale note)."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("monetary"),
+    )
+    wr = Window.orderBy(F.col("last_order").desc(), "o_custkey")
+    wf = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    wm = Window.orderBy(F.col("monetary").desc(), "o_custkey")
+    return m.select(
+        "o_custkey",
+        F.datediff(F.lit(RFM_ASOF).cast("date"), F.col("last_order"))
+        .cast("long")
+        .alias("recency_days"),
+        "frequency",
+        "monetary",
+        F.ntile(5).over(wr).cast("long").alias("r_score"),
+        F.ntile(5).over(wf).cast("long").alias("f_score"),
+        F.ntile(5).over(wm).cast("long").alias("m_score"),
+    )

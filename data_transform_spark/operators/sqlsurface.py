@@ -453,3 +453,34 @@ def sql_cluster_by(spark, sf_dir):
         DISTRIBUTE BY l_orderkey SORT BY l_orderkey, l_linenumber
         """
     )
+
+
+@register(
+    "sql_exec_immediate",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders
+    WHERE o_totalprice > 150000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_exec_immediate(spark, sf_dir):
+    """Dynamic SQL the governed way: a session variable (DECLARE / SET
+    VAR) holds the threshold and EXECUTE IMMEDIATE runs a query string
+    with a `?` placeholder bound via USING — the stored-procedure-style
+    surface for parameterized templates built at runtime, with typed
+    binding instead of string splicing (same injection-safety story as
+    sql_parameterized, but for SQL-managed state). The inner query plans
+    exactly like its literal twin — pushdown included — because binding
+    happens before analysis."""
+    _views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE rfm_threshold DOUBLE DEFAULT 0.0")
+    spark.sql("SET VAR rfm_threshold = 150000.0")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority, count(*) AS n
+           FROM orders WHERE o_totalprice > ? GROUP BY o_orderpriority'
+          USING rfm_threshold
+        """
+    )
