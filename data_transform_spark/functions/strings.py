@@ -178,3 +178,35 @@ def fn_collation(spark, sf_dir):
         F.countDistinct(seg_ci).alias("n_segments_ci"),
         F.lower(F.min(seg_ci)).cast("string").alias("first_segment_ci"),
     )
+
+
+@register(
+    "fn_mask",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(c_name,
+               '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+               AS name_masked,
+           regexp_replace(regexp_replace(regexp_replace(c_mktsegment,
+               '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+               AS segment_masked,
+           regexp_replace(c_name, '[A-Z]', 'X', 'g') AS name_upper_masked
+    FROM customer
+    """,
+)
+def fn_mask(spark, sf_dir):
+    """mask() — the built-in data-redaction function (Spark 4): uppercase
+    → X, lowercase → x, digits → n in ONE codegen'd call, with per-class
+    NULL meaning "retain" for selective masking. The declarative
+    complement of text_pii_redact's regex pipeline: shape-preserving
+    redaction for display/export paths (masked output keeps its shape).
+    The oracle is the chained regexp_replace rewrite — pinning that
+    mask's character classes are exactly ASCII [A-Z]/[a-z]/[0-9] on this
+    data."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr("mask(c_name)").alias("name_masked"),
+        F.expr("mask(c_mktsegment)").alias("segment_masked"),
+        F.expr("mask(c_name, 'X', NULL, NULL, NULL)").alias("name_upper_masked"),
+    )

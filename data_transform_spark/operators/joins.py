@@ -648,3 +648,29 @@ def join_fuzzy_match(spark, sf_dir):
             (F.col("probe_key") == F.col("matched_key")).alias("is_source"),
         )
     )
+
+
+@register(
+    "join_hints",
+    oracle="""
+    SELECT o_orderkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 200000
+    """,
+)
+def join_hints(spark, sf_dir):
+    """Join-strategy hints — the explicit override lane when the
+    optimizer's estimate is wrong: here SHUFFLE_HASH forces a shuffled
+    hash join (build the smaller post-shuffle side as a hash map, no
+    sort) where plain cost rules might pick sort-merge or broadcast.
+    Values are strategy-invariant — the oracle is the unhinted join — and
+    the plan really honors the hint (pinned by the ShuffledHashJoin
+    plan-shape test). The hint tiers (BROADCAST > MERGE > SHUFFLE_HASH >
+    SHUFFLE_REPLICATE_NL) are the same knobs a 100 TB tuning pass
+    reaches for when AQE's runtime stats still can't see through a UDF
+    or an exotic filter."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    c = load_table(spark, sf_dir, "customer").hint("shuffle_hash")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )

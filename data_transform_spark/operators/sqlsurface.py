@@ -484,3 +484,33 @@ def sql_exec_immediate(spark, sf_dir):
           USING rfm_threshold
         """
     )
+
+
+@register(
+    "sql_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, v
+    FROM (SELECT l_orderkey, l_linenumber, l_quantity AS quantity,
+                 l_extendedprice AS price, l_discount AS discount
+          FROM lineitem)
+    UNPIVOT (v FOR metric IN (quantity, price, discount))
+    """,
+)
+def sql_unpivot(spark, sf_dir):
+    """The SQL UNPIVOT clause — same text on both engines — as the
+    declarative twin of reshape_unpivot's DataFrame melt: three measure
+    columns rotate into (metric, v) rows inside the scan projection, no
+    join and no shuffle (row-local expansion, exactly what the UNION ALL
+    rewrite would cost but with column pruning still intact). Both
+    engines drop NULL measures by default, so the clause is
+    dialect-proof here."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, metric, v
+        FROM (SELECT l_orderkey, l_linenumber, l_quantity AS quantity,
+                     l_extendedprice AS price, l_discount AS discount
+              FROM lineitem)
+        UNPIVOT (v FOR metric IN (quantity, price, discount))
+        """
+    )

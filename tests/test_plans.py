@@ -581,3 +581,21 @@ def test_permissive_csv_quarantines_bad_rows(spark, sf_dir):
             assert any(p in r["_corrupt_record"] for p in planted), r
     finally:
         df.unpersist()
+
+
+def test_join_hints_force_shuffled_hash(spark, sf_dir):
+    """join_hints' SHUFFLE_HASH hint must actually flip the strategy —
+    values are checked by the oracle; the hint's whole point is the plan."""
+    p = plan_of(spark, "join_hints", sf_dir)
+    assert "ShuffledHashJoin" in p, "shuffle_hash hint not honored"
+    assert "SortMergeJoin" not in p
+
+
+def test_shuffle_epoch_no_global_window(spark, sf_dir):
+    """train_shuffle_epoch's two-phase rank: the corpus-sized window must be
+    partitioned by bucket; only the 256-row offsets frame may see a
+    single-partition exchange."""
+    p = plan_of(spark, "train_shuffle_epoch", sf_dir)
+    # the window over the corpus must be keyed (hashpartitioning on bucket),
+    # so at least one hashpartitioning-by-bucket exchange exists
+    assert "hashpartitioning(bucket" in p, "bucketed window partitioning missing"
