@@ -392,3 +392,59 @@ def join_snapshot_diff(spark, sf_dir):
         )
         .filter(F.col("status") != "unchanged")
     )
+
+
+PSI_BIN_WIDTH = 50000.0  # totalprice bin width (agg_histogram convention)
+PSI_SMOOTH = 0.5  # Laplace smoothing so empty bins stay finite
+
+
+@register(
+    "dq_psi_drift",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(floor(o_totalprice / {PSI_BIN_WIDTH}) AS BIGINT) AS bin,
+               count(CASE WHEN o_orderkey % 2 = 0 THEN 1 END) AS n_a,
+               count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS n_b
+        FROM orders GROUP BY 1
+    ),
+    t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb, count(*) AS nb FROM b)
+    SELECT bin, n_a, n_b,
+           ROUND(((n_a + {PSI_SMOOTH}) / (ta + nb * {PSI_SMOOTH})
+                  - (n_b + {PSI_SMOOTH}) / (tb + nb * {PSI_SMOOTH}))
+                 * ln(((n_a + {PSI_SMOOTH}) / (ta + nb * {PSI_SMOOTH}))
+                      / ((n_b + {PSI_SMOOTH}) / (tb + nb * {PSI_SMOOTH}))),
+                 6) AS psi_term
+    FROM b CROSS JOIN t
+    """,
+)
+def dq_psi_drift(spark, sf_dir):
+    """Population Stability Index between two cohorts (even vs odd order
+    keys standing in for yesterday/today snapshots): totalprice bins by
+    the same portable floor-division as agg_histogram, Laplace-smoothed
+    shares so empty bins contribute finite terms, per-bin PSI term
+    (p−q)·ln(p/q) emitted for auditability (Σ terms is the headline PSI;
+    >0.2 conventionally means the feature drifted). ONE grouped pass
+    computes both cohorts via conditional counts — never two scans — and
+    the totals ride in as a broadcast 1-row aggregate. The ln runs on
+    identical doubles on both engines; ROUND(,6) absorbs any last-ulp
+    libm disagreement."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.groupBy(
+        F.floor(F.col("o_totalprice") / PSI_BIN_WIDTH).cast("long").alias("bin")
+    ).agg(
+        F.count(F.when(F.col("o_orderkey") % 2 == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("o_orderkey") % 2 == 1, 1)).alias("n_b"),
+    )
+    t = b.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    pa = (F.col("n_a") + PSI_SMOOTH) / (F.col("ta") + F.col("nb") * PSI_SMOOTH)
+    pb = (F.col("n_b") + PSI_SMOOTH) / (F.col("tb") + F.col("nb") * PSI_SMOOTH)
+    return (
+        b.crossJoin(F.broadcast(t))
+        .select(
+            "bin", "n_a", "n_b",
+            F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+        )
+    )

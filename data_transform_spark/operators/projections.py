@@ -248,3 +248,42 @@ def expr_cast(spark, sf_dir):
 def project_distinct(spark, sf_dir):
     """DISTINCT projection of status x priority."""
     return load_table(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@register(
+    "fn_null_handling",
+    oracle="""
+    SELECT event_id,
+           nullif(event_type, 'error') AS type_or_null,
+           ifnull(nullif(event_type, 'error'), '(redacted)') AS type_filled,
+           CASE WHEN nullif(event_type, 'error') IS NOT NULL
+                THEN 'kept' ELSE 'was_error' END AS nvl2_tag,
+           (nullif(event_type, 'error') IS NOT DISTINCT FROM event_type)
+               AS same_as_raw
+    FROM events
+    """,
+)
+def fn_null_handling(spark, sf_dir):
+    """The NULL-handling function family beyond coalesce (expr_coalesce):
+    nullif (value → NULL on match — the standard way to void sentinel
+    values), ifnull (2-arg fill), nvl2 (three-way branch on nullness),
+    and equal_null (NULL-safe equality as a FUNCTION, the expression twin
+    of join_nullsafe's <=> operator). The oracle rewrites nvl2/equal_null
+    into their portable CASE / IS NOT DISTINCT FROM forms — pinning the
+    exact NULL semantics each shorthand promises. All row-local,
+    codegen'd, shuffle-free."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.expr("nullif(event_type, 'error')")
+    return ev.select(
+        "event_id",
+        t.alias("type_or_null"),
+        F.expr("ifnull(nullif(event_type, 'error'), '(redacted)')").alias(
+            "type_filled"
+        ),
+        F.expr(
+            "nvl2(nullif(event_type, 'error'), 'kept', 'was_error')"
+        ).alias("nvl2_tag"),
+        F.expr("equal_null(nullif(event_type, 'error'), event_type)").alias(
+            "same_as_raw"
+        ),
+    )

@@ -660,3 +660,42 @@ def scan_metadata_cols(spark, sf_dir):
         F.col("_metadata.file_name").alias("file_name")
     )
     return ev.groupBy("file_name").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@register(
+    "scan_glob_recursive",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           ROUND(sum(value), 4) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def scan_glob_recursive(spark, sf_dir):
+    """Data-lake directory ingestion: recursiveFileLookup walks nested
+    non-partition directories (the layout crawlers and vendors actually
+    drop) and pathGlobFilter admits only `*.parquet`, skipping the
+    side-car files that live next to data in real buckets. The fixture
+    events split into two disjoint halves staged under different nesting
+    depths plus a planted `notes.json` decoy; the recursive+filtered
+    read must reassemble exactly the full table (the oracle is the plain
+    events aggregate). Staging rewrites on every call (the
+    always-rewrite idiom from sink_compaction — no stale-cache class of
+    bugs), namespaced by SF so concurrent scale factors never collide."""
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/")))
+    base = f"{SCRATCH}/glob_recursive_{tag}"
+    ev = load_table(spark, sf_dir, "events")
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    half_b = ev.filter(F.col("event_id") % 2 == 1)
+    half_a.write.mode("overwrite").parquet(f"{base}/site=a/daily")
+    half_b.write.mode("overwrite").parquet(f"{base}/site=b/archive/deep")
+    with open(f"{base}/site=a/daily/notes.json", "w") as fh:
+        fh.write('{"decoy": true}')
+    back = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(base)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )

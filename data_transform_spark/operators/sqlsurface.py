@@ -514,3 +514,41 @@ def sql_unpivot(spark, sf_dir):
         UNPIVOT (v FOR metric IN (quantity, price, discount))
         """
     )
+
+
+@register(
+    "sql_filter_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_all,
+           count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+           ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                      FILTER (WHERE o_orderdate >= DATE '1995-01-01')
+                 AS DOUBLE), 2) AS total_recent
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_filter_clause(spark, sf_dir):
+    """The ANSI FILTER clause — per-aggregate predicates inside ONE
+    grouped pass (identical text on both engines): three differently-
+    filtered aggregates share a single scan and a single shuffle, where
+    the self-join rewrite would cost one scan each. Catalyst compiles
+    FILTER to the same conditional-aggregation the count_if/CASE forms
+    produce (agg_countif), so the clause is free sugar — but it is the
+    form that composes with ANY aggregate, including the DECIMAL-summed
+    money column here. NULL-sum groups (no qualifying rows) stay NULL on
+    both engines."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_all,
+               count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+               ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                          FILTER (WHERE o_orderdate >= DATE '1995-01-01')
+                     AS DOUBLE), 2) AS total_recent
+        FROM orders
+        GROUP BY o_orderpriority
+        """
+    )
