@@ -218,3 +218,40 @@ def fn_sequence(spark, sf_dir):
         F.size(seq).cast("long").alias("seq_len"),
         F.aggregate(seq, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("seq_sum"),
     )
+
+
+@register(
+    "fn_array_sort_lambda",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(
+               list_transform(
+                   list_sort(list_transform(string_split(text, ' '),
+                             x -> {'l': length(x), 'w': x})),
+                   s -> s.w),
+               ' ') AS by_len_then_word
+    FROM documents
+    """,
+)
+def fn_array_sort_lambda(spark, sf_dir):
+    """array_sort with a CUSTOM comparator lambda — ordering tokens by
+    (length, then word) in one JVM higher-order call, no explode/re-agg
+    round trip. DuckDB has no comparator lambdas, so the oracle proves
+    the equivalence through the decorate-sort-undecorate rewrite
+    (struct-sort on the same key) — which is also the portable fallback
+    when a comparator can't express a stable multi-key order. Row-local,
+    shuffle-free."""
+    d = load_table(spark, sf_dir, "documents")
+    cmp_sorted = F.expr(
+        """
+        array_sort(split(text, ' '),
+          (l, r) -> CASE WHEN length(l) < length(r) THEN -1
+                         WHEN length(l) > length(r) THEN 1
+                         WHEN l < r THEN -1
+                         WHEN l > r THEN 1
+                         ELSE 0 END)
+        """
+    )
+    return d.select(
+        "doc_id", F.array_join(cmp_sorted, " ").alias("by_len_then_word")
+    )

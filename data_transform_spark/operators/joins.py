@@ -674,3 +674,50 @@ def join_hints(spark, sf_dir):
     return o.join(c, o.o_custkey == c.c_custkey).select(
         "o_orderkey", "c_name", "o_totalprice"
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts, p.ts AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+)
+def join_asof_forward(spark, sf_dir):
+    """FORWARD as-of join — each click matched to the EARLIEST purchase
+    at-or-after it (time-to-convert attribution), the mirror of
+    join_asof's backward lookup. Same single-shuffle shape: union-tag
+    both sides, then first(ignorenulls) over the FOLLOWING frame; at
+    equal ts the purchase sorts after the click (tag order), so it is
+    inside the frame — matching DuckDB's ``<=`` forward ASOF bound.
+    Never a per-row point join."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.col("ts").alias("purchase_src_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("timestamp_ntz").alias("purchase_src_ts"),
+    )
+    unioned = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        unioned.withColumn(
+            "purchase_ts", F.first("purchase_src_ts", ignorenulls=True).over(w)
+        )
+        .filter(F.col("tag") == 0)
+        .select("event_id", "user_id", "ts", "purchase_ts")
+    )

@@ -699,3 +699,38 @@ def scan_glob_recursive(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+@register(
+    "sink_partition_audit",
+    oracle="""
+    SELECT event_type, count(*) AS n_rows, TRUE AS path_matches_column
+    FROM events GROUP BY event_type
+    """,
+)
+def sink_partition_audit(spark, sf_dir):
+    """Partition-layout audit: after a partitionBy write, prove from the
+    FILES — not the data — that every row landed in its own partition
+    directory. The read-back extracts the partition value out of
+    `_metadata.file_path` and checks it against the reconstructed column
+    for every row; per-directory row counts must reproduce the source
+    aggregate exactly. This is the post-write validation step a 100 TB
+    pipeline runs before publishing a partition — misplaced rows (the
+    classic dynamic-partition bug) surface as a FALSE flag or a count
+    mismatch, at the cost of one metadata-cheap scan of the written
+    files. Always-rewrite staging, SF-namespaced."""
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/")))
+    out = f"{SCRATCH}/partition_audit_{tag}"
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).select(
+        "event_type",
+        F.regexp_extract(F.col("_metadata.file_path"), "event_type=([^/]+)", 1).alias(
+            "path_part"
+        ),
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.when(F.col("path_part") == F.col("event_type"), 1))
+         == F.count(F.lit(1))).alias("path_matches_column"),
+    )
