@@ -564,3 +564,88 @@ def events_dow_seasonality(spark, sf_dir):
             ).alias("seasonality_index"),
         )
     )
+
+
+@register(
+    "events_ab_test",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, CAST(user_id % 2 AS BIGINT) AS cohort,
+               CASE WHEN max(CASE WHEN event_type = 'purchase'
+                                  THEN value END) > 150 THEN 1 ELSE 0 END
+                   AS converted
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT
+            count(CASE WHEN cohort = 0 THEN 1 END) AS n_a,
+            count(CASE WHEN cohort = 1 THEN 1 END) AS n_b,
+            CAST(sum(CASE WHEN cohort = 0 THEN converted ELSE 0 END)
+                 AS BIGINT) AS conv_a,
+            CAST(sum(CASE WHEN cohort = 1 THEN converted ELSE 0 END)
+                 AS BIGINT) AS conv_b
+        FROM u
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+           ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+           ROUND((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                 / nullif(sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 0), 4) AS z_score
+    FROM s
+    """,
+)
+def events_ab_test(spark, sf_dir):
+    """Two-proportion A/B significance: users split into cohorts by the
+    stable key hash (user_id parity standing in for the assignment
+    bucket), conversion = any purchase above a value threshold (every
+    fixture user purchases *something*, so plain any-purchase is
+    degenerate — pooled rate 1 zeroes the variance), and the pooled
+    z-score — the experiment-readout primitive. One per-user aggregate
+    shuffle then a 1-row fold; the z arithmetic (sqrt included) runs on
+    identical doubles both engines, so even the test statistic
+    hash-matches. At 100 TB the cohort column comes from the assignment
+    log joined in, and the same two-level aggregate shape holds."""
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.when(
+                F.max(
+                    F.when(F.col("event_type") == "purchase", F.col("value"))
+                )
+                > 150,
+                1,
+            )
+            .otherwise(0)
+            .alias("converted")
+        )
+        .select((F.col("user_id") % 2).cast("long").alias("cohort"), "converted")
+    )
+    s = u.agg(
+        F.count(F.when(F.col("cohort") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("cohort") == 1, 1)).alias("n_b"),
+        F.sum(F.when(F.col("cohort") == 0, F.col("converted")).otherwise(0)).alias(
+            "conv_a"
+        ),
+        F.sum(F.when(F.col("cohort") == 1, F.col("converted")).otherwise(0)).alias(
+            "conv_b"
+        ),
+    )
+    rate_a = F.col("conv_a").cast("double") / F.col("n_a")
+    rate_b = F.col("conv_b").cast("double") / F.col("n_b")
+    z = (rate_a - rate_b) / F.expr(
+        "nullif(sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))"
+        " * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))"
+        " * (1.0 / n_a + 1.0 / n_b)), 0)"
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(rate_a, 6).alias("rate_a"),
+        F.round(rate_b, 6).alias("rate_b"),
+        F.round(z, 4).alias("z_score"),
+    )

@@ -546,3 +546,66 @@ def customer_rfm(spark, sf_dir):
         F.ntile(5).over(wf).cast("long").alias("f_score"),
         F.ntile(5).over(wm).cast("long").alias("m_score"),
     )
+
+
+@register(
+    "orders_pareto",
+    oracle="""
+    WITH c AS (
+        SELECT o_custkey,
+               ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS spend
+        FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+        SELECT spend,
+               CAST(ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS BIGINT)
+                   AS decile
+        FROM c
+    ),
+    d AS (
+        SELECT decile, count(*) AS n_customers,
+               ROUND(CAST(sum(CAST(spend AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS revenue
+        FROM r GROUP BY decile
+    )
+    SELECT decile, n_customers, revenue,
+           ROUND(sum(revenue) OVER (ORDER BY decile)
+                 / sum(revenue) OVER (), 6) AS cum_share
+    FROM d
+    """,
+)
+def orders_pareto(spark, sf_dir):
+    """Revenue concentration (Pareto) curve: customers ranked into spend
+    deciles, each decile's revenue and the cumulative share — "the top
+    10% of customers carry X% of revenue" table behind every account
+    strategy review. Money sums ride DECIMAL partials (§5.3.1); the only
+    global ordering is the ntile over the one-row-per-customer AGGREGATE
+    (the customer_rfm scale note — approx-percentile cutoffs at 100 TB),
+    and the cumulative window runs on the 10-row decile frame."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("spend")
+    )
+    wd = Window.orderBy(F.col("spend").desc(), "o_custkey")
+    r = c.select("spend", F.ntile(10).over(wd).cast("long").alias("decile"))
+    d = r.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(
+            F.sum(F.col("spend").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("revenue"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return d.select(
+        "decile",
+        "n_customers",
+        "revenue",
+        F.round(
+            F.sum("revenue").over(w_cum) / F.sum("revenue").over(w_all), 6
+        ).alias("cum_share"),
+    )
