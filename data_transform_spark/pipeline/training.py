@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from data_transform_spark.io import load_table
+from data_transform_spark.io import load_events, load_table
 from data_transform_spark.registry import register
 
 # Content-stable bucket in [0, 100): first 8 md5 hex chars of the id.
@@ -417,5 +417,95 @@ def train_shuffle_epoch(spark, sf_dir):
             "doc_id",
             pos.alias("position"),
             ((pos - 1) % SHUFFLE_SHARDS).cast("long").alias("shard"),
+        )
+    )
+
+
+KM_K = 3  # 1-D k-means cluster count
+
+
+@register(
+    "ml_kmeans_1d",
+    oracle=f"""
+    WITH uv AS (
+        SELECT user_id, ROUND(sum(value), 4) AS v
+        FROM events GROUP BY user_id
+    ),
+    bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM uv),
+    c0 AS (
+        SELECT j, lo + (j + 0.5) * (hi - lo) / {KM_K} AS c
+        FROM bounds, unnest([0, 1, 2]) AS t(j)
+    ),
+    a1 AS (
+        SELECT user_id, v, j,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY abs(v - c), j) AS rnk
+        FROM uv CROSS JOIN c0
+    ),
+    c1 AS (
+        SELECT j, CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS c
+        FROM a1 WHERE rnk = 1 GROUP BY j
+    ),
+    a2 AS (
+        SELECT user_id, v, j,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY abs(v - c), j) AS rnk
+        FROM uv CROSS JOIN c1
+    )
+    SELECT CAST(j AS BIGINT) AS cluster_id, count(*) AS n_users,
+           ROUND(CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4)
+               AS centroid
+    FROM a2 WHERE rnk = 1
+    GROUP BY j
+    """,
+)
+def ml_kmeans_1d(spark, sf_dir):
+    """Iterative k-means (1-D, k=3) over per-user engagement value — the
+    Lloyd's-algorithm shape done EXACTLY reproducibly: deterministic
+    range-split init (no RNG), nearest-centroid assignment with a
+    (distance, cluster-id) tie-break, and DECIMAL-exact mean recompute so
+    the centroids are partition-order independent. Two assignment rounds
+    replay as chained CTEs in the oracle — the same bounded-unroll
+    technique as graph_label_prop. Each round is one broadcast of the
+    k-row centroid frame against the per-user aggregate plus one grouped
+    mean: at 100 TB the corpus is scanned once per round and nothing else
+    moves, which is exactly how MLlib's k-means iterates (broadcast
+    centers + map-side partial sums)."""
+    ev = load_events(spark, sf_dir)
+    uv = ev.groupBy("user_id").agg(F.round(F.sum("value"), 4).alias("v"))
+    b = uv.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    cents = (
+        spark.range(KM_K)
+        .select(F.col("id").cast("long").alias("j"))
+        .crossJoin(F.broadcast(b))
+        .select(
+            "j",
+            (
+                F.col("lo")
+                + (F.col("j") + 0.5) * (F.col("hi") - F.col("lo")) / KM_K
+            ).alias("c"),
+        )
+    )
+
+    def assign(points, centroids):
+        w = Window.partitionBy("user_id").orderBy(
+            F.abs(F.col("v") - F.col("c")), "j"
+        )
+        return (
+            points.crossJoin(F.broadcast(centroids))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+        )
+
+    exact_mean = F.sum(F.col("v").cast("decimal(18,4)")).cast("double") / F.count(
+        F.lit(1)
+    )
+    cents = assign(uv, cents).groupBy("j").agg(exact_mean.alias("c"))
+    return (
+        assign(uv, cents)
+        .groupBy(F.col("j").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(exact_mean, 4).alias("centroid"),
         )
     )
