@@ -9,6 +9,7 @@ and Spark's partition-parallel sum order differs from DuckDB's sequential one.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from data_transform_spark.io import load_events, load_table
@@ -793,4 +794,66 @@ def agg_bitmap_merge(spark, sf_dir):
     )
     return merged.groupBy("event_type").agg(
         F.sum("cnt").cast("long").alias("n_users")
+    )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+        SELECT o.o_orderpriority AS pri, o.o_totalprice AS price,
+               count(*) AS wt
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority, o.o_orderkey, o.o_totalprice
+    ),
+    c AS (
+        SELECT pri, price, wt,
+               sum(wt) OVER (PARTITION BY pri
+                             ORDER BY price, wt
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(wt) OVER (PARTITION BY pri) AS tot
+        FROM w
+    )
+    SELECT pri AS o_orderpriority,
+           min(price) AS weighted_median_price
+    FROM c
+    WHERE cum * 2 >= tot
+    GROUP BY pri
+    """,
+)
+def agg_weighted_median(spark, sf_dir):
+    """Weighted median — each order's price weighted by its lineitem
+    count, per priority class: the first value whose CUMULATIVE weight
+    crosses half the total (lower weighted median, a deterministic
+    convention both engines replay exactly — no interpolation, so no
+    float averaging of two middles). One shuffle builds the weighted
+    value set, one partitioned window accumulates; percentile_approx is
+    the sketch when even the per-group sort is too wide at 100 TB. The
+    (price, wt) ordering tiebreak makes the cumulative sum — and thus
+    the crossing point — total-order stable."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    w = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+        )
+        .agg(F.count(F.lit(1)).alias("wt"))
+    )
+    wc = Window.partitionBy("pri").orderBy("price", "wt").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt_tot = Window.partitionBy("pri")
+    c = w.select(
+        "pri",
+        "price",
+        F.sum("wt").over(wc).alias("cum"),
+        F.sum("wt").over(wt_tot).alias("tot"),
+    )
+    return (
+        c.filter(F.col("cum") * 2 >= F.col("tot"))
+        .groupBy(F.col("pri").alias("o_orderpriority"))
+        .agg(F.min("price").alias("weighted_median_price"))
     )

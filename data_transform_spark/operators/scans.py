@@ -734,3 +734,43 @@ def sink_partition_audit(spark, sf_dir):
         (F.count(F.when(F.col("path_part") == F.col("event_type"), 1))
          == F.count(F.lit(1))).alias("path_matches_column"),
     )
+
+
+@register(
+    "scan_text",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS region, count(*) AS n_nations,
+           min(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def scan_text(spark, sf_dir):
+    """The line-oriented text source (log-file ingestion): records staged
+    as `name|regionkey` lines, read back with ``spark.read.text`` (one
+    row per line, a single `value` column) and parsed with split — the
+    universal fallback format when data arrives as raw lines. The staged
+    content derives from nation, which is IDENTICAL at every scale
+    factor, so the stage path needs no SF namespace and concurrent runs
+    write identical bytes. Text scans split by line ranges at scale, so
+    parallelism comes free; the parse is row-local JVM split/cast."""
+    staged = f"{SCRATCH}/scan_text_nation"
+    na = load_table(spark, sf_dir, "nation").select(
+        F.concat_ws("|", F.col("n_name"), F.col("n_regionkey").cast("string")).alias(
+            "value"
+        )
+    )
+    na.coalesce(1).write.mode("overwrite").text(staged)
+    back = spark.read.text(staged).select(
+        F.split(F.col("value"), r"\|").alias("parts")
+    )
+    return (
+        back.select(
+            F.col("parts").getItem(0).alias("n_name"),
+            F.col("parts").getItem(1).cast("long").alias("region"),
+        )
+        .groupBy("region")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_name").alias("first_name"),
+        )
+    )
