@@ -649,3 +649,56 @@ def events_ab_test(spark, sf_dir):
         F.round(rate_b, 6).alias("rate_b"),
         F.round(z, 4).alias("z_score"),
     )
+
+
+@register(
+    "events_time_to_convert",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_converted,
+           CAST(min(date_diff('second', t_click, t_purchase)) AS BIGINT)
+               AS min_seconds,
+           CAST(max(date_diff('second', t_click, t_purchase)) AS BIGINT)
+               AS max_seconds,
+           ROUND(CAST(sum(CAST(date_diff('second', t_click, t_purchase)
+                              AS DECIMAL(18,0))) AS DOUBLE) / count(*), 2)
+               AS avg_seconds
+    FROM s WHERE t_purchase > t_click
+    """,
+)
+def events_time_to_convert(spark, sf_dir):
+    """Conversion-latency profile: delay from first click to first
+    purchase across converting users (min / max / exact-integer mean).
+    Delays are integer epoch-second differences — Spark's
+    floor(epoch(b)) − floor(epoch(a)) equals DuckDB's second-boundary
+    date_diff, so no float time math enters; the mean divides a
+    DECIMAL-exact sum. Same single conditional-min shuffle as the funnel
+    family, then a 1-row fold."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(etype):
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    s = ev.groupBy("user_id").agg(
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    delay = F.col("t_purchase").cast("long") - F.col("t_click").cast("long")
+    return (
+        s.filter(F.col("t_purchase") > F.col("t_click"))
+        .agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.min(delay).cast("long").alias("min_seconds"),
+            F.max(delay).cast("long").alias("max_seconds"),
+            F.round(
+                F.sum(delay.cast("decimal(18,0)")).cast("double")
+                / F.count(F.lit(1)),
+                2,
+            ).alias("avg_seconds"),
+        )
+    )

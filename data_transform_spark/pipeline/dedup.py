@@ -1070,3 +1070,46 @@ def dedup_containment(spark, sf_dir):
         .filter(cont >= CONTAIN_TAU)
         .select("doc_a", "doc_b", cont.alias("containment"))
     )
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+    WITH h AS (
+        SELECT DISTINCT md5(text) AS sig FROM documents WHERE doc_id % 10 < 8
+    ),
+    d AS (
+        SELECT doc_id, md5(text) AS sig FROM documents WHERE doc_id % 10 >= 8
+    )
+    SELECT doc_id, sig FROM (
+        SELECT d.doc_id, d.sig FROM d ANTI JOIN h ON d.sig = h.sig
+    )
+    QUALIFY row_number() OVER (PARTITION BY sig ORDER BY doc_id) = 1
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental-crawl dedup: a new delta batch (20% of docs standing in
+    for today's crawl) dedups against the HISTORICAL FINGERPRINT STORE —
+    hashes only, never the historical text — then within itself
+    (min-doc_id survivor). This is the shape that keeps a 100 TB corpus
+    dedup incremental: history contributes one distinct-hash scan of a
+    32-byte column (in production, a pre-materialized signature table),
+    the anti-join keys on the hash, and yesterday's bytes are never
+    re-read. Survivors' signatures then append to the store, keeping the
+    next increment just as cheap."""
+    d0 = load_table(spark, sf_dir, "documents")
+    hist = (
+        d0.filter(F.col("doc_id") % 10 < 8)
+        .select(F.md5("text").alias("sig"))
+        .distinct()
+    )
+    delta = d0.filter(F.col("doc_id") % 10 >= 8).select(
+        "doc_id", F.md5("text").alias("sig")
+    )
+    fresh = delta.join(hist, "sig", "left_anti")
+    w = Window.partitionBy("sig").orderBy("doc_id")
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "sig")
+    )
