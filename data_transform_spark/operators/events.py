@@ -702,3 +702,42 @@ def events_time_to_convert(spark, sf_dir):
             ).alias("avg_seconds"),
         )
     )
+
+
+@register(
+    "events_stickiness",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    daily AS (SELECT day, count(*) AS dau FROM ud GROUP BY day)
+    SELECT count(*) AS n_days,
+           (SELECT count(DISTINCT user_id) FROM ud) AS mau,
+           ROUND(CAST(sum(dau) AS DOUBLE) / count(*), 4) AS avg_dau,
+           ROUND(CAST(sum(dau) AS DOUBLE) / count(*)
+                 / (SELECT count(DISTINCT user_id) FROM ud), 6) AS stickiness
+    FROM daily
+    """,
+)
+def events_stickiness(spark, sf_dir):
+    """Stickiness (avg DAU / MAU) — the single-number engagement ratio
+    product teams track weekly. One distinct pass builds the (user, day)
+    activity set; DAU and MAU both fold from it (the day-grouped count
+    and the distinct-user count), so raw events are scanned once and the
+    ratio math runs on a days-sized frame. The MAU rides in-plan as a
+    broadcast 1-row aggregate — never an eager count."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    daily = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    mau = ud.agg(F.countDistinct("user_id").alias("mau"))
+    avg_dau = F.col("sum_dau").cast("double") / F.col("n_days")
+    return (
+        daily.agg(
+            F.count(F.lit(1)).alias("n_days"), F.sum("dau").alias("sum_dau")
+        )
+        .crossJoin(F.broadcast(mau))
+        .select(
+            "n_days",
+            "mau",
+            F.round(avg_dau, 4).alias("avg_dau"),
+            F.round(avg_dau / F.col("mau"), 6).alias("stickiness"),
+        )
+    )

@@ -552,3 +552,22 @@ def sql_filter_clause(spark, sf_dir):
         GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "sql_select_except",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation
+    """,
+)
+def sql_select_except(spark, sf_dir):
+    """`SELECT * EXCEPT (cols)` — subtractive projection for wide tables:
+    name what to DROP instead of enumerating the 300 columns to keep
+    (DuckDB spells it EXCLUDE; the oracle is the explicit column list,
+    proving the sugar resolves to plain pruning). Catalyst expands the
+    star minus the exclusions during analysis, so column pruning still
+    reaches the scan — subtractive projection costs nothing."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        "SELECT * EXCEPT (n_regionkey) FROM nation"
+    )
