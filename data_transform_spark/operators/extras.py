@@ -609,3 +609,71 @@ def orders_pareto(spark, sf_dir):
             F.sum("revenue").over(w_cum) / F.sum("revenue").over(w_all), 6
         ).alias("cum_share"),
     )
+
+
+@register(
+    "orders_open_backlog",
+    oracle="""
+    WITH iv AS (
+        SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS d0,
+               CAST(max(l.l_shipdate) AS DATE) AS d1
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    deltas AS (
+        SELECT d0 AS day, 1 AS delta FROM iv
+        UNION ALL
+        SELECT d1 AS day, -1 AS delta FROM iv
+    ),
+    byday AS (
+        SELECT day,
+               CAST(count(CASE WHEN delta = 1 THEN 1 END) AS BIGINT)
+                   AS n_opened,
+               CAST(count(CASE WHEN delta = -1 THEN 1 END) AS BIGINT)
+                   AS n_closed,
+               sum(delta) AS net
+        FROM deltas GROUP BY day
+    )
+    SELECT CAST(day AS VARCHAR) AS day, n_opened, n_closed,
+           CAST(sum(net) OVER (ORDER BY day
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS open_orders
+    FROM byday
+    """,
+)
+def orders_open_backlog(spark, sf_dir):
+    """Open-order backlog over time by SWEEP-LINE: each order contributes
+    +1 at placement and −1 the day its last line ships; the running sum
+    of per-day net deltas IS the number of in-flight orders — the
+    interval-count pattern that answers "how many open at time T" for
+    the whole timeline in ONE pass, where the naive day×order interval
+    join is |days|·|orders|. The cumulative window runs over the
+    day-aggregated frame (calendar-bounded, ~2.5k rows regardless of
+    order count); at 100 TB the same sweep shards by coarse time range
+    with per-shard offsets — the train_shuffle_epoch two-phase trick on
+    the time axis."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    iv = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("d0"))
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("d1"))
+    )
+    opens = iv.select(F.col("d0").alias("day"), F.lit(1).alias("delta"))
+    closes = iv.select(F.col("d1").alias("day"), F.lit(-1).alias("delta"))
+    byday = (
+        opens.unionByName(closes)
+        .groupBy("day")
+        .agg(
+            F.count(F.when(F.col("delta") == 1, 1)).alias("n_opened"),
+            F.count(F.when(F.col("delta") == -1, 1)).alias("n_closed"),
+            F.sum("delta").alias("net"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return byday.select(
+        F.col("day").cast("string").alias("day"),
+        "n_opened",
+        "n_closed",
+        F.sum("net").over(w).cast("long").alias("open_orders"),
+    )
