@@ -201,13 +201,35 @@ _FAMILY_ORDER = [
 _GREEN_OFFICIAL = _official_green()
 
 
+def _key_rounds() -> dict[str, int]:
+    """Registry key -> round it was first registered (tools/key_rounds.json,
+    generated by tools/gen_key_rounds.py from the driver's round-boundary
+    commits). Unverified keys sort oldest-round-first so a capped sweep
+    drains the oldest backlog instead of starving it behind newly-registered
+    keys (round-6 VERDICT "Next round" #1). Missing file or missing key ->
+    a large round, i.e. brand-new keys queue BEHIND the backlog."""
+    import json
+
+    try:
+        with open(os.path.join(_REPO_ROOT, "tools", "key_rounds.json")) as fh:
+            data = json.load(fh)
+        return {k: int(v) for k, v in data.items()}
+    except (OSError, ValueError):
+        return {}
+
+
+_KEY_ROUNDS = _key_rounds()
+_ROUND_UNKNOWN = 10**6
+
+
 def _sweep_rank(name: str) -> tuple:
     fn = QUERIES[name]
     mod = fn.__module__.removeprefix("data_transform_spark.")
     fam = _FAMILY_ORDER.index(mod) if mod in _FAMILY_ORDER else len(_FAMILY_ORDER)
     ins = list(QUERIES).index(name)
     pri = _SWEEP_RANK.get(name, len(_SWEEP_PRIORITY))
-    return (name in _GREEN_OFFICIAL, pri, fam, ins)
+    rnd = _KEY_ROUNDS.get(name, _ROUND_UNKNOWN)
+    return (name in _GREEN_OFFICIAL, rnd, pri, fam, ins)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -43,6 +43,27 @@ def test_sweep_order_puts_unverified_keys_first():
     assert ordered[: len(pri)] == pri
 
 
+def test_sweep_order_drains_oldest_round_first():
+    """Round-6 VERDICT #1: the capped sweep starved the r5 backlog because
+    unverified keys ranked by family order, not age — 32 of 50 slots went to
+    brand-new r6 keys while all 12 remaining TPC-H composites waited. Pin
+    the fix: within the unverified block, registration round (from
+    tools/key_rounds.json) must be non-decreasing, so the oldest backlog
+    always drains before newly-registered keys."""
+    ordered = list(entry_mod.queries())
+    green = entry_mod._GREEN_OFFICIAL
+    unverified = [n for n in ordered if n not in green]
+    rounds = [entry_mod._KEY_ROUNDS.get(n, entry_mod._ROUND_UNKNOWN) for n in unverified]
+    assert rounds == sorted(rounds), (
+        "unverified keys must sort oldest-registration-round first; "
+        f"violations near: {[n for n, a, b in zip(unverified, rounds, sorted(rounds)) if a != b][:5]}"
+    )
+    # every registered key has a known registration round
+    assert set(entry_mod._KEY_ROUNDS) >= set(ordered), (
+        "run `python tools/gen_key_rounds.py` after registering new keys"
+    )
+
+
 def test_green_set_reads_correctness_files(tmp_path, monkeypatch):
     """_official_green takes the latest fully-matching row per key from the
     CORRECTNESS files. Asserted against synthetic files in tmp_path — the

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Generate tools/key_rounds.json: registry key -> round it first appeared.
+
+Round N's closing commit is the driver's ``round N: verdict/...`` commit,
+which snapshots every key registered during round N. A key first appears in
+round N if it matches the ``@register("<key>"`` pattern in the round-N tree
+but not in the round-(N-1) tree. Keys present only in the current working
+tree (not yet in any closed round) get CURRENT_ROUND.
+
+The sweep ranker (__spark_entry__._sweep_rank) uses this file to order
+driver-UNVERIFIED keys oldest-round-first, so a capped 50-key sweep drains
+the oldest backlog instead of starving it behind newly-registered keys
+(round-6 VERDICT "Next round" #1).
+
+Usage: python tools/gen_key_rounds.py  (writes tools/key_rounds.json)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Earliest key registrations used @register("name" on one line; later house
+# style puts the name on its own line after the open paren.
+_KEY_RE = re.compile(r"@register\(\s*\n?\s*\"([A-Za-z0-9_]+)\"")
+
+CURRENT_ROUND = 7
+
+
+def _git(*args: str) -> str:
+    return subprocess.check_output(["git", "-C", REPO, *args], text=True)
+
+
+def _round_boundaries() -> list[tuple[int, str]]:
+    """(round, commit) for each driver 'round N: verdict/...' commit, ascending."""
+    out = _git("log", "--oneline", "--format=%H %s")
+    bounds: dict[int, str] = {}
+    for line in out.splitlines():
+        sha, _, subject = line.partition(" ")
+        m = re.match(r"round (\d+): verdict/", subject)
+        if m:
+            rnd = int(m.group(1))
+            # log is newest-first; keep the FIRST (newest) commit per round —
+            # there is one per round, but be defensive.
+            bounds.setdefault(rnd, sha)
+    return sorted(bounds.items())
+
+
+def _keys_at(commit: str) -> set[str]:
+    files = _git("ls-tree", "-r", "--name-only", commit, "data_transform_spark").split()
+    keys: set[str] = set()
+    for path in files:
+        if not path.endswith(".py"):
+            continue
+        src = _git("show", f"{commit}:{path}")
+        keys.update(_KEY_RE.findall(src))
+    return keys
+
+
+def _keys_working_tree() -> set[str]:
+    keys: set[str] = set()
+    pkg = os.path.join(REPO, "data_transform_spark")
+    for root, _dirs, files in os.walk(pkg):
+        for name in files:
+            if not name.endswith(".py"):
+                continue
+            with open(os.path.join(root, name)) as fh:
+                keys.update(_KEY_RE.findall(fh.read()))
+    return keys
+
+
+def main() -> int:
+    first_round: dict[str, int] = {}
+    for rnd, commit in _round_boundaries():
+        for key in _keys_at(commit):
+            first_round.setdefault(key, rnd)
+    for key in _keys_working_tree():
+        first_round.setdefault(key, CURRENT_ROUND)
+    out = os.path.join(REPO, "tools", "key_rounds.json")
+    with open(out, "w") as fh:
+        json.dump(dict(sorted(first_round.items())), fh, indent=1)
+        fh.write("\n")
+    by_round: dict[int, int] = {}
+    for rnd in first_round.values():
+        by_round[rnd] = by_round.get(rnd, 0) + 1
+    print(f"wrote {out}: {len(first_round)} keys, per-round counts {sorted(by_round.items())}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
