@@ -319,12 +319,31 @@ def graph_triangles(spark, sf_dir):
     )
 
 
+def _persistent_rdd_ids(spark) -> set:
+    """IDs of RDDs currently pinned in this session's block manager
+    (JavaSparkContext.getPersistentRDDs) — eager localCheckpoint persists
+    its RDD there, and nothing releases it automatically, so iterative
+    loops must track and free superseded checkpoints themselves."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(i) for i in jmap.keySet().toArray()}
+
+
+def _release_rdds(spark, ids) -> None:
+    """Unpersist (async) the given persistent-RDD ids if still pinned."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in ids:
+        if jmap.containsKey(rid):
+            jmap.get(rid).unpersist(False)
+
+
 def pagerank_converged(
     spark,
     sf_dir,
     tol: float = 1e-7,
     max_iters: int = 40,
     checkpoint_every: int = 3,
+    damp: float = PR_DAMP,
+    edges=None,
 ):
     """PageRank iterated until the L1 rank delta drops below ``tol``.
 
@@ -338,6 +357,20 @@ def pagerank_converged(
     iteration k replans the whole k-join tower and optimizer time grows
     superlinearly.
 
+    Checkpoint-block hygiene (r6 ADVICE): a superseded rank checkpoint is
+    unpersisted as soon as its successor is materialized AND the delta
+    aggregate that still read it has collected; on exit the final rank is
+    checkpointed once more and every other block this call pinned (edges,
+    nodes, loop checkpoints) is released. Per-call residue in the block
+    manager is therefore a single node-count-sized RDD backing the
+    returned frame — repeated calls (bench reps, tests) no longer
+    accumulate blocks for the session lifetime.
+
+    Numerics follow graph_pagerank's cross-engine rule: per-edge
+    contributions and per-node rank deltas go through round(·,12) + exact
+    DECIMAL(28,12) partials, so ranks — and the convergence DECISION —
+    are identical in any partition order and replayable in plain SQL.
+
     Crossover (measured, SCALING.md "Iterative graph algorithms"): the
     unrolled form wins when the iteration count is small and known —
     one job, no per-iteration driver sync. Convergence-stop wins whenever
@@ -348,13 +381,15 @@ def pagerank_converged(
     iteration it doesn't need, and bounded lineage keeps per-iteration
     cost flat where the unrolled plan's grows.
 
+    ``edges`` (src, dst, w) overrides the default nation trade graph.
     Returns ``(rank_df, iterations_run, final_delta)``; ``rank_df`` has
     (node, rank) with full double precision (no cross-engine rounding —
     this is the library surface, not an oracle key).
     """
-    e = _edges(spark, sf_dir)
+    base_ids = _persistent_rdd_ids(spark)
+    e = _edges(spark, sf_dir) if edges is None else edges
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
-    edges = (
+    edges_df = (
         e.join(out_w, "src")
         .select("src", "dst", (F.col("w") / F.col("out_w")).alias("share"))
         .localCheckpoint(eager=True)  # feeds every iteration: build once
@@ -362,15 +397,19 @@ def pagerank_converged(
     nodes = load_table(spark, sf_dir, "nation").select(
         F.col("n_name").alias("node")
     ).localCheckpoint(eager=True)
+    setup_ids = _persistent_rdd_ids(spark) - base_ids
     rank = nodes.select("node", F.lit(1.0 / PR_N).alias("rank"))
 
     iters, delta = 0, float("inf")
+    live_ids: set = set()
     for i in range(max_iters):
         contrib = (
-            edges.join(rank, edges.src == rank.node)
+            edges_df.join(rank, edges_df.src == rank.node)
             .select(
                 F.col("dst").alias("node"),
-                (F.col("rank") * F.col("share")).alias("contrib"),
+                F.round(F.col("rank") * F.col("share"), 12)
+                .cast("decimal(28,12)")
+                .alias("contrib"),
             )
             .groupBy("node")
             .agg(F.sum("contrib").alias("mass"))
@@ -378,23 +417,154 @@ def pagerank_converged(
         new_rank = nodes.join(contrib, "node", "left").select(
             "node",
             (
-                F.lit((1 - PR_DAMP) / PR_N)
-                + PR_DAMP * F.coalesce(F.col("mass"), F.lit(0.0))
+                F.lit((1 - damp) / PR_N)
+                + damp * F.coalesce(F.col("mass").cast("double"), F.lit(0.0))
             ).alias("rank"),
         )
+        fresh_ids = None
         if (i + 1) % checkpoint_every == 0:
+            before = _persistent_rdd_ids(spark)
             new_rank = new_rank.localCheckpoint(eager=True)
-        delta = (
+            fresh_ids = _persistent_rdd_ids(spark) - before
+        d = (
             new_rank.alias("n")
             .join(rank.alias("o"), "node")
-            .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("d"))
+            .agg(
+                F.sum(
+                    F.round(F.abs(F.col("n.rank") - F.col("o.rank")), 12).cast(
+                        "decimal(28,12)"
+                    )
+                ).alias("d")
+            )
             .collect()[0]["d"]
         )
+        delta = float(d) if d is not None else 0.0
         rank = new_rank
         iters = i + 1
+        if fresh_ids is not None:
+            # the delta aggregate above was the last reader of the previous
+            # checkpoint's chain — safe to release it now
+            _release_rdds(spark, live_ids)
+            live_ids = fresh_ids
         if delta < tol:
             break
+    # Pin the final rank in its own block, then release everything else this
+    # call persisted — the returned frame depends on no other block.
+    rank = rank.localCheckpoint(eager=True)
+    _release_rdds(spark, live_ids | setup_ids)
     return rank, iters, delta
+
+
+PRC_TOL = 1e-5  # convergence threshold for the registered converged key
+PRC_ITERS = 26  # measured convergence depth of the fixed graph at PRC_TOL
+
+# Synthetic-but-deterministic graph built from the nation table ALONE, which
+# is identical at every scale factor — so the convergence depth (and every
+# rank) is one fixed number the unrolled oracle can replay, unlike the trade
+# graph whose mixing (and therefore depth: 7/5/4 iters at the three SFs)
+# varies with SF. Shape: a nationkey ring (i -> (i+1) mod 25, w=3) keeping
+# the graph strongly connected, plus directed same-region edges weighted
+# (dst_key mod 4) + 1 so the stationary distribution is non-uniform.
+_CONV_EDGES_SQL = """
+        SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+            SELECT n1.n_name AS src, n2.n_name AS dst, 3 AS w
+            FROM nation n1 JOIN nation n2
+              ON n2.n_nationkey = (n1.n_nationkey + 1) % 25
+            UNION ALL
+            SELECT n1.n_name, n2.n_name, (n2.n_nationkey % 4) + 1
+            FROM nation n1 JOIN nation n2
+              ON n1.n_regionkey = n2.n_regionkey
+             AND n1.n_nationkey <> n2.n_nationkey
+        ) GROUP BY src, dst
+"""
+
+
+def _conv_edges(spark, sf_dir):
+    n = load_table(spark, sf_dir, "nation")
+    a = n.select(
+        F.col("n_nationkey").alias("a_key"),
+        F.col("n_name").alias("src"),
+        F.col("n_regionkey").alias("a_reg"),
+    )
+    b = n.select(
+        F.col("n_nationkey").alias("b_key"),
+        F.col("n_name").alias("dst"),
+        F.col("n_regionkey").alias("b_reg"),
+    )
+    ring = a.join(b, F.col("b_key") == (F.col("a_key") + 1) % 25).select(
+        "src", "dst", F.lit(3).cast("long").alias("w")
+    )
+    reg = a.join(
+        b, (F.col("a_reg") == F.col("b_reg")) & (F.col("a_key") != F.col("b_key"))
+    ).select("src", "dst", ((F.col("b_key") % 4) + 1).cast("long").alias("w"))
+    return ring.unionAll(reg).groupBy("src", "dst").agg(
+        F.sum("w").cast("long").alias("w")
+    )
+
+
+@register(
+    "graph_pagerank_conv",
+    # {PRC_ITERS} unrolled chained CTEs overflow DuckDB's binder recursion
+    # limit (128), so the replay is a RECURSIVE CTE instead: constant binder
+    # depth, one recursion step per PageRank iteration, with the working
+    # table carrying exactly the previous iteration's rank vector — the same
+    # per-iteration expression tree as graph_pagerank's _pr_iter_sql.
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_CONV_EDGES_SQL}),
+    nodes AS (SELECT n_name AS node FROM nation),
+    out_w AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY src),
+    shares AS (SELECT e.src, e.dst, e.w / ow.out_w AS share
+               FROM edges e JOIN out_w ow ON ow.src = e.src),
+    pr AS (
+        -- seed must be CAST to DOUBLE: UNION ALL unifies the recursive
+        -- branch to the seed's type, and a bare 0.04 literal is DECIMAL(3,2)
+        SELECT 0 AS it, node, CAST({1.0 / PR_N} AS DOUBLE) AS rank FROM nodes
+      UNION ALL
+        SELECT i.it + 1, n.node,
+               {(1 - PR_DAMP) / PR_N} + {PR_DAMP} * CAST(COALESCE((
+                   SELECT sum(CAST(round(p.rank * s.share, 12)
+                                   AS DECIMAL(28,12)))
+                   FROM shares s
+                   JOIN pr p ON p.node = s.src
+                   WHERE s.dst = n.node), 0) AS DOUBLE) AS rank
+        FROM nodes n CROSS JOIN (SELECT DISTINCT it FROM pr) i
+        WHERE i.it < {PRC_ITERS}
+    )
+    SELECT node, ROUND(rank, 9) AS rank,
+           CAST({PRC_ITERS} AS BIGINT) AS iters
+    FROM pr WHERE it = {PRC_ITERS}
+    """,
+)
+def graph_pagerank_conv(spark, sf_dir):
+    """Convergence-stopped PageRank as a registered, hash-oracled key.
+
+    Runs the production-shape ``pagerank_converged`` loop (per-iteration
+    1-row L1-delta collect, eager lineage-truncating checkpoints with
+    superseded-block release) to tol={PRC_TOL} on the SF-independent
+    nation graph, and PINS the convergence decision: the loop must stop at
+    exactly {PRC_ITERS} iterations (bit-deterministic because every rank
+    and every delta goes through round(·,12) + exact DECIMAL(28,12)
+    partials — measured identical at sf0.001/0.01/0.1). The oracle replays
+    those {PRC_ITERS} iterations as unrolled chained CTEs reusing
+    graph_pagerank's per-iteration SQL, and the ``iters`` column carries
+    the pinned depth so a drifted convergence path fails the hash, not
+    just an assert. A clean ValueError fires first if the loop stops at
+    any other depth (fixture drift diagnosis beats a bare hash mismatch).
+    """
+    rank, iters, _delta = pagerank_converged(
+        spark, sf_dir, tol=PRC_TOL, edges=_conv_edges(spark, sf_dir)
+    )
+    if iters != PRC_ITERS:
+        raise ValueError(
+            f"graph_pagerank_conv: converged in {iters} iterations, "
+            f"expected pinned {PRC_ITERS} — nation fixture or numeric "
+            "path drifted; re-measure and update PRC_ITERS + the oracle"
+        )
+    return rank.select(
+        "node",
+        F.round("rank", 9).alias("rank"),
+        F.lit(PRC_ITERS).cast("long").alias("iters"),
+    )
 
 
 LPA_ITERS = 2  # synchronous label-propagation rounds

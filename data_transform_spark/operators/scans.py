@@ -617,7 +617,14 @@ def scan_csv_malformed(spark, sf_dir):
     FAILFAST for contract-enforced feeds — all three are one option flag
     on the same scan, never a cleansing pre-pass over the corpus."""
     nation = load_table(spark, sf_dir, "nation")
-    out_dir = f"{SCRATCH}/scan_csv_malformed_{os.path.basename(sf_dir.rstrip('/'))}"
+    # Cache key = SF basename + content fingerprint of the source parquet
+    # (same recipe as join_dpp): a regenerated fixture at the same path can
+    # never serve a stale staged CSV while the oracle reads the live table
+    # (r6 ADVICE).
+    out_dir = (
+        f"{SCRATCH}/scan_csv_malformed_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{_path_fingerprint(path_of(sf_dir, 'nation'))}"
+    )
     marker = f"{out_dir}/_planted"
     if not os.path.exists(marker):
         nation.write.mode("overwrite").options(
@@ -748,12 +755,13 @@ def scan_text(spark, sf_dir):
     """The line-oriented text source (log-file ingestion): records staged
     as `name|regionkey` lines, read back with ``spark.read.text`` (one
     row per line, a single `value` column) and parsed with split — the
-    universal fallback format when data arrives as raw lines. The staged
-    content derives from nation, which is IDENTICAL at every scale
-    factor, so the stage path needs no SF namespace and concurrent runs
-    write identical bytes. Text scans split by line ranges at scale, so
+    universal fallback format when data arrives as raw lines. The stage
+    path is SF-namespaced even though nation is identical at every scale
+    factor: mode('overwrite') is delete-then-write, so a shared path lets
+    a concurrent run at another SF observe an empty/partial directory
+    mid-rewrite (r6 ADVICE). Text scans split by line ranges at scale, so
     parallelism comes free; the parse is row-local JVM split/cast."""
-    staged = f"{SCRATCH}/scan_text_nation"
+    staged = f"{SCRATCH}/scan_text_nation_{os.path.basename(sf_dir.rstrip('/'))}"
     na = load_table(spark, sf_dir, "nation").select(
         F.concat_ws("|", F.col("n_name"), F.col("n_regionkey").cast("string")).alias(
             "value"

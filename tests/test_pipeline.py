@@ -401,6 +401,26 @@ class TestMinhashSizeGate:
             "filtered-frame gate probe ran a Spark job"
         )
 
+    def test_all_remote_files_count_as_at_gate_scale(self):
+        """r6 ADVICE: on s3://hdfs:// storage os.path.getsize sees nothing;
+        an all-remote input list must answer 'at gate scale' (the gate
+        exists for exactly that deployment) instead of silently disabling
+        the estimate gate. Duck-typed frame: _is_plain_scan safely answers
+        False for non-DataFrame objects."""
+        from data_transform_spark.pipeline.dedup import _corpus_at_gate_scale
+
+        class _RemoteFrame:
+            def inputFiles(self):
+                return ["s3://bucket/part-0.parquet", "hdfs://nn/part-1.parquet"]
+
+        class _EmptyFrame:
+            def inputFiles(self):
+                return []
+
+        assert _corpus_at_gate_scale(_RemoteFrame()) is True
+        # no input files at all (in-memory frame) -> below gate, unchanged
+        assert _corpus_at_gate_scale(_EmptyFrame()) is False
+
 
 class TestPagerankConverged:
     def test_converges_and_preserves_mass(self, spark, sf_dir):
@@ -428,3 +448,34 @@ class TestPagerankConverged:
         assert set(conv) == set(un3)
         max_gap = max(abs(conv[n] - un3[n]) for n in conv)
         assert max_gap < 0.01, f"converged vs unrolled-3 diverged: {max_gap}"
+
+    def test_releases_superseded_checkpoint_blocks(self, spark, sf_dir):
+        """r6 ADVICE: repeated pagerank_converged calls must not accumulate
+        checkpoint blocks for the session lifetime. Per-call residue is
+        exactly ONE persistent RDD (the block backing the returned frame);
+        edges, nodes, and every superseded loop checkpoint are released."""
+        from data_transform_spark.operators.graph import (
+            _persistent_rdd_ids,
+            pagerank_converged,
+        )
+
+        before = len(_persistent_rdd_ids(spark))
+        for _ in range(2):
+            rank, _iters, _delta = pagerank_converged(spark, sf_dir)
+            assert rank.count() == 25
+        after = len(_persistent_rdd_ids(spark))
+        assert after - before <= 2, (
+            f"checkpoint blocks leaked: {after - before} new persistent RDDs "
+            "after 2 calls (expected <=1 per call)"
+        )
+
+    def test_conv_key_pins_iteration_depth(self, spark, sf_dir):
+        """graph_pagerank_conv's convergence decision is pinned: the
+        SF-independent nation graph converges at exactly PRC_ITERS, and the
+        returned frame carries that depth in-plan."""
+        from data_transform_spark.operators.graph import PRC_ITERS
+        from data_transform_spark.registry import QUERIES
+
+        rows = QUERIES["graph_pagerank_conv"](spark, sf_dir).collect()
+        assert len(rows) == 25
+        assert all(r.iters == PRC_ITERS for r in rows)
