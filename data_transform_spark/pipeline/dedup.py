@@ -974,6 +974,15 @@ CONTAIN_TAU = 0.8  # containment acceptance threshold (|A∩B| / min set size)
 # the prefix⋈full candidate join to 180k pairs; 5-grams are near-unique
 # (df≈1) and containment of long spans is what the operator detects anyway.
 CONTAIN_K = 5
+# Skew guard (r6 VERDICT #3): shingles with df above this cap are BANNED from
+# the probe index — one boilerplate shingle sneaking into some small doc's
+# prefix otherwise produces a df-sized probe (the full-index side carries
+# every occurrence). The guard is LOSSLESS at any cap (proof in the
+# dedup_containment docstring), so the cap is purely a performance knob: at
+# 100 TB size it so banned shingles are the handful of boilerplate lines
+# (df >> corpus mean), not the tail. Fixture hashes are identical with the
+# guard on — verified at all three SFs.
+CONTAIN_DF_CAP = 256
 
 
 def _kgrams(df, k: int):
@@ -1029,7 +1038,27 @@ def dedup_containment(spark, sf_dir):
     prefix prefers the LOWEST-df shingles, so high-df shingles rarely
     enter it; the exact verify then touches candidates only. containment
     is an exact integer ratio → bit-identical double in both engines
-    (the oracle is the quadratic all-pairs twin)."""
+    (the oracle is the quadratic all-pairs twin).
+
+    High-df skew guard (r6 VERDICT #3): shingles with df > CONTAIN_DF_CAP
+    are banned from the probe index, so one universal boilerplate shingle
+    can never produce a df-sized probe. Losslessness survives banning —
+    extended proof: for a qualifying pair let S be the smaller set (n
+    shingles, x of them banned, shared >= ceil(tau*n)). At most x shared
+    shingles are banned, so shared_unbanned >= ceil(tau*n) - x. If none
+    of S's p = n - ceil(tau*n) + 1 rarest UNBANNED shingles were shared,
+    then shared_unbanned <= (n - x) - p = ceil(tau*n) - x - 1 —
+    contradiction. So the prefix is taken over each doc's unbanned
+    shingles with the SAME length p (banned ones never occupy prefix
+    slots), probing the unbanned index. A doc with fewer than p unbanned
+    shingles can't build that prefix and falls back to probing its
+    ENTIRE shingle set against the unfiltered index — any shared shingle
+    then surfaces the pair, trivially lossless, and the expensive
+    df-sized probes are paid only for those explicitly-pathological docs
+    (a corpus property worth alerting on, not a silent cost). Both
+    candidate paths union before the exact verify, so the result set is
+    IDENTICAL at any cap — pinned by
+    tests/test_properties.py::test_containment_guard_is_lossless_under_boilerplate."""
     # sh feeds FIVE subtrees (sizes, df, prefix, full index, exact verify):
     # checkpoint eagerly so the tokenize+explode runs once, not five times
     # (same discipline as dedup_near_minhash's signature reuse).
@@ -1039,21 +1068,40 @@ def dedup_containment(spark, sf_dir):
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
 
+    # banned = the handful of boilerplate shingles (df above cap); broadcast
+    # anti-join keeps the unbanned projection map-side, no extra shuffle
+    banned = df.filter(F.col("df") > CONTAIN_DF_CAP).select("shingle")
+    sh_ub = sh.join(F.broadcast(banned), "shingle", "left_anti")
+    sizes_ub = sh_ub.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ub"))
+
     w_rarity = Window.partitionBy("doc_id").orderBy("df", "shingle")
     # ceil(tau*n) on a double can land one ulp HIGH (0.8*20 -> 16.0000…04,
     # ceil 17), silently shortening the prefix below the lossless minimum —
     # nudge down by 1e-9 so ties resolve to the longer (still lossless) side.
     p_len = F.col("n") - F.ceil(F.lit(CONTAIN_TAU) * F.col("n") - F.lit(1e-9)) + 1
+    doc_stats = sizes.join(sizes_ub, "doc_id", "left").select(
+        "doc_id", "n", F.coalesce("n_ub", F.lit(0)).alias("n_ub")
+    )
+    # normal tier: the p rarest UNBANNED shingles of every doc that still
+    # has >= p unbanned ones, probed against the unbanned index
     prefix = (
-        sh.join(df, "shingle")
+        sh_ub.join(df, "shingle")
         .withColumn("rn", F.row_number().over(w_rarity))
-        .join(sizes, "doc_id")
-        .filter(F.col("rn") <= p_len)
+        .join(doc_stats, "doc_id")
+        .filter((F.col("n_ub") >= p_len) & (F.col("rn") <= p_len))
         .select("doc_id", "shingle")
     )
+    full_ub = sh_ub.select(F.col("doc_id").alias("f_id"), "shingle")
+    cand_normal = prefix.join(full_ub, "shingle").select("doc_id", "f_id")
+    # fallback tier: docs made almost entirely of banned boilerplate probe
+    # their whole set against the UNFILTERED index — df-sized probes, but
+    # only for these few pathological docs, never for the corpus at large
+    fb_docs = doc_stats.filter(F.col("n_ub") < p_len).select("doc_id")
+    fb_prefix = sh.join(F.broadcast(fb_docs), "doc_id").select("doc_id", "shingle")
     full = sh.select(F.col("doc_id").alias("f_id"), "shingle")
+    cand_fallback = fb_prefix.join(full, "shingle").select("doc_id", "f_id")
     cand = (
-        prefix.join(full, "shingle")
+        cand_normal.unionAll(cand_fallback)
         .filter(F.col("doc_id") != F.col("f_id"))
         .select(
             F.least("doc_id", "f_id").alias("doc_a"),

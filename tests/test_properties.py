@@ -203,3 +203,69 @@ def test_morton_interleave_is_injective_and_monotone_in_blocks(pairs):
     # just pin that the expression mentions every bit lane once)
     for i in range(8):
         assert f"<< {2 * i + 1})" in expr and f"<< {2 * i})" in expr
+
+
+def test_containment_guard_is_lossless_under_boilerplate(spark, tmp_path, monkeypatch):
+    """r6 VERDICT #3: a corpus where one universal boilerplate line pushes
+    shingles over the df cap must return the EXACT same pair set as the
+    unguarded run — banning is a performance knob, never a recall knob.
+    The corpus forces BOTH guard tiers: content docs (unbanned prefix) and
+    pure-boilerplate docs (entire set banned -> fallback probe)."""
+    import pandas as pd
+
+    import data_transform_spark.pipeline.dedup as dd
+
+    boiler = "terms of service apply to all content on this site"
+    texts = {}
+    # 12 content docs with disjoint vocab + the universal boilerplate suffix
+    for i in range(12):
+        words = [f"w{i}x{j}" for j in range(12)]
+        texts[i] = " ".join(words) + " " + boiler
+    # contained pair: doc 100 is the first 10 words of doc 0 (containment 1.0,
+    # found via the NORMAL tier — its shingles are rare)
+    texts[100] = " ".join(f"w0x{j}" for j in range(10))
+    # two identical pure-boilerplate docs: every shingle banned under the
+    # guarded cap -> FALLBACK tier must still surface their pairs
+    texts[200] = boiler
+    texts[201] = boiler
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": "en",
+            "source": "synth",
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+
+    def shingles(text, k=dd.CONTAIN_K):
+        words = text.split(" ")
+        return {
+            " ".join(words[i : i + k])
+            for i in range(0, max(len(words) - k, 0) + 1)
+        }
+
+    expected = {}
+    ids = sorted(texts)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1 :]:
+            sa, sb = shingles(texts[a]), shingles(texts[b])
+            cont = len(sa & sb) / min(len(sa), len(sb))
+            if cont >= dd.CONTAIN_TAU:
+                expected[(a, b)] = round(cont, 9)
+
+    def run(cap):
+        monkeypatch.setattr(dd, "CONTAIN_DF_CAP", cap)
+        rows = dd.dedup_containment(spark, str(tmp_path)).collect()
+        return {(r.doc_a, r.doc_b): round(r.containment, 9) for r in rows}
+
+    guarded = run(4)  # boilerplate shingles have df=14 > 4 -> banned
+    unguarded = run(10**9)  # nothing banned: the original single-tier path
+    assert guarded == unguarded, "guard changed the result set"
+    assert guarded == expected, "containment pairs differ from brute force"
+    # sanity: the scenario actually exercised both tiers
+    assert (200, 201) in expected  # fallback-tier pair
+    assert (0, 100) in expected  # normal-tier contained pair
