@@ -68,6 +68,11 @@ OPTIONAL = [
     "events_windowed_funnel",
     "join_snapshot_diff",
     "train_shuffle_epoch",
+    # graph_pagerank_conv deliberately NOT benched: 26 driver-synced
+    # iterations cost ~12 s of pure job-scheduling latency at 25-node
+    # fixture scale (measured r7, SCALING.md "Iterative graph algorithms")
+    # — the documented convergence-stop crossover, not plan quality; the
+    # unrolled graph_pagerank row above times the shared plan shape.
 ]
 
 
