@@ -599,3 +599,16 @@ def test_shuffle_epoch_no_global_window(spark, sf_dir):
     # the window over the corpus must be keyed (hashpartitioning on bucket),
     # so at least one hashpartitioning-by-bucket exchange exists
     assert "hashpartitioning(bucket" in p, "bucketed window partitioning missing"
+
+
+def test_containment_guard_bans_via_broadcast_anti(spark, sf_dir):
+    """The r7 high-df guard must stay free: the banned-shingle projection is
+    a BROADCAST anti join (the banned set is a handful of boilerplate
+    shingles by construction) — shuffling the full shingle frame to subtract
+    a tiny hot-list would cost more than the skew it prevents."""
+    p = plan_of(spark, "dedup_containment", sf_dir)
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, (
+        f"banned-shingle anti join not broadcast:\n{p[:2000]}"
+    )
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
