@@ -545,8 +545,9 @@ def graph_pagerank_conv(spark, sf_dir):
     exactly {PRC_ITERS} iterations (bit-deterministic because every rank
     and every delta goes through round(·,12) + exact DECIMAL(28,12)
     partials — measured identical at sf0.001/0.01/0.1). The oracle replays
-    those {PRC_ITERS} iterations as unrolled chained CTEs reusing
-    graph_pagerank's per-iteration SQL, and the ``iters`` column carries
+    those {PRC_ITERS} iterations as a RECURSIVE CTE carrying the previous
+    iteration's rank vector (see the register comment; deep chained CTEs
+    overflow DuckDB's binder), and the ``iters`` column carries
     the pinned depth so a drifted convergence path fails the hash, not
     just an assert. A clean ValueError fires first if the loop stops at
     any other depth (fixture drift diagnosis beats a bare hash mismatch).
