@@ -269,3 +269,77 @@ def test_containment_guard_is_lossless_under_boilerplate(spark, tmp_path, monkey
     # sanity: the scenario actually exercised both tiers
     assert (200, 201) in expected  # fallback-tier pair
     assert (0, 100) in expected  # normal-tier contained pair
+
+
+# Small random corpora with heavy shingle collisions: 3-word shingles over a
+# 5-word vocab force shared/high-df shingles, doc lengths straddle the
+# shingle width, and a tiny cap forces bans — the adversarial surface of the
+# r7 containment guard (prefix-length ties, n_ub == p boundaries, sub-k
+# docs, all-banned docs).
+CORPUS = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=2, max_size=9
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(docs=CORPUS)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture],
+          derandomize=True)
+def test_containment_guard_matches_bruteforce_on_random_corpora(
+    spark, tmp_path_factory, docs
+):
+    """Guarded (tiny cap -> many bans) and unguarded containment must both
+    equal the brute-force pair set on ANY corpus."""
+    import pandas as pd
+
+    import data_transform_spark.pipeline.dedup as dd
+
+    k = 3
+    texts = {i: " ".join(words) for i, words in enumerate(docs)}
+    base = tmp_path_factory.mktemp("contain_prop")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": "en",
+            "source": "synth",
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{base}/documents.parquet"
+    )
+
+    def shingles(text):
+        words = text.split(" ")
+        return {
+            " ".join(words[i : i + k])
+            for i in range(0, max(len(words) - k, 0) + 1)
+        }
+
+    expected = set()
+    ids = sorted(texts)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1 :]:
+            sa, sb = shingles(texts[a]), shingles(texts[b])
+            if len(sa & sb) / min(len(sa), len(sb)) >= dd.CONTAIN_TAU:
+                expected.add((a, b))
+
+    orig_k, orig_cap = dd.CONTAIN_K, dd.CONTAIN_DF_CAP
+    try:
+        dd.CONTAIN_K = k
+        for cap in (2, 10**9):
+            dd.CONTAIN_DF_CAP = cap
+            got = {
+                (r.doc_a, r.doc_b)
+                for r in dd.dedup_containment(spark, str(base)).collect()
+            }
+            assert got == expected, (
+                f"cap={cap}: {sorted(got)} != {sorted(expected)} on {texts}"
+            )
+    finally:
+        dd.CONTAIN_K, dd.CONTAIN_DF_CAP = orig_k, orig_cap
