@@ -62,6 +62,13 @@ def test_sweep_order_drains_oldest_round_first():
     assert set(entry_mod._KEY_ROUNDS) >= set(ordered), (
         "run `python tools/gen_key_rounds.py` after registering new keys"
     )
+    # the r6 VERDICT's explicit "Done" criterion: while any TPC-H composite
+    # is unverified, it must sit inside the driver's 50-key sweep window
+    tpch_waiting = [n for n in unverified if n.startswith("tpch_")]
+    assert all(unverified.index(n) < 50 for n in tpch_waiting), (
+        f"TPC-H composites pushed past the sweep cap: "
+        f"{[(n, unverified.index(n)) for n in tpch_waiting]}"
+    )
 
 
 def test_green_set_reads_correctness_files(tmp_path, monkeypatch):

@@ -469,6 +469,23 @@ class TestPagerankConverged:
             "after 2 calls (expected <=1 per call)"
         )
 
+    def test_checkpoint_cadence_never_changes_numerics(self, spark, sf_dir):
+        """Checkpointing is a lineage/memory lever, not a semantic one: any
+        checkpoint_every must give bit-identical ranks, depth, and delta
+        (the DECIMAL-exact partials make every iteration order-insensitive,
+        and the release machinery must never free a block still needed)."""
+        from data_transform_spark.operators.graph import pagerank_converged
+
+        runs = {}
+        for ce in (1, 3, 100):
+            rank, iters, delta = pagerank_converged(
+                spark, sf_dir, checkpoint_every=ce
+            )
+            runs[ce] = ({r.node: r.rank for r in rank.collect()}, iters, delta)
+        base = runs[1]
+        for ce, got in runs.items():
+            assert got == base, f"checkpoint_every={ce} changed results"
+
     def test_conv_key_pins_iteration_depth(self, spark, sf_dir):
         """graph_pagerank_conv's convergence decision is pinned: the
         SF-independent nation graph converges at exactly PRC_ITERS, and the
