@@ -741,3 +741,71 @@ def events_stickiness(spark, sf_dir):
             F.round(avg_dau / F.col("mau"), 6).alias("stickiness"),
         )
     )
+
+
+@register(
+    "events_sequence_motif",
+    oracle="""
+    WITH j AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+                   AS journey
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(journey) AS BIGINT) AS journey_len,
+           md5(journey) AS journey_md5,
+           CAST(len(regexp_extract_all(journey, 'v+c+p')) AS BIGINT)
+               AS n_browse_buy,
+           CAST(len(regexp_extract_all(journey, 'ep')) AS BIGINT)
+               AS n_error_then_buy,
+           (journey LIKE '%vp%') AS has_direct_view_buy
+    FROM j
+    """,
+)
+def events_sequence_motif(spark, sf_dir):
+    """Regex motif mining over per-user event SEQUENCES — the general
+    pattern tool the funnel family can't express: `events_funnel` tests one
+    fixed stage order, `events_transitions` sees only bigrams, but a
+    journey string (one char per event, ordered by (ts, event_id)) makes
+    ANY sequence question a regexp: non-overlapping view-streak →
+    click-streak → purchase episodes (`v+c+p`), error-immediately-before-
+    purchase incidents (`ep`), direct view→buy conversions. The five
+    fixture event types have distinct initials, so the alphabet is 1:1.
+
+    One shuffle (groupBy user_id); the journey is assembled in-JVM by
+    sorting the collected (ts, event_id, char) structs — collect_list
+    alone has NO order guarantee — and every regex runs JVM-side per user
+    row. Journey length is bounded by per-user event count: at 100 TB
+    gate whale entities (cap events per user, or window by month) before
+    collecting — the per-entity-sequence caveat every sessionization
+    shares (ts_sessionize). Java regex vs RE2 agree on these
+    backtracking-free patterns; the md5 fingerprint column pins the FULL
+    journey, so the hash oracle proves byte-exact sequence assembly, not
+    just motif counts."""
+    ev = load_events(spark, sf_dir)
+    j = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts",
+                            "event_id",
+                            F.substring("event_type", 1, 1).alias("c"),
+                        )
+                    )
+                ),
+                lambda s: s["c"],
+            ),
+            "",
+        ).alias("journey")
+    )
+    return j.select(
+        "user_id",
+        F.length("journey").cast("long").alias("journey_len"),
+        F.md5("journey").alias("journey_md5"),
+        F.regexp_count("journey", F.lit(r"v+c+p")).cast("long").alias("n_browse_buy"),
+        F.regexp_count("journey", F.lit(r"ep")).cast("long").alias("n_error_then_buy"),
+        F.col("journey").contains("vp").alias("has_direct_view_buy"),
+    )
