@@ -29,8 +29,6 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # style puts the name on its own line after the open paren.
 _KEY_RE = re.compile(r"@register\(\s*\n?\s*\"([A-Za-z0-9_]+)\"")
 
-CURRENT_ROUND = 7
-
 
 def _git(*args: str) -> str:
     return subprocess.check_output(["git", "-C", REPO, *args], text=True)
@@ -76,11 +74,16 @@ def _keys_working_tree() -> set[str]:
 
 def main() -> int:
     first_round: dict[str, int] = {}
-    for rnd, commit in _round_boundaries():
+    bounds = _round_boundaries()
+    for rnd, commit in bounds:
         for key in _keys_at(commit):
             first_round.setdefault(key, rnd)
+    # Keys only in the working tree belong to the round currently being
+    # built = one past the newest closed boundary (derived, not hardcoded —
+    # a stale constant would rank brand-new keys equal with old ones).
+    current_round = max((rnd for rnd, _ in bounds), default=0) + 1
     for key in _keys_working_tree():
-        first_round.setdefault(key, CURRENT_ROUND)
+        first_round.setdefault(key, current_round)
     out = os.path.join(REPO, "tools", "key_rounds.json")
     with open(out, "w") as fh:
         json.dump(dict(sorted(first_round.items())), fh, indent=1)
