@@ -214,7 +214,9 @@ def _key_rounds() -> dict[str, int]:
         with open(os.path.join(_REPO_ROOT, "tools", "key_rounds.json")) as fh:
             data = json.load(fh)
         return {k: int(v) for k, v in data.items()}
-    except (OSError, ValueError):
+    except (OSError, ValueError, TypeError, AttributeError):
+        # AttributeError/TypeError: malformed JSON shape (array, null
+        # values) — degrade to round-unknown ordering, never fail import
         return {}
 
 

@@ -328,6 +328,19 @@ def _persistent_rdd_ids(spark) -> set:
     return {int(i) for i in jmap.keySet().toArray()}
 
 
+def _checkpoint_rdd_id(df):
+    """Persistent-RDD id backing an eagerly localCheckpoint-ed frame: its
+    analyzed plan is a LogicalRDD wrapping the checkpoint RDD. Exact
+    PER-FRAME tracking — reading the id off the frame itself (never by
+    diffing the session-global persistent map) means concurrent work on
+    the same SparkSession can checkpoint freely without this loop ever
+    releasing a block it does not own."""
+    try:
+        return int(df._jdf.queryExecution().analyzed().rdd().id())
+    except Exception:  # non-LogicalRDD plan (not a checkpointed frame)
+        return None
+
+
 def _release_rdds(spark, ids) -> None:
     """Unpersist (async) the given persistent-RDD ids if still pinned."""
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
@@ -383,10 +396,10 @@ def pagerank_converged(
 
     ``edges`` (src, dst, w) overrides the default nation trade graph.
     Returns ``(rank_df, iterations_run, final_delta)``; ``rank_df`` has
-    (node, rank) with full double precision (no cross-engine rounding —
-    this is the library surface, not an oracle key).
+    (node, rank) as doubles whose last bits are pinned by the
+    round(·,12)+DECIMAL partial path above (the price of determinism; no
+    further output rounding — that stays the oracle key's job).
     """
-    base_ids = _persistent_rdd_ids(spark)
     e = _edges(spark, sf_dir) if edges is None else edges
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     edges_df = (
@@ -397,7 +410,11 @@ def pagerank_converged(
     nodes = load_table(spark, sf_dir, "nation").select(
         F.col("n_name").alias("node")
     ).localCheckpoint(eager=True)
-    setup_ids = _persistent_rdd_ids(spark) - base_ids
+    setup_ids = {
+        rid
+        for rid in (_checkpoint_rdd_id(edges_df), _checkpoint_rdd_id(nodes))
+        if rid is not None
+    }
     rank = nodes.select("node", F.lit(1.0 / PR_N).alias("rank"))
 
     iters, delta = 0, float("inf")
@@ -423,9 +440,9 @@ def pagerank_converged(
         )
         fresh_ids = None
         if (i + 1) % checkpoint_every == 0:
-            before = _persistent_rdd_ids(spark)
             new_rank = new_rank.localCheckpoint(eager=True)
-            fresh_ids = _persistent_rdd_ids(spark) - before
+            rid = _checkpoint_rdd_id(new_rank)
+            fresh_ids = {rid} if rid is not None else set()
         d = (
             new_rank.alias("n")
             .join(rank.alias("o"), "node")

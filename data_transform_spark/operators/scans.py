@@ -755,19 +755,26 @@ def scan_text(spark, sf_dir):
     """The line-oriented text source (log-file ingestion): records staged
     as `name|regionkey` lines, read back with ``spark.read.text`` (one
     row per line, a single `value` column) and parsed with split — the
-    universal fallback format when data arrives as raw lines. The stage
-    path is SF-namespaced even though nation is identical at every scale
-    factor: mode('overwrite') is delete-then-write, so a shared path lets
-    a concurrent run at another SF observe an empty/partial directory
-    mid-rewrite (r6 ADVICE). Text scans split by line ranges at scale, so
-    parallelism comes free; the parse is row-local JVM split/cast."""
-    staged = f"{SCRATCH}/scan_text_nation_{os.path.basename(sf_dir.rstrip('/'))}"
-    na = load_table(spark, sf_dir, "nation").select(
-        F.concat_ws("|", F.col("n_name"), F.col("n_regionkey").cast("string")).alias(
-            "value"
-        )
+    universal fallback format when data arrives as raw lines. Staged ONCE
+    per (SF, source-fingerprint) behind a _SUCCESS check — the same recipe
+    as join_dpp/scan_csv_malformed: re-staging per call with
+    mode('overwrite') is delete-then-write, so a concurrent run at the
+    same path could observe an empty/partial directory mid-rewrite
+    (r6 ADVICE), and the content fingerprint keeps a regenerated fixture
+    from ever serving stale staged lines. Text scans split by line ranges
+    at scale, so parallelism comes free; the parse is row-local JVM
+    split/cast."""
+    staged = (
+        f"{SCRATCH}/scan_text_nation_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{_path_fingerprint(path_of(sf_dir, 'nation'))}"
     )
-    na.coalesce(1).write.mode("overwrite").text(staged)
+    if not os.path.exists(f"{staged}/_SUCCESS"):
+        na = load_table(spark, sf_dir, "nation").select(
+            F.concat_ws(
+                "|", F.col("n_name"), F.col("n_regionkey").cast("string")
+            ).alias("value")
+        )
+        na.coalesce(1).write.mode("overwrite").text(staged)
     back = spark.read.text(staged).select(
         F.split(F.col("value"), r"\|").alias("parts")
     )

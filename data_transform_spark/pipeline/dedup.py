@@ -256,12 +256,14 @@ def _corpus_at_gate_scale(docs) -> bool:
         return docs.count() >= MINHASH_GATE_MIN_DOCS
     all_files = docs.inputFiles()
     files = [f[len("file:") :] for f in all_files if f.startswith("file:")]
-    if all_files and not files:
-        # All input files live on remote storage (s3://, hdfs://, …) where
-        # os.path.getsize can't see them. That is exactly the deployment the
-        # estimate gate exists for, so answer "at gate scale" rather than
-        # silently disabling the gate (r6 ADVICE) — the gate only picks the
-        # tier; both tiers end in the same exact verification.
+    if len(files) < len(all_files):
+        # ANY input file on remote storage (s3://, hdfs://, …) is invisible
+        # to os.path.getsize — summing just the local members would
+        # undercount a multi-TB corpus below the gate (e.g. a remote corpus
+        # unioned with a small local delta). Remote-backed input is exactly
+        # the deployment the estimate gate exists for, so answer "at gate
+        # scale" (r6 ADVICE) — the gate only picks the tier; both tiers end
+        # in the same exact verification.
         return True
     try:
         total = sum(os.path.getsize(p) for p in files)

@@ -413,11 +413,18 @@ class TestMinhashSizeGate:
             def inputFiles(self):
                 return ["s3://bucket/part-0.parquet", "hdfs://nn/part-1.parquet"]
 
+        class _MixedFrame:
+            def inputFiles(self):
+                # remote corpus + tiny local delta: summing only the local
+                # file would undercount a multi-TB corpus below the gate
+                return ["s3://bucket/part-0.parquet", "file:/tmp/delta.parquet"]
+
         class _EmptyFrame:
             def inputFiles(self):
                 return []
 
         assert _corpus_at_gate_scale(_RemoteFrame()) is True
+        assert _corpus_at_gate_scale(_MixedFrame()) is True
         # no input files at all (in-memory frame) -> below gate, unchanged
         assert _corpus_at_gate_scale(_EmptyFrame()) is False
 

@@ -50,14 +50,20 @@ def _round_boundaries() -> list[tuple[int, str]]:
 
 
 def _keys_at(commit: str) -> set[str]:
-    files = _git("ls-tree", "-r", "--name-only", commit, "data_transform_spark").split()
-    keys: set[str] = set()
-    for path in files:
-        if not path.endswith(".py"):
-            continue
-        src = _git("show", f"{commit}:{path}")
-        keys.update(_KEY_RE.findall(src))
-    return keys
+    # One `git grep` per boundary (not one `git show` per file — that was
+    # ~300 sequential forks per regeneration). -A1 covers the house style
+    # where the key name sits on the line after `@register(`.
+    try:
+        out = subprocess.check_output(
+            [
+                "git", "-C", REPO, "grep", "-h", "-A1", r"@register(",
+                commit, "--", "data_transform_spark",
+            ],
+            text=True,
+        )
+    except subprocess.CalledProcessError:  # no matches at this commit
+        return set()
+    return set(_KEY_RE.findall(out))
 
 
 def _keys_working_tree() -> set[str]:
