@@ -612,3 +612,17 @@ def test_containment_guard_bans_via_broadcast_anti(spark, sf_dir):
     )
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_sequence_motif_single_shuffle(spark, sf_dir):
+    """Journey assembly must be ONE user_id shuffle: the sort happens
+    inside array_sort on the collected structs (JVM, per row), never as a
+    global orderBy, and every regex is row-local afterwards."""
+    import re
+
+    p = plan_of(spark, "events_sequence_motif", sf_dir)
+    n = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
+    assert n == 1, f"sequence motif should shuffle once, saw {n}:\n{p}"
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, (
+        "motif mining must stay JVM-side"
+    )
