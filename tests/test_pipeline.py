@@ -503,3 +503,57 @@ class TestPagerankConverged:
         rows = QUERIES["graph_pagerank_conv"](spark, sf_dir).collect()
         assert len(rows) == 25
         assert all(r.iters == PRC_ITERS for r in rows)
+
+
+class TestSequenceConsistency:
+    def test_motif_journeys_agree_with_transition_matrix(self, spark, sf_dir):
+        """Cross-operator differential: events_transitions (window lag per
+        user) and events_sequence_motif (sorted struct collection) are two
+        independent implementations of the SAME event ordering — the bigram
+        census of the journey strings must therefore equal the transition
+        matrix exactly. Catches ordering bugs neither oracle would (both
+        would faithfully replay a shared mis-ordering of their own key)."""
+        from collections import Counter
+
+        from pyspark.sql import functions as F
+
+        from data_transform_spark.io import load_events
+        from data_transform_spark.registry import QUERIES
+
+        initial = {"signup": "s", "view": "v", "click": "c",
+                   "purchase": "p", "error": "e"}
+        ev = load_events(spark, sf_dir)
+        journeys = (
+            ev.groupBy("user_id")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    "ts",
+                                    "event_id",
+                                    F.substring("event_type", 1, 1).alias("c"),
+                                )
+                            )
+                        ),
+                        lambda s: s["c"],
+                    ),
+                    "",
+                ).alias("journey")
+            )
+            .collect()
+        )
+        bigrams: Counter = Counter()
+        for r in journeys:
+            j = r.journey
+            for a, b in zip(j, j[1:]):
+                bigrams[(a, b)] += 1
+        matrix = {
+            (initial[r.prev], initial[r.curr]): r.n
+            for r in QUERIES["events_transitions"](spark, sf_dir).collect()
+        }
+        assert bigrams == Counter(matrix), (
+            f"journey bigrams != transition matrix: "
+            f"{dict(bigrams)} vs {matrix}"
+        )
