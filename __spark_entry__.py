@@ -214,9 +214,18 @@ def _key_rounds() -> dict[str, int]:
         with open(os.path.join(_REPO_ROOT, "tools", "key_rounds.json")) as fh:
             data = json.load(fh)
         return {k: int(v) for k, v in data.items()}
-    except (OSError, ValueError, TypeError, AttributeError):
+    except (OSError, ValueError, TypeError, AttributeError) as exc:
         # AttributeError/TypeError: malformed JSON shape (array, null
-        # values) — degrade to round-unknown ordering, never fail import
+        # values) — degrade to round-unknown ordering, never fail import;
+        # but SAY SO, or a broken file silently reverts the backlog-drain
+        # sweep ordering and only the test suite would notice (r7 ADVICE)
+        print(
+            "WARNING: tools/key_rounds.json unreadable "
+            f"({type(exc).__name__}: {exc}); sweep falls back to "
+            "round-unknown ordering — regenerate with "
+            "`python tools/gen_key_rounds.py`",
+            file=sys.stderr,
+        )
         return {}
 
 

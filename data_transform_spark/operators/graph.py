@@ -394,7 +394,14 @@ def pagerank_converged(
     iteration it doesn't need, and bounded lineage keeps per-iteration
     cost flat where the unrolled plan's grows.
 
-    ``edges`` (src, dst, w) overrides the default nation trade graph.
+    ``edges`` (src, dst, w) overrides the default nation trade graph; the
+    vertex set — and with it N, the uniform seed 1/N, and the teleport
+    mass (1-damp)/N — is then DERIVED from the supplied edges
+    (distinct src ∪ dst), not pinned to the nation table, so a caller
+    graph over any other vertex universe ranks all of its own nodes
+    correctly instead of silently dropping unknown ones (r7 ADVICE).
+    Sink-only nodes (never a src) are still seeded and still receive
+    teleport mass, matching the default path's semantics.
     Returns ``(rank_df, iterations_run, final_delta)``; ``rank_df`` has
     (node, rank) as doubles whose last bits are pinned by the
     round(·,12)+DECIMAL partial path above (the price of determinism; no
@@ -407,15 +414,29 @@ def pagerank_converged(
         .select("src", "dst", (F.col("w") / F.col("out_w")).alias("share"))
         .localCheckpoint(eager=True)  # feeds every iteration: build once
     )
-    nodes = load_table(spark, sf_dir, "nation").select(
-        F.col("n_name").alias("node")
-    ).localCheckpoint(eager=True)
+    if edges is None:
+        nodes = load_table(spark, sf_dir, "nation").select(
+            F.col("n_name").alias("node")
+        )
+        n_nodes = PR_N
+    else:
+        # vertex universe of the SUPPLIED graph (distinct src ∪ dst) — the
+        # nation table and PR_N would drop/mis-normalize foreign node sets
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionAll(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        n_nodes = None  # counted after the checkpoint below
+    nodes = nodes.localCheckpoint(eager=True)
+    if n_nodes is None:
+        n_nodes = nodes.count()
     setup_ids = {
         rid
         for rid in (_checkpoint_rdd_id(edges_df), _checkpoint_rdd_id(nodes))
         if rid is not None
     }
-    rank = nodes.select("node", F.lit(1.0 / PR_N).alias("rank"))
+    rank = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
 
     iters, delta = 0, float("inf")
     live_ids: set = set()
@@ -434,7 +455,7 @@ def pagerank_converged(
         new_rank = nodes.join(contrib, "node", "left").select(
             "node",
             (
-                F.lit((1 - damp) / PR_N)
+                F.lit((1 - damp) / n_nodes)
                 + damp * F.coalesce(F.col("mass").cast("double"), F.lit(0.0))
             ).alias("rank"),
         )
@@ -557,12 +578,12 @@ def graph_pagerank_conv(spark, sf_dir):
 
     Runs the production-shape ``pagerank_converged`` loop (per-iteration
     1-row L1-delta collect, eager lineage-truncating checkpoints with
-    superseded-block release) to tol={PRC_TOL} on the SF-independent
+    superseded-block release) to tol=PRC_TOL (1e-05) on the SF-independent
     nation graph, and PINS the convergence decision: the loop must stop at
-    exactly {PRC_ITERS} iterations (bit-deterministic because every rank
-    and every delta goes through round(·,12) + exact DECIMAL(28,12)
+    exactly PRC_ITERS (26) iterations (bit-deterministic because every
+    rank and every delta goes through round(·,12) + exact DECIMAL(28,12)
     partials — measured identical at sf0.001/0.01/0.1). The oracle replays
-    those {PRC_ITERS} iterations as a RECURSIVE CTE carrying the previous
+    those 26 iterations as a RECURSIVE CTE carrying the previous
     iteration's rank vector (see the register comment; deep chained CTEs
     overflow DuckDB's binder), and the ``iters`` column carries
     the pinned depth so a drifted convergence path fails the hash, not

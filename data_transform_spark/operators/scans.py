@@ -289,6 +289,27 @@ def _path_fingerprint(path: str) -> str:
     return h.hexdigest()[:12]
 
 
+def _stage_atomic(staged: str, build) -> None:
+    """Publish a staged cache directory atomically: ``build(tmp)`` writes
+    into a per-process temp sibling, which is then os.rename-d into the
+    final path. A reader can therefore only ever observe (a) no directory
+    or (b) a COMPLETE directory — never a mid-rewrite partial, which the
+    previous write-in-place mode('overwrite') (delete-then-write) allowed
+    when two fresh processes both missed the marker and raced (r7 ADVICE).
+    Losing the rename race (target appeared first) is benign: the winner's
+    directory is complete by construction, so the loser just discards its
+    temp copy."""
+    import shutil
+    import uuid
+
+    tmp = f"{staged}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    build(tmp)
+    try:
+        os.rename(tmp, staged)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @register(
     "join_dpp",
     oracle="""
@@ -331,9 +352,12 @@ def join_dpp(spark, sf_dir):
     )
     li = load_table(spark, sf_dir, "lineitem")
     if not os.path.exists(f"{out}/_SUCCESS"):
-        li.withColumn(
-            "sm", F.date_format("l_shipdate", "yyyy-MM")
-        ).write.mode("overwrite").partitionBy("sm").parquet(out)
+        _stage_atomic(
+            out,
+            lambda tmp: li.withColumn(
+                "sm", F.date_format("l_shipdate", "yyyy-MM")
+            ).write.mode("overwrite").partitionBy("sm").parquet(tmp),
+        )
     fact = spark.read.parquet(out)
     w = Window.orderBy(F.col("n_ship").desc(), "m")
     dim = (
@@ -627,20 +651,24 @@ def scan_csv_malformed(spark, sf_dir):
     )
     marker = f"{out_dir}/_planted"
     if not os.path.exists(marker):
-        nation.write.mode("overwrite").options(
-            header=True, quote='"', escape='"'
-        ).csv(out_dir)
-        # separate file: Spark skips line 1 of EVERY file as header, so the
-        # sacrificial header keeps the planted rows aligned
-        with open(f"{out_dir}/malformed.csv", "w") as f:
-            f.write(
-                "n_nationkey,n_name,n_regionkey,n_comment\n"
-                "notanint,BADLAND,0,unparseable key\n"
-                "1,2,3,4,5,6,7\n"
-                'alsobad,"X",zero,"trailing mess"\n'
-            )
-        with open(marker, "w") as f:
-            f.write("ok")
+
+        def _build(tmp: str) -> None:
+            nation.write.mode("overwrite").options(
+                header=True, quote='"', escape='"'
+            ).csv(tmp)
+            # separate file: Spark skips line 1 of EVERY file as header, so
+            # the sacrificial header keeps the planted rows aligned
+            with open(f"{tmp}/malformed.csv", "w") as f:
+                f.write(
+                    "n_nationkey,n_name,n_regionkey,n_comment\n"
+                    "notanint,BADLAND,0,unparseable key\n"
+                    "1,2,3,4,5,6,7\n"
+                    'alsobad,"X",zero,"trailing mess"\n'
+                )
+            with open(f"{tmp}/_planted", "w") as f:
+                f.write("ok")
+
+        _stage_atomic(out_dir, _build)
     return (
         spark.read.schema(nation.schema)
         .options(header=True, quote='"', escape='"', mode="DROPMALFORMED")
@@ -756,14 +784,13 @@ def scan_text(spark, sf_dir):
     as `name|regionkey` lines, read back with ``spark.read.text`` (one
     row per line, a single `value` column) and parsed with split — the
     universal fallback format when data arrives as raw lines. Staged ONCE
-    per (SF, source-fingerprint) behind a _SUCCESS check — the same recipe
-    as join_dpp/scan_csv_malformed: re-staging per call with
-    mode('overwrite') is delete-then-write, so a concurrent run at the
-    same path could observe an empty/partial directory mid-rewrite
-    (r6 ADVICE), and the content fingerprint keeps a regenerated fixture
-    from ever serving stale staged lines. Text scans split by line ranges
-    at scale, so parallelism comes free; the parse is row-local JVM
-    split/cast."""
+    per (SF, source-fingerprint) and published via _stage_atomic's
+    temp-dir + os.rename, so a concurrent fresh process can never observe
+    an empty/partial directory mid-stage (r7 ADVICE — the bare _SUCCESS
+    check narrowed but did not close the delete-then-write window); the
+    content fingerprint keeps a regenerated fixture from ever serving
+    stale staged lines. Text scans split by line ranges at scale, so
+    parallelism comes free; the parse is row-local JVM split/cast."""
     staged = (
         f"{SCRATCH}/scan_text_nation_{os.path.basename(sf_dir.rstrip('/'))}"
         f"_{_path_fingerprint(path_of(sf_dir, 'nation'))}"
@@ -774,7 +801,10 @@ def scan_text(spark, sf_dir):
                 "|", F.col("n_name"), F.col("n_regionkey").cast("string")
             ).alias("value")
         )
-        na.coalesce(1).write.mode("overwrite").text(staged)
+        _stage_atomic(
+            staged,
+            lambda tmp: na.coalesce(1).write.mode("overwrite").text(tmp),
+        )
     back = spark.read.text(staged).select(
         F.split(F.col("value"), r"\|").alias("parts")
     )

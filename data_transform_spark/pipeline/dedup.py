@@ -1057,7 +1057,8 @@ def dedup_containment(spark, sf_dir):
     ENTIRE shingle set against the unfiltered index — any shared shingle
     then surfaces the pair, trivially lossless, and the expensive
     df-sized probes are paid only for those explicitly-pathological docs
-    (a corpus property worth alerting on, not a silent cost). Both
+    (a corpus property worth alerting on: SPARK_GRAFT_DEBUG=1 counts and
+    stderr-logs the fallback docs, so the cost is observable). Both
     candidate paths union before the exact verify, so the result set is
     IDENTICAL at any cap — pinned by
     tests/test_properties.py::test_containment_guard_is_lossless_under_boilerplate."""
@@ -1099,6 +1100,18 @@ def dedup_containment(spark, sf_dir):
     # their whole set against the UNFILTERED index — df-sized probes, but
     # only for these few pathological docs, never for the corpus at large
     fb_docs = doc_stats.filter(F.col("n_ub") < p_len).select("doc_id")
+    if os.environ.get("SPARK_GRAFT_DEBUG"):
+        # The docstring promises fallback docs are "worth alerting on, not a
+        # silent cost" — behind the debug flag, actually count and surface
+        # them (r7 ADVICE). One doc-stats-sized job; never on the hot path.
+        import sys as _sys
+
+        print(
+            f"dedup_containment: {fb_docs.count()} fallback doc(s) with "
+            f"< p unbanned shingles (df cap {CONTAIN_DF_CAP}) — each probes "
+            "its full shingle set against the unfiltered index",
+            file=_sys.stderr,
+        )
     fb_prefix = sh.join(F.broadcast(fb_docs), "doc_id").select("doc_id", "shingle")
     full = sh.select(F.col("doc_id").alias("f_id"), "shingle")
     cand_fallback = fb_prefix.join(full, "shingle").select("doc_id", "f_id")

@@ -111,3 +111,34 @@ class TestZeroNormGuard:
             for r in tiled_cosine_pairs(spark, zero_norm_dir, PAIR_TAU).collect()
         )
         assert got == want
+
+
+class TestStageAtomic:
+    def test_publishes_complete_dir_and_discards_race_loser(self, tmp_path):
+        """r7 ADVICE: staged cache dirs are published via temp-dir +
+        os.rename, so a reader can only ever see a COMPLETE directory; a
+        process that loses the rename race discards its temp copy and the
+        winner's contents survive untouched."""
+        from data_transform_spark.operators.scans import _stage_atomic
+
+        target = str(tmp_path / "staged")
+
+        def build_v1(d):
+            os.makedirs(d)
+            with open(f"{d}/part-0", "w") as f:
+                f.write("v1")
+
+        _stage_atomic(target, build_v1)
+        with open(f"{target}/part-0") as f:
+            assert f.read() == "v1"
+
+        def build_v2(d):
+            os.makedirs(d)
+            with open(f"{d}/part-0", "w") as f:
+                f.write("v2")
+
+        _stage_atomic(target, build_v2)  # target already exists: lost race
+        with open(f"{target}/part-0") as f:
+            assert f.read() == "v1"
+        # no stray .tmp-* siblings left behind
+        assert sorted(os.listdir(tmp_path)) == ["staged"]

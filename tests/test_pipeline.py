@@ -493,6 +493,34 @@ class TestPagerankConverged:
         for ce, got in runs.items():
             assert got == base, f"checkpoint_every={ce} changed results"
 
+    def test_edges_override_derives_vertex_universe(self, spark, sf_dir):
+        """r7 ADVICE: a caller-supplied edge graph over a NON-nation vertex
+        set must rank its own vertices with N derived from the graph —
+        previously nodes/seed/teleport stayed pinned to the 25 nations, so
+        foreign nodes were silently dropped and ranks mis-normalized."""
+        from data_transform_spark.operators.graph import PR_DAMP, pagerank_converged
+
+        ring = spark.createDataFrame(
+            [("A", "B", 1), ("B", "C", 1), ("C", "D", 1), ("D", "A", 1)],
+            "src string, dst string, w long",
+        )
+        rank, _iters, _delta = pagerank_converged(spark, sf_dir, edges=ring)
+        rows = {r.node: r.rank for r in rank.collect()}
+        # symmetric 4-ring: uniform stationary distribution over ITS nodes
+        assert set(rows) == {"A", "B", "C", "D"}
+        assert all(abs(v - 0.25) < 1e-6 for v in rows.values())
+        assert abs(sum(rows.values()) - 1.0) < 1e-9
+
+        fan = spark.createDataFrame(
+            [("A", "B", 1), ("A", "C", 1)], "src string, dst string, w long"
+        )
+        rank2, _i, _d = pagerank_converged(spark, sf_dir, edges=fan)
+        rows2 = {r.node: r.rank for r in rank2.collect()}
+        # sink-only B/C (never a src) are still seeded, ranked, teleported
+        assert set(rows2) == {"A", "B", "C"}
+        assert rows2["B"] == rows2["C"] > rows2["A"]
+        assert abs(rows2["A"] - (1 - PR_DAMP) / 3) < 1e-9
+
     def test_conv_key_pins_iteration_depth(self, spark, sf_dir):
         """graph_pagerank_conv's convergence decision is pinned: the
         SF-independent nation graph converges at exactly PRC_ITERS, and the
