@@ -743,14 +743,23 @@ def events_stickiness(spark, sf_dir):
     )
 
 
+MOTIF_CAP = 512  # whale-entity cap: max events per user entering a journey
+
+
 @register(
     "events_sequence_motif",
-    oracle="""
-    WITH j AS (
+    oracle=f"""
+    WITH capped AS (
+        SELECT user_id, ts, event_id, event_type
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) <= {MOTIF_CAP}
+    ),
+    j AS (
         SELECT user_id,
                string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
                    AS journey
-        FROM events GROUP BY user_id
+        FROM capped GROUP BY user_id
     )
     SELECT user_id,
            CAST(length(journey) AS BIGINT) AS journey_len,
@@ -773,18 +782,34 @@ def events_sequence_motif(spark, sf_dir):
     purchase incidents (`ep`), direct view→buy conversions. The five
     fixture event types have distinct initials, so the alphabet is 1:1.
 
-    One shuffle (groupBy user_id); the journey is assembled in-JVM by
-    sorting the collected (ts, event_id, char) structs — collect_list
-    alone has NO order guarantee — and every regex runs JVM-side per user
-    row. Journey length is bounded by per-user event count: at 100 TB
-    gate whale entities (cap events per user, or window by month) before
-    collecting — the per-entity-sequence caveat every sessionization
-    shares (ts_sessionize). Java regex vs RE2 agree on these
-    backtracking-free patterns; the md5 fingerprint column pins the FULL
-    journey, so the hash oracle proves byte-exact sequence assembly, not
-    just motif counts."""
+    One shuffle (the window's hash partitioning on user_id is reused by
+    the groupBy — Catalyst elides the second exchange); the journey is
+    assembled in-JVM by sorting the collected (ts, event_id, char)
+    structs — collect_list alone has NO order guarantee — and every regex
+    runs JVM-side per user row.
+
+    Whale-entity cap (r7 VERDICT #2 — ENFORCED, not just documented):
+    only each user's first MOTIF_CAP events by (ts, event_id) enter the
+    journey, via a row_number window filter BEFORE the collect, so the
+    per-user array — and the journey string — is provably bounded no
+    matter how skewed the entity distribution gets at 100 TB (the
+    per-entity-sequence caveat every sessionization shares,
+    ts_sessionize). The cutoff is deterministic (total order per user),
+    the oracle applies the identical QUALIFY cap, and MOTIF_CAP sits
+    well above the fixture max per-user count (99 at sf0.1) so fixture
+    hashes are unchanged; a synthetic whale changes no other user's row
+    (tests/test_properties.py::test_motif_whale_cap_bounds_journeys).
+    Java regex vs RE2 agree on these backtracking-free patterns; the md5
+    fingerprint column pins the FULL (capped) journey, so the hash oracle
+    proves byte-exact sequence assembly, not just motif counts."""
     ev = load_events(spark, sf_dir)
-    j = ev.groupBy("user_id").agg(
+    w_cap = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    capped = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w_cap))
+        .filter(F.col("rn") <= MOTIF_CAP)
+    )
+    j = capped.groupBy("user_id").agg(
         F.array_join(
             F.transform(
                 F.array_sort(

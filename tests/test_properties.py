@@ -343,3 +343,63 @@ def test_containment_guard_matches_bruteforce_on_random_corpora(
             )
     finally:
         dd.CONTAIN_K, dd.CONTAIN_DF_CAP = orig_k, orig_cap
+
+
+def test_motif_whale_cap_bounds_journeys(spark, tmp_path):
+    """r7 VERDICT #2: the whale-entity cap in events_sequence_motif is
+    enforced code, not documentation — a synthetic whale user's journey is
+    truncated to its first MOTIF_CAP events by (ts, event_id), and adding
+    the whale changes NO other user's row (the cap is per-entity, so one
+    skewed entity can never perturb, or unboundedly grow, the rest)."""
+    import datetime
+    import hashlib
+
+    from data_transform_spark.operators.events import (
+        MOTIF_CAP,
+        events_sequence_motif,
+    )
+
+    types = ["view", "click", "purchase", "error", "share"]
+    base = datetime.datetime(2024, 1, 1)
+
+    def mk_rows(user, n, start_eid):
+        return [
+            (
+                start_eid + i,
+                base + datetime.timedelta(minutes=i),
+                user,
+                types[i % len(types)],
+                1.0,
+                "{}",
+            )
+            for i in range(n)
+        ]
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    normal = mk_rows(1, 40, 0) + mk_rows(2, 7, 1000) + mk_rows(3, 99, 2000)
+
+    def stage(rows, d):
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+            f"{d}/events.parquet"
+        )
+
+    d0, d1 = tmp_path / "no_whale", tmp_path / "whale"
+    stage(normal, d0)
+    stage(normal + mk_rows(999, MOTIF_CAP + 57, 10_000), d1)
+
+    rows0 = {r.user_id: r for r in events_sequence_motif(spark, str(d0)).collect()}
+    rows1 = {r.user_id: r for r in events_sequence_motif(spark, str(d1)).collect()}
+
+    assert set(rows1) == set(rows0) | {999}
+    for uid, r in rows0.items():
+        assert rows1[uid] == r, f"whale changed user {uid}'s row"
+
+    whale = rows1[999]
+    assert whale.journey_len == MOTIF_CAP  # bounded, not MOTIF_CAP + 57
+    # the cutoff keeps the FIRST cap events by (ts, event_id): the journey
+    # is exactly the first MOTIF_CAP initials of the round-robin type cycle
+    expected = "".join(types[i % len(types)][0] for i in range(MOTIF_CAP))
+    assert whale.journey_md5 == hashlib.md5(expected.encode()).hexdigest()
