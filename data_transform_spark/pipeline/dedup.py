@@ -810,6 +810,134 @@ def text_chunk_dedup(spark, sf_dir):
     )
 
 
+SUBSTR_W = 12  # rolling-window width (tokens) for substring-level dedup
+
+
+@register(
+    "text_substring_dedup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sizes AS (SELECT doc_id, len(t) AS n_tokens FROM toks),
+    occ AS (
+        SELECT doc_id, i - 1 AS pos,
+               md5(array_to_string(t[i:i+{SUBSTR_W - 1}], ' ')) AS g
+        FROM toks, unnest(generate_series(1, len(t) - {SUBSTR_W} + 1)) AS u(i)
+        WHERE len(t) >= {SUBSTR_W}
+    ),
+    dups AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+            FROM occ) WHERE rn > 1
+    ),
+    covered AS (
+        SELECT DISTINCT doc_id, q
+        FROM dups, unnest(generate_series(pos, pos + {SUBSTR_W - 1})) AS u(q)
+    ),
+    tokpos AS (
+        SELECT doc_id, i - 1 AS q, t[i] AS token
+        FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+    ),
+    kept AS (
+        SELECT tp.doc_id, tp.q, tp.token
+        FROM tokpos tp ANTI JOIN covered c
+          ON tp.doc_id = c.doc_id AND tp.q = c.q
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(token, ' ' ORDER BY q) AS clean_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+           CAST(s.n_tokens - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(a.clean_text, '') AS clean_text
+    FROM sizes s LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def text_substring_dedup(spark, sf_dir):
+    """EXACT substring-level dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better") — the tier the chunk/
+    line/doc dedup family can't reach: remove every repeated run of >=
+    SUBSTR_W consecutive tokens ACROSS the whole corpus, wherever it
+    starts. Unlike text_chunk_dedup's disjoint aligned chunks, the
+    windows here ROLL at stride 1, so a copied passage is caught at any
+    offset, inside any document, including repeats within one document.
+
+    The suffix-array construction of the paper is replaced by the
+    Spark-shaped equivalent over rolling fingerprints: every occurrence
+    of a SUBSTR_W-token window is keyed by md5 of its text (md5 rather
+    than the raw ~80-char gram halves the shuffle width, and because
+    both engines compute the same md5, even a collision — ~2^-128 —
+    would be decided identically in Spark and the oracle);
+    first-occurrence-wins by total order (doc_id, pos); every LATER
+    occurrence marks its W token positions as duplicated; a marked token
+    is dropped and each document's survivors are reassembled in
+    position order. Exact-duplicate documents degenerate to fully-empty
+    clean_text (subsumes doc-level exact dedup); a doc shorter than
+    SUBSTR_W contributes no windows and is never touched.
+
+    Three key-partitioned shuffles, none corpus-in-one-task: the
+    first-occurrence window partitions by fingerprint (content-hash
+    layout, same as dedup_exact), coverage explodes each duplicate span
+    to W (doc_id, pos) rows and distincts on doc_id, and the reassembly
+    groups by doc_id — per-task state is bounded by one document's
+    tokens. SUBSTR_W=12 fits this fixture's 10-99-token docs; public
+    web-scale runs use ~50 tokens, a constant swap. One-pass mark-then-
+    drop (the paper's semantics): duplicate spans are judged against
+    the ORIGINAL corpus, not re-judged after removal, so the pass is
+    deterministic and needs no iteration."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    sizes = toks.select("doc_id", F.size("t").alias("n_tokens"))
+    idx = F.when(
+        F.size("t") >= SUBSTR_W,
+        F.sequence(F.lit(0), F.size("t") - SUBSTR_W),
+    ).otherwise(F.array().cast("array<int>"))
+    occ = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                idx,
+                lambda i: F.md5(F.concat_ws(" ", F.slice("t", i + 1, SUBSTR_W))),
+            )
+        ).alias("pos", "g"),
+    )
+    w_first = Window.partitionBy("g").orderBy("doc_id", "pos")
+    dups = (
+        occ.withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "pos")
+    )
+    covered = dups.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + SUBSTR_W - 1)
+        ).alias("q"),
+    ).distinct()
+    tokpos = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("q", "token")
+    )
+    kept = tokpos.join(covered, ["doc_id", "q"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("q", "token"))),
+                lambda s: s["token"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return sizes.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
 @register(
     "dedup_priority_source",
     oracle="""

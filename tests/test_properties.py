@@ -403,3 +403,62 @@ def test_motif_whale_cap_bounds_journeys(spark, tmp_path):
     # is exactly the first MOTIF_CAP initials of the round-robin type cycle
     expected = "".join(types[i % len(types)][0] for i in range(MOTIF_CAP))
     assert whale.journey_md5 == hashlib.md5(expected.encode()).hexdigest()
+
+
+def test_substring_dedup_matches_bruteforce(spark, tmp_path):
+    """text_substring_dedup (r7 VERDICT #3) against a quadratic Python
+    model on an adversarial corpus: a passage copied at a different
+    offset, an exact-duplicate doc, a within-doc repeat, and a sub-window
+    doc. First-occurrence-wins by (doc_id, pos); later occurrences mark
+    their W token positions; survivors reassemble in order."""
+    import pandas as pd
+
+    import data_transform_spark.pipeline.dedup as dd
+
+    W = dd.SUBSTR_W
+    base_words = [f"a{i}" for i in range(30)]
+    passage = base_words[5 : 5 + W + 3]  # a W+3-token run shared across docs
+    texts = {
+        0: " ".join(base_words),
+        1: " ".join([f"b{i}" for i in range(7)] + passage + ["t1", "t2"]),
+        2: " ".join(base_words),  # exact dup of doc 0 -> fully removed
+        3: " ".join(passage + ["mid"] + passage),  # cross-doc + in-doc repeat
+        4: "tiny doc below window",  # < W tokens: never touched
+    }
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": "en",
+            "source": "synth",
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+
+    occ = []
+    for d in sorted(texts):
+        t = texts[d].split(" ")
+        for p in range(len(t) - W + 1):
+            occ.append((" ".join(t[p : p + W]), d, p))
+    first = {}
+    for g, d, p in sorted(occ, key=lambda x: (x[1], x[2])):
+        first.setdefault(g, (d, p))
+    covered = set()
+    for g, d, p in occ:
+        if first[g] != (d, p):
+            covered.update((d, q) for q in range(p, p + W))
+    expected = {}
+    for d, text in texts.items():
+        t = text.split(" ")
+        kept = [w for q, w in enumerate(t) if (d, q) not in covered]
+        expected[d] = (len(t), len(t) - len(kept), " ".join(kept))
+
+    rows = dd.text_substring_dedup(spark, str(tmp_path)).collect()
+    got = {r.doc_id: (r.n_tokens, r.n_removed, r.clean_text) for r in rows}
+    assert got == expected
+    assert got[2] == (30, 30, "")  # exact dup: everything removed
+    assert got[4][1] == 0  # sub-window doc untouched
+    assert 0 < got[1][1] < got[1][0]  # copied passage removed, rest kept
