@@ -1,5 +1,7 @@
 """Driver-contract smoke tests (t1 replica)."""
 
+import os
+
 import __spark_entry__ as entry_mod
 
 
@@ -148,3 +150,107 @@ def test_green_set_orders_rounds_numerically(tmp_path, monkeypatch):
     assert "k" not in entry_mod._official_green()
     (tmp_path / "CORRECTNESS_r10.json").write_text(json.dumps({"k": ok}))
     assert "k" in entry_mod._official_green()
+
+
+class TestKeyRoundDerivation:
+    """r7 VERDICT #6: property-test gen_key_rounds.derive against synthetic
+    git histories with out-of-order, missing, and duplicate boundaries, so
+    a future history rewrite can't silently misrank the sweep backlog."""
+
+    @staticmethod
+    def _make_repo(tmp_path):
+        import subprocess
+
+        repo = str(tmp_path / "synth")
+        os.makedirs(f"{repo}/data_transform_spark")
+
+        def git(*args):
+            subprocess.check_output(
+                ["git", "-C", repo, *args], stderr=subprocess.STDOUT
+            )
+
+        git("init", "-q")
+        git("config", "user.email", "t@t")
+        git("config", "user.name", "t")
+
+        def add_keys(*names):
+            path = f"{repo}/data_transform_spark/ops.py"
+            with open(path, "a") as fh:
+                for n in names:
+                    fh.write(f'@register(\n    "{n}",\n)\ndef {n}(): ...\n')
+            git("add", "-A")
+
+        def commit(subject):
+            git("commit", "-q", "-m", subject)
+
+        return repo, add_keys, commit
+
+    def _derive(self, repo):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "gen_key_rounds_under_test",
+            os.path.join(os.path.dirname(__file__), "..", "tools", "gen_key_rounds.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.derive(repo)
+
+    def test_linear_history_attributes_first_appearance(self, tmp_path):
+        repo, add_keys, commit = self._make_repo(tmp_path)
+        add_keys("k1", "k2")
+        commit("round 1: verdict/x")
+        add_keys("k3")
+        commit("round 2: verdict/x")
+        assert self._derive(repo) == {"k1": 1, "k2": 1, "k3": 2}
+
+    def test_missing_boundary_falls_to_next_snapshot(self, tmp_path):
+        repo, add_keys, commit = self._make_repo(tmp_path)
+        add_keys("k1")
+        commit("round 1: verdict/x")
+        add_keys("k3")  # registered during round 3, but round 3 never closed
+        commit("wip")
+        add_keys("k4")
+        commit("round 4: verdict/x")
+        got = self._derive(repo)
+        assert got == {"k1": 1, "k3": 4, "k4": 4}
+
+    def test_out_of_order_boundaries_rank_by_round_number(self, tmp_path):
+        """A rewritten history where a SMALLER round's boundary commit comes
+        LATER must still attribute each key to the smallest round whose
+        snapshot contains it — commit order is irrelevant."""
+        repo, add_keys, commit = self._make_repo(tmp_path)
+        add_keys("k1")
+        commit("round 1: verdict/x")
+        add_keys("k4")
+        commit("round 4: verdict/x")
+        add_keys("k6")
+        commit("round 3: verdict/x")  # out-of-order: round 3 after round 4
+        got = self._derive(repo)
+        # round-3's (later) tree contains k4 and k6, and 3 < 4, so both
+        # attribute to round 3 — deterministic smallest-containing-round
+        assert got == {"k1": 1, "k4": 3, "k6": 3}
+
+    def test_duplicate_boundary_keeps_newest_commit(self, tmp_path):
+        repo, add_keys, commit = self._make_repo(tmp_path)
+        add_keys("k1")
+        commit("round 2: verdict/x")
+        add_keys("k2")
+        commit("round 2: verdict/x")  # driver re-closed the same round
+        got = self._derive(repo)
+        # newest round-2 snapshot wins: k2 is covered, both land in round 2
+        assert got == {"k1": 2, "k2": 2}
+
+    def test_working_tree_keys_get_current_round(self, tmp_path):
+        repo, add_keys, commit = self._make_repo(tmp_path)
+        add_keys("k1")
+        commit("round 1: verdict/x")
+        add_keys("k9")  # uncommitted working-tree key
+        got = self._derive(repo)
+        assert got == {"k1": 1, "k9": 2}
+
+    def test_no_boundaries_puts_everything_in_round_one(self, tmp_path):
+        repo, add_keys, commit = self._make_repo(tmp_path)
+        add_keys("k1", "k2")
+        commit("plain commit, no boundary")
+        assert self._derive(repo) == {"k1": 1, "k2": 1}

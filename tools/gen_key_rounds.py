@@ -12,6 +12,15 @@ driver-UNVERIFIED keys oldest-round-first, so a capped 50-key sweep drains
 the oldest backlog instead of starving it behind newly-registered keys
 (round-6 VERDICT "Next round" #1).
 
+Degenerate histories (r7 VERDICT #6 — property-tested in
+tests/test_entry.py::TestKeyRoundDerivation against synthetic repos):
+boundary commits are ranked by the ROUND NUMBER in their subject, not by
+commit order, so a history rewrite that reorders boundaries cannot
+misrank; a missing round-N boundary attributes round-N keys to the next
+boundary that snapshots them; duplicate subjects for one round keep the
+newest commit; a history with NO boundaries puts every key in round 1
+(max(default 0) + 1).
+
 Usage: python tools/gen_key_rounds.py  (writes tools/key_rounds.json)
 """
 
@@ -29,14 +38,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # style puts the name on its own line after the open paren.
 _KEY_RE = re.compile(r"@register\(\s*\n?\s*\"([A-Za-z0-9_]+)\"")
 
-
-def _git(*args: str) -> str:
-    return subprocess.check_output(["git", "-C", REPO, *args], text=True)
+_PKG_DIR = "data_transform_spark"
 
 
-def _round_boundaries() -> list[tuple[int, str]]:
-    """(round, commit) for each driver 'round N: verdict/...' commit, ascending."""
-    out = _git("log", "--oneline", "--format=%H %s")
+def _git(repo: str, *args: str) -> str:
+    return subprocess.check_output(["git", "-C", repo, *args], text=True)
+
+
+def _round_boundaries(repo: str) -> list[tuple[int, str]]:
+    """(round, commit) for each driver 'round N: verdict/...' commit,
+    ascending BY ROUND NUMBER (commit order is irrelevant, so reordered or
+    rewritten histories still rank correctly)."""
+    out = _git(repo, "log", "--oneline", "--format=%H %s")
     bounds: dict[int, str] = {}
     for line in out.splitlines():
         sha, _, subject = line.partition(" ")
@@ -49,15 +62,15 @@ def _round_boundaries() -> list[tuple[int, str]]:
     return sorted(bounds.items())
 
 
-def _keys_at(commit: str) -> set[str]:
+def _keys_at(repo: str, commit: str) -> set[str]:
     # One `git grep` per boundary (not one `git show` per file — that was
     # ~300 sequential forks per regeneration). -A1 covers the house style
     # where the key name sits on the line after `@register(`.
     try:
         out = subprocess.check_output(
             [
-                "git", "-C", REPO, "grep", "-h", "-A1", r"@register(",
-                commit, "--", "data_transform_spark",
+                "git", "-C", repo, "grep", "-h", "-A1", r"@register(",
+                commit, "--", _PKG_DIR,
             ],
             text=True,
         )
@@ -66,9 +79,9 @@ def _keys_at(commit: str) -> set[str]:
     return set(_KEY_RE.findall(out))
 
 
-def _keys_working_tree() -> set[str]:
+def _keys_working_tree(repo: str) -> set[str]:
     keys: set[str] = set()
-    pkg = os.path.join(REPO, "data_transform_spark")
+    pkg = os.path.join(repo, _PKG_DIR)
     for root, _dirs, files in os.walk(pkg):
         for name in files:
             if not name.endswith(".py"):
@@ -78,18 +91,28 @@ def _keys_working_tree() -> set[str]:
     return keys
 
 
-def main() -> int:
+def derive(repo: str) -> dict[str, int]:
+    """key -> first round, from the repo's boundary commits + working tree.
+
+    Pure derivation (no file writes) so tests can run it against synthetic
+    histories. Each key gets the SMALLEST round whose boundary tree
+    contains it; keys in no boundary get max(closed rounds) + 1."""
     first_round: dict[str, int] = {}
-    bounds = _round_boundaries()
+    bounds = _round_boundaries(repo)
     for rnd, commit in bounds:
-        for key in _keys_at(commit):
+        for key in _keys_at(repo, commit):
             first_round.setdefault(key, rnd)
     # Keys only in the working tree belong to the round currently being
     # built = one past the newest closed boundary (derived, not hardcoded —
     # a stale constant would rank brand-new keys equal with old ones).
     current_round = max((rnd for rnd, _ in bounds), default=0) + 1
-    for key in _keys_working_tree():
+    for key in _keys_working_tree(repo):
         first_round.setdefault(key, current_round)
+    return first_round
+
+
+def main() -> int:
+    first_round = derive(REPO)
     out = os.path.join(REPO, "tools", "key_rounds.json")
     with open(out, "w") as fh:
         json.dump(dict(sorted(first_round.items())), fh, indent=1)
