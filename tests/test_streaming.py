@@ -1,21 +1,62 @@
-"""Streaming parity + late-data tests (SURVEY.md §5.2.5)."""
+"""Streaming parity + late-data tests (SURVEY.md §5.2.5).
+
+The stateful parity tests run under BOTH state-store providers
+(r7 VERDICT #8): the default HDFSBackedStateStoreProvider (in-JVM maps,
+what every earlier round exercised) and RocksDBStateStoreProvider — the
+provider SCALING.md prescribes at production scale, where keyed state
+outgrows executor heap and needs incremental checkpointing. Same
+semantics, different state backend; parity must hold under either.
+"""
+
+import pytest
 
 import __spark_entry__  # noqa: F401
 from data_transform_spark.registry import QUERIES
+
+_PROVIDERS = {
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    ),
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+}
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+
+@pytest.fixture(params=sorted(_PROVIDERS))
+def state_provider(request, spark):
+    """Run the decorated test once per state-store provider; the conf is
+    read at streaming-query start, so setting it on the session covers the
+    queries the registry keys launch internally."""
+    try:
+        prev = spark.conf.get(_PROVIDER_CONF)
+    except Exception:
+        prev = None
+    spark.conf.set(_PROVIDER_CONF, _PROVIDERS[request.param])
+    try:
+        yield request.param
+    finally:
+        if prev is None:
+            spark.conf.unset(_PROVIDER_CONF)
+        else:
+            spark.conf.set(_PROVIDER_CONF, prev)
 
 
 def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
-def test_stream_equals_batch_tumbling(spark, sf_dir):
+def test_stream_equals_batch_tumbling(spark, sf_dir, state_provider):
     """The core Structured Streaming guarantee: stream result == batch twin."""
     stream = QUERIES["stream_tumbling"](spark, sf_dir)
     batch = QUERIES["stream_tumbling_batch"](spark, sf_dir)
     assert _rows(stream) == _rows(batch)
 
 
-def test_watermark_drops_late_rows(spark, sf_dir):
+def test_watermark_drops_late_rows(spark, sf_dir, state_provider):
     """Re-delivered old rows behind the watermark must NOT inflate counts."""
     import pyspark.sql.functions as F
 
@@ -37,7 +78,7 @@ def test_watermark_drops_late_rows(spark, sf_dir):
         assert n == batch[w], f"window {w}: stream={n} batch={batch[w]}"
 
 
-def test_stream_dedup_no_duplicates(spark, sf_dir):
+def test_stream_dedup_no_duplicates(spark, sf_dir, state_provider):
     rows = QUERIES["stream_dedup"](spark, sf_dir).collect()
     ids = [r["event_id"] for r in rows]
     assert len(ids) == len(set(ids))
@@ -98,7 +139,7 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir):
     assert got.select("event_id").distinct().count() == n_src, "batch replayed -> duplicates"
 
 
-def test_stream_stateful_matches_batch_agg(spark, sf_dir):
+def test_stream_stateful_matches_batch_agg(spark, sf_dir, state_provider):
     import pyspark.sql.functions as F
 
     from data_transform_spark.io import load_table
