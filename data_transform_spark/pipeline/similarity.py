@@ -511,28 +511,44 @@ def sim_ann_ivf(spark, sf_dir):
 
 @register("sim_ann_lsh", oracle=_ANN_SUMMARY_ORACLE)
 def sim_ann_lsh(spark, sf_dir):
-    """Random-hyperplane LSH ANN, bounds-checked: recall vs exact top-5 must
-    be >= 0.25 (measured 0.35–0.37 across sf0.001/0.01/0.1 with 8 tables ×
-    6 bits)."""
+    """Multiprobe random-hyperplane LSH ANN, bounds-checked: recall vs
+    exact top-5 must be >= 0.45 — the same bound as sim_ann_ivf, because
+    the r8 retune put the two tiers at the same cost point (measured
+    0.62–0.73 across sf0.001/0.01/0.1 with 8 tables × 8 bits +
+    distance-1 multiprobe, scanning ~27% of the corpus per query — vs
+    0.35–0.37 at ~13% for the old 8×6 single-probe config, and vs IVF's
+    0.57–0.63 at ~25% with 4/16 probes; full measured grid in SCALING.md
+    "Round-8 LSH retune")."""
     return _ann_recall_summary(
-        sim_ann_lsh_topk(spark, sf_dir), sim_topk_bruteforce(spark, sf_dir), 0.25
+        sim_ann_lsh_topk(spark, sf_dir), sim_topk_bruteforce(spark, sf_dir), 0.45
     )
 
 
 N_TABLES = 8  # independent LSH hash tables
-BITS_PER_TABLE = 6  # hyperplanes per table (64 buckets each)
+BITS_PER_TABLE = 8  # hyperplanes per table (256 buckets each)
+MULTIPROBE_FLIPS = 1  # probe depth: every bucket at hamming distance <= 1
 
 
 def sim_ann_lsh_topk(spark, sf_dir):
-    """ANN top-k via multi-table random-hyperplane LSH.
+    """ANN top-k via multiprobe multi-table random-hyperplane LSH.
 
     One table of b bits has P(collide) = (1 - theta/pi)^b — far too selective
     alone — so candidates are unioned across N_TABLES independent tables
-    (standard LSH amplification: recall 1-(1-p^b)^T). Planes are seeded
-    (numpy RandomState(42)) and shipped as literals, so buckets are
-    deterministic everywhere. Exact cosine is computed only within buckets;
-    recall vs sim_topk_bruteforce is asserted in tests/test_pipeline.py.
-    At scale: more bits per table (smaller buckets), more tables (recall).
+    (standard LSH amplification: recall 1-(1-p^b)^T) AND, per table, across
+    the 1 + b buckets at hamming distance <= 1 from the query's bucket
+    (distance-1 multiprobe, Lv et al. 2007): a near neighbor that lands one
+    flipped hyperplane away is recovered without paying for more tables.
+    Each CORPUS vector is still indexed exactly once per table — only the
+    20-query probe list fans out ×(1+b), which is broadcast-sized. The r8
+    measured grid (SCALING.md "Round-8 LSH retune") put 8×8+multiprobe at
+    recall 0.62–0.73 scanning ~27% of the corpus — the knee: the old
+    8×6 single-probe point (0.35–0.37 at 13%) sat below IVF on the same
+    cost curve, and deeper probing (8×6+mp: 0.86–0.90) scans 60%.
+    Planes are seeded (numpy RandomState(42)) and shipped as literals, so
+    buckets are deterministic everywhere. Exact cosine is computed only
+    within probed buckets; recall vs sim_topk_bruteforce is asserted in
+    tests/test_pipeline.py. At scale: more bits per table (smaller
+    buckets), more tables or probe depth (recall).
     """
     rng = np.random.RandomState(42)
     planes = rng.randn(N_TABLES * BITS_PER_TABLE, 64)
@@ -565,18 +581,38 @@ def sim_ann_lsh_topk(spark, sf_dir):
         ).alias("tb"),
     ).select("vec_id", "emb", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
 
-    q = sig.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("q_emb"),
-        F.col("tbl").alias("q_tbl"),
-        F.col("bucket").alias("q_bucket"),
+    # Multiprobe: the query side explodes to its own bucket plus every
+    # 1-bit-flip neighbor (1 + b probes per table) — N_QUERIES × tables ×
+    # (1+b) rows, broadcast-sized; the corpus index stays one row per
+    # (vector, table).
+    probe_buckets = F.array(
+        F.col("q_bucket"),
+        *[
+            F.col("q_bucket").bitwiseXOR(F.lit(1 << j))
+            for j in range(BITS_PER_TABLE)
+        ],
+    )
+    q = (
+        sig.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("tbl").alias("q_tbl"),
+            F.col("bucket").alias("q_bucket"),
+        )
+        .select(
+            "query_id",
+            "q_emb",
+            "q_tbl",
+            F.explode(probe_buckets).alias("probe_bucket"),
+        )
     )
     cand = (
         F.broadcast(q)
         .join(
             sig,
             (F.col("q_tbl") == F.col("tbl"))
-            & (F.col("q_bucket") == F.col("bucket"))
+            & (F.col("probe_bucket") == F.col("bucket"))
             & (F.col("query_id") != F.col("vec_id")),
         )
         .dropDuplicates(["query_id", "vec_id"])
