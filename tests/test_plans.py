@@ -552,12 +552,19 @@ def test_permissive_csv_quarantines_bad_rows(spark, sf_dir):
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType, StructField
 
-    from data_transform_spark.io import load_table
-    from data_transform_spark.operators.scans import SCRATCH
+    from data_transform_spark.io import load_table, path_of
+    from data_transform_spark.operators.scans import SCRATCH, _path_fingerprint
 
     QUERIES["scan_csv_malformed"](spark, sf_dir).count()  # stage the dir
     nation = load_table(spark, sf_dir, "nation")
+    # the staged dir is (SF, source-fingerprint)-keyed since r7 — derive the
+    # path the same way the operator does (the old unsuffixed path only kept
+    # working while a stale pre-r7 scratch dir survived on disk)
     tag = os.path.basename(sf_dir.rstrip("/"))
+    staged = (
+        f"{SCRATCH}/scan_csv_malformed_{tag}"
+        f"_{_path_fingerprint(path_of(sf_dir, 'nation'))}"
+    )
     schema = nation.schema.add(StructField("_corrupt_record", StringType()))
     df = (
         spark.read.schema(schema)
@@ -568,7 +575,7 @@ def test_permissive_csv_quarantines_bad_rows(spark, sf_dir):
             mode="PERMISSIVE",
             columnNameOfCorruptRecord="_corrupt_record",
         )
-        .csv(f"{SCRATCH}/scan_csv_malformed_{tag}")
+        .csv(staged)
         .cache()
     )
     bad = df.filter(F.col("_corrupt_record").isNotNull())
