@@ -834,3 +834,90 @@ def events_sequence_motif(spark, sf_dir):
         F.regexp_count("journey", F.lit(r"ep")).cast("long").alias("n_error_then_buy"),
         F.col("journey").contains("vp").alias("has_direct_view_buy"),
     )
+
+
+PATH_PREFIX_LEN = 5  # events per user forming the journey prefix
+PATH_TOPK = 20  # most-common prefixes reported
+
+
+@register(
+    "events_paths_topk",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT user_id, substr(event_type, 1, 1) AS c,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    pfx AS (
+        SELECT user_id,
+               string_agg(c, '' ORDER BY rn)
+                   FILTER (WHERE rn <= {PATH_PREFIX_LEN}) AS prefix,
+               max(CASE WHEN rn > {PATH_PREFIX_LEN} AND c = 'p'
+                        THEN 1 ELSE 0 END) AS conv
+        FROM ranked GROUP BY user_id
+    )
+    SELECT prefix, count(*) AS n_users,
+           CAST(sum(conv) AS BIGINT) AS n_converted_after,
+           ROUND(sum(conv) * 1.0 / count(*), 4) AS conv_rate
+    FROM pfx GROUP BY prefix
+    QUALIFY row_number() OVER (ORDER BY n_users DESC, prefix) <= {PATH_TOPK}
+    """,
+)
+def events_paths_topk(spark, sf_dir):
+    """Path analysis — the other half of sequence mining: instead of
+    matching KNOWN motifs (events_sequence_motif), surface the most
+    COMMON opening journeys and what they lead to. Each user's first
+    PATH_PREFIX_LEN events (by ts, event_id — one initial per event, the
+    motif alphabet) form a prefix string; prefixes rank by user count,
+    and each carries its onward conversion rate: the share of its users
+    who purchase AFTER the prefix window. This is the product-analytics
+    "top paths" report (which openings retain, which leak) as one plan.
+
+    Shuffle shape: the per-user window and the per-user aggregate share
+    one hash partitioning on user_id (exchange reuse, the motif recipe);
+    the prefix rollup is a second keyed shuffle on a ≤|users| frame; the
+    final top-k is a single-partition window over the PREFIX-cardinality
+    aggregate (bounded by alphabet^len = 5^5, the limit_topk shape) —
+    never over raw events. Prefix length bounds per-user state exactly
+    like the motif cap; conversion uses max-over-flag, not a journey
+    rescan."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id",
+        F.substring("event_type", 1, 1).alias("c"),
+        F.row_number().over(w).alias("rn"),
+    )
+    pfx = ranked.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") <= PATH_PREFIX_LEN,
+                            F.struct("rn", "c"),
+                        )
+                    )
+                ),
+                lambda s: s["c"],
+            ),
+            "",
+        ).alias("prefix"),
+        F.max(
+            F.when(
+                (F.col("rn") > PATH_PREFIX_LEN) & (F.col("c") == "p"), 1
+            ).otherwise(0)
+        ).alias("conv"),
+    )
+    agg = pfx.groupBy("prefix").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("conv").cast("long").alias("n_converted_after"),
+        F.round(F.sum("conv") / F.count(F.lit(1)), 4).alias("conv_rate"),
+    )
+    wt = Window.orderBy(F.col("n_users").desc(), "prefix")
+    return (
+        agg.withColumn("_rn", F.row_number().over(wt))
+        .filter(F.col("_rn") <= PATH_TOPK)
+        .select("prefix", "n_users", "n_converted_after", "conv_rate")
+    )

@@ -585,3 +585,94 @@ class TestSequenceConsistency:
             f"journey bigrams != transition matrix: "
             f"{dict(bigrams)} vs {matrix}"
         )
+
+
+class TestAnnPq:
+    def test_pq_rerank_recall_beats_bound(self, spark, sf_dir):
+        """PQ ADC shortlist + exact re-rank recovers most true neighbors
+        (measured 0.81/0.85/0.60 across SFs; bound 0.45 with margin)."""
+        from data_transform_spark.pipeline.similarity import sim_ann_pq_topk
+
+        brute = QUERIES["sim_topk_bruteforce"](spark, sf_dir).collect()
+        pq = sim_ann_pq_topk(spark, sf_dir).collect()
+        b = {(r["query_id"], r["neighbor_id"]) for r in brute}
+        p = {(r["query_id"], r["neighbor_id"]) for r in pq}
+        assert len(b & p) / len(b) >= 0.45
+
+    def test_pq_codes_shape_and_range(self, spark, sf_dir):
+        """Every vector gets exactly PQ_M codes, each in [0, PQ_KS); the
+        codebook is full M x Ks (no empty-cluster collapse on fixtures)."""
+        import pyspark.sql.functions as F
+
+        from data_transform_spark.io import load_table
+        from data_transform_spark.pipeline.similarity import (
+            PQ_KS,
+            PQ_M,
+            _pq_train_encode,
+        )
+
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        cent, codes = _pq_train_encode(e)
+        n = e.count()
+        assert codes.count() == n * PQ_M
+        assert cent.count() == PQ_M * PQ_KS
+        bad = codes.filter((F.col("code") < 0) | (F.col("code") >= PQ_KS))
+        assert bad.count() == 0
+        per_vec = codes.groupBy("vec_id").count().filter(F.col("count") != PQ_M)
+        assert per_vec.count() == 0
+
+    def test_pq_summary_key(self, spark, sf_dir):
+        row = QUERIES["sim_ann_pq"](spark, sf_dir).collect()[0]
+        assert row["recall_ok"], "PQ recall fell below the declared bound"
+        assert row["n_queries"] == 20
+        assert row["codebook_rows"] == 128
+
+
+class TestPathsTopk:
+    def test_paths_agree_with_motif_prefixes(self, spark, sf_dir):
+        """Every reported prefix must equal the first PATH_PREFIX_LEN chars
+        of its users' motif journeys, and user counts must reconcile."""
+        import pyspark.sql.functions as F
+
+        from data_transform_spark.operators.events import PATH_PREFIX_LEN
+
+        paths = {r.prefix: r for r in QUERIES["events_paths_topk"](spark, sf_dir).collect()}
+        assert paths, "no paths returned"
+        # journeys from the motif key are the ground truth for prefixes
+        motif = QUERIES["events_sequence_motif"](spark, sf_dir)
+        ev = motif.sparkSession  # noqa: F841 (session reuse)
+        # recompute prefixes independently: journey_md5 pins full journeys,
+        # so reconstruct prefix counts from raw events via a second shape
+        from data_transform_spark.io import load_events
+
+        raw = load_events(motif.sparkSession, sf_dir)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        pfx = (
+            raw.select(
+                "user_id",
+                F.substring("event_type", 1, 1).alias("c"),
+                F.row_number().over(w).alias("rn"),
+            )
+            .filter(F.col("rn") <= PATH_PREFIX_LEN)
+            .groupBy("user_id")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("rn", "c"))),
+                        lambda s: s["c"],
+                    ),
+                    "",
+                ).alias("prefix")
+            )
+        )
+        want = {
+            r.prefix: r.n
+            for r in pfx.groupBy("prefix").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        for prefix, row in paths.items():
+            assert want.get(prefix) == row.n_users, prefix
+            assert 0 <= row.n_converted_after <= row.n_users
