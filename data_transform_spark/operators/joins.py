@@ -278,6 +278,73 @@ def join_asof(spark, sf_dir):
     )
 
 
+ASOF_TOL_HOURS = 2  # tolerance window for the bounded as-of join
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+    SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN c.ts >= p.ts - INTERVAL {ASOF_TOL_HOURS} HOUR
+                THEN c.ts END AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join with a TOLERANCE bound (pandas merge_asof's ``tolerance=``,
+    QuestDB/kdb's bounded asof): each purchase takes the latest click
+    at-or-before its ts only if that click is within ASOF_TOL_HOURS;
+    staler matches become NULL. This completes the asof family
+    (backward / forward / nearest / tolerance) — the bound is what makes
+    asof joins honest in feeds with gaps: a quote from last Tuesday must
+    not price today's trade.
+
+    Same single-shuffle union-tag + running last(ignorenulls) plan as
+    join_asof; the tolerance is a row-local post-predicate on the carried
+    match, NOT a join-condition change — correct because the carried
+    click is the MOST RECENT at-or-before, so if it misses the window no
+    other click can be inside it. The oracle nulls DuckDB's ASOF match
+    under the identical CASE."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        F.col("ts").alias("click_src_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("timestamp_ntz").alias("click_src_ts"),
+    )
+    unioned = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last("click_src_ts", ignorenulls=True).over(w)
+    return (
+        unioned.withColumn("raw_click_ts", carried)
+        .filter(F.col("tag") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(
+                F.col("raw_click_ts")
+                >= F.col("ts") - F.expr(f"INTERVAL {ASOF_TOL_HOURS} HOURS"),
+                F.col("raw_click_ts"),
+            ).alias("click_ts"),
+        )
+    )
+
+
 def salted_join(left, right, left_key: str, right_key: str, n_salts: int = 8):
     """Skew-resistant equi-join: replicate the build side across n_salts and
     scatter the probe side by a deterministic salt (md5 of the key), so one
