@@ -720,6 +720,15 @@ def sim_ann_pq_topk(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     cent, codes = _pq_train_encode(e)
+    return _pq_topk(e, cent, codes)
+
+
+def _pq_topk(e, cent, codes):
+    """ADC shortlist + exact re-rank over an already-trained (cent, codes)
+    index — split from sim_ann_pq_topk so the registered summary key can
+    train ONCE and share the index subtree between the recall check and
+    the shape counts (identical subtrees let Catalyst reuse exchanges
+    instead of re-running the Lloyd passes)."""
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
     )
@@ -794,13 +803,13 @@ def sim_ann_pq(spark, sf_dir):
     row per (vector, subspace) — corpus × PQ_M — and a full M × Ks
     codebook (no empty-cluster collapse; min cluster membership measured
     9/12/68 at the three SFs)."""
-    summary = _ann_recall_summary(
-        sim_ann_pq_topk(spark, sf_dir), sim_topk_bruteforce(spark, sf_dir), 0.45
-    )
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    cent, codes = _pq_train_encode(e)
+    cent, codes = _pq_train_encode(e)  # ONE training, shared by both branches
+    summary = _ann_recall_summary(
+        _pq_topk(e, cent, codes), sim_topk_bruteforce(spark, sf_dir), 0.45
+    )
     shape = codes.agg(F.count(F.lit(1)).alias("n_code_rows")).crossJoin(
         cent.agg(F.count(F.lit(1)).alias("codebook_rows"))
     )

@@ -633,3 +633,47 @@ def test_sequence_motif_single_shuffle(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, (
         "motif mining must stay JVM-side"
     )
+
+
+def test_paths_topk_two_shuffles_and_topk_pushdown(spark, sf_dir):
+    """Path analysis must shuffle exactly twice — the per-user window's
+    hash partitioning is REUSED by the per-user aggregate (no exchange
+    between them), then one keyed exchange for the prefix rollup — and the
+    global top-k must plan as TakeOrderedAndProject (rank-limit pushdown),
+    never a full global sort of the aggregate."""
+    import re
+
+    p = plan_of(spark, "events_paths_topk", sf_dir)
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n_ex == 2, f"expected 2 exchanges, saw {n_ex}:\n{p[:2000]}"
+    assert "TakeOrderedAndProject" in p, "top-k not pushed down"
+    assert "CartesianProduct" not in p
+
+
+def test_pq_scan_stays_broadcast_bounded(spark, sf_dir):
+    """The PQ ADC scan path (codes ⋈ lookup-table ⋈ rerank) must never
+    plan a cartesian or nested-loop join: codebooks and the query LUT
+    ride as broadcast HASH joins against the codes frame; only keyed
+    joins/aggregations shuffle. (The registered summary key additionally
+    cross-joins 1-row count frames — those plan as broadcast nested
+    loops by definition and are excluded here on purpose.)"""
+    from data_transform_spark.pipeline.similarity import sim_ann_pq_topk
+
+    df = sim_ann_pq_topk(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_substring_dedup_no_cartesian(spark, sf_dir):
+    """Substring dedup's candidate discovery is a fingerprint-partitioned
+    window — the plan must contain no cartesian/nested-loop joins and the
+    duplicate-span coverage must reach the reassembly through keyed joins
+    only."""
+    p = plan_of(spark, "text_substring_dedup", sf_dir)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
