@@ -836,6 +836,89 @@ def events_sequence_motif(spark, sf_dir):
     )
 
 
+@register(
+    "events_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    sizes AS (
+        SELECT cohort_day, count(*) AS n_users FROM firsts GROUP BY cohort_day
+    ),
+    rev AS (
+        SELECT f.cohort_day,
+               datediff('day', f.cohort_day, CAST(e.ts AS DATE)) // 7
+                   AS age_week,
+               sum(CAST(e.value AS DECIMAL(18,2))) AS wk_rev
+        FROM events e JOIN firsts f USING (user_id)
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT cohort_day, age_week,
+               sum(wk_rev) OVER (PARTITION BY cohort_day
+                                 ORDER BY age_week) AS cum_rev
+        FROM rev
+    )
+    SELECT CAST(c.cohort_day AS VARCHAR) AS cohort_day,
+           CAST(c.age_week AS BIGINT) AS age_week,
+           s.n_users,
+           ROUND(CAST(c.cum_rev AS DOUBLE), 4) AS cum_revenue,
+           ROUND(CAST(c.cum_rev AS DOUBLE) / s.n_users, 6) AS ltv_per_user
+    FROM cum c JOIN sizes s USING (cohort_day)
+    """,
+)
+def events_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value curves — the revenue companion to
+    events_retention: users cohort by FIRST-activity day, purchase
+    revenue buckets into weekly cohort ages, and a cumulative window
+    yields each cohort's LTV-per-user trajectory (the payback-period
+    curve growth teams plot against acquisition cost).
+
+    Shuffle shape: first-day aggregate (user-keyed — the retention
+    recipe), one fact join back to events carrying only (cohort_day),
+    a (cohort, week)-keyed revenue rollup, then the cumulative window
+    runs over the cohorts × weeks frame (≈ 30 × 5 rows here — always
+    calendar-bounded, never event-bounded). Revenue partials go through
+    DECIMAL(18,2) (the fixture values are exact 2-decimal currency), so
+    cumulative sums are bit-identical in any partition order; only the
+    final per-user division rounds in double space."""
+    ev = load_events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    sizes = firsts.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("n_users"))
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("cohort_day")) / 7
+            )
+            .cast("long")
+            .alias("age_week"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("wk_rev"))
+    )
+    wc = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.withColumn("cum_rev", F.sum("wk_rev").over(wc))
+    return cum.join(sizes, "cohort_day").select(
+        F.col("cohort_day").cast("string").alias("cohort_day"),
+        "age_week",
+        "n_users",
+        F.round(F.col("cum_rev").cast("double"), 4).alias("cum_revenue"),
+        F.round(F.col("cum_rev").cast("double") / F.col("n_users"), 6).alias(
+            "ltv_per_user"
+        ),
+    )
+
+
 PATH_PREFIX_LEN = 5  # events per user forming the journey prefix
 PATH_TOPK = 20  # most-common prefixes reported
 

@@ -737,6 +737,52 @@ def scan_glob_recursive(spark, sf_dir):
 
 
 @register(
+    "scan_xml",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS region, count(*) AS n_nations,
+           min(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def scan_xml(spark, sf_dir):
+    """XML source/sink round-trip — Spark 4's BUILT-IN xml format (the
+    spark-xml package folded into core): nation staged as <nation> row
+    elements, read back with an explicit schema and aggregated; the
+    oracle is the original table, so element-level fidelity (names,
+    ints) is hash-checked. XML is the format enterprise feeds still
+    arrive in (SEC filings, PubMed, legacy SOAP exports); at scale the
+    reader splits by row tag like any text source, and an explicit
+    schema (as here) skips the inference pass that would read the corpus
+    twice. Staged once per (SF, source-fingerprint) via _stage_atomic —
+    same race-free recipe as scan_text."""
+    staged = (
+        f"{SCRATCH}/scan_xml_nation_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{_path_fingerprint(path_of(sf_dir, 'nation'))}"
+    )
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    if not os.path.exists(f"{staged}/_SUCCESS"):
+        _stage_atomic(
+            staged,
+            lambda tmp: na.write.mode("overwrite")
+            .format("xml")
+            .option("rowTag", "nation")
+            .save(tmp),
+        )
+    back = (
+        spark.read.format("xml")
+        .schema("n_nationkey long, n_name string, n_regionkey long")
+        .option("rowTag", "nation")
+        .load(staged)
+    )
+    return back.groupBy(F.col("n_regionkey").alias("region")).agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+    )
+
+
+@register(
     "sink_partition_audit",
     oracle="""
     SELECT event_type, count(*) AS n_rows, TRUE AS path_matches_column
