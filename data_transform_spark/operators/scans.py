@@ -782,6 +782,44 @@ def scan_xml(spark, sf_dir):
     )
 
 
+@register("scan_json_multiline", oracle="SELECT * FROM nation")
+def scan_json_multiline(spark, sf_dir):
+    """multiLine JSON ingestion — the OTHER json layout: one file holding
+    a single top-level JSON ARRAY of records (the shape REST exports and
+    config dumps arrive in), vs scan_jsonl's line-delimited records.
+    multiLine=true makes the whole file one split (no line-range
+    parallelism — the reason JSONL wins for bulk data; this key exists
+    to ingest the array-shaped feeds you don't control), and the
+    explicit schema skips inference. Byte-exact round-trip is the hash
+    check (oracle = the original table). The staged array is built
+    driver-side from the 25-row SF-invariant nation table (bounded by
+    contract, same class as scan_binary_files' fixture staging) and
+    published via _stage_atomic."""
+    staged = (
+        f"{SCRATCH}/scan_json_multiline_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{_path_fingerprint(path_of(sf_dir, 'nation'))}"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    if not os.path.exists(f"{staged}/_STAGED"):
+
+        def _build(tmp: str) -> None:
+            import json
+
+            os.makedirs(tmp)
+            recs = [r.asDict() for r in nation.collect()]  # 25 rows, fixed
+            with open(f"{tmp}/nation.json", "w") as fh:
+                json.dump(recs, fh, indent=1)
+            with open(f"{tmp}/_STAGED", "w") as fh:
+                fh.write("ok")
+
+        _stage_atomic(staged, _build)
+    return (
+        spark.read.schema(nation.schema)
+        .option("multiLine", "true")
+        .json(f"{staged}/nation.json")
+    )
+
+
 @register(
     "sink_partition_audit",
     oracle="""

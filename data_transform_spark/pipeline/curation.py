@@ -141,6 +141,59 @@ def mix_domains(spark, sf_dir):
     return d.filter(_u01(F.col("doc_id"), ":mix") < rate).select("doc_id", "source")
 
 
+TEMP_ALPHA = 0.7  # sampling temperature (mT5/XLM-R use 0.3-0.7)
+
+
+@register(
+    "sample_temperature",
+    oracle=f"""
+    WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    tot AS (SELECT sum(n) AS t FROM cnt),
+    w AS (SELECT source, pow(n * 1.0 / t, {TEMP_ALPHA} - 1) AS wr
+          FROM cnt, tot),
+    rates AS (SELECT source,
+                     ROUND(wr / (SELECT max(wr) FROM w), 6) AS rate
+              FROM w)
+    SELECT d.doc_id, d.source, r.rate
+    FROM documents d JOIN rates r USING (source)
+    WHERE {_U01_SQL.format(salt=':temp')} < r.rate
+    """,
+)
+def sample_temperature(spark, sf_dir):
+    """Temperature-scaled domain sampling (mT5/XLM-R multilingual
+    balancing): target share q_d ∝ p_d^α flattens the domain
+    distribution toward uniform as α→0, so low-resource domains aren't
+    drowned by head domains. Realized as per-domain Bernoulli rates
+    r_d ∝ p_d^(α-1), normalized so the rarest domain keeps rate 1.0
+    (downsample-only — upsampling needs replication, a different op);
+    unlike mix_domains' HAND-SPECIFIED rates, the rates here are
+    DERIVED from the observed distribution, so the op adapts as the
+    corpus shifts.
+
+    Plan: one tiny shuffle for the per-domain counts, total and max as
+    broadcast 1-row aggregates riding in-plan, a broadcast rate join
+    (domains-sized), and the same content-stable u(0,1) keep decision
+    as sample_weighted (distinct salt, so stages compose). Rates round
+    to 6 dp in BOTH engines before the comparison, collapsing any
+    last-ulp pow() divergence between Java and DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.agg(F.sum("n").alias("t"))
+    w = cnt.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.pow(F.col("n") / F.col("t"), F.lit(TEMP_ALPHA - 1)).alias("wr"),
+    )
+    mx = w.agg(F.max("wr").alias("mx"))
+    rates = w.crossJoin(F.broadcast(mx)).select(
+        "source", F.round(F.col("wr") / F.col("mx"), 6).alias("rate")
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(_u01(F.col("doc_id"), ":temp") < F.col("rate"))
+        .select("doc_id", "source", "rate")
+    )
+
+
 @register(
     "rag_chunk",
     oracle=f"""
