@@ -462,3 +462,70 @@ def test_substring_dedup_matches_bruteforce(spark, tmp_path):
     assert got[2] == (30, 30, "")  # exact dup: everything removed
     assert got[4][1] == 0  # sub-window doc untouched
     assert 0 < got[1][1] < got[1][0]  # copied passage removed, rest kept
+
+
+# Tiny vocab + short docs around the window width: repeated 3-grams are
+# common, docs straddle the sub-window boundary, and within-doc repeats
+# occur — the adversarial surface of first-occurrence-wins span removal.
+SUB_CORPUS = st.lists(
+    st.lists(st.sampled_from(["x", "y", "z"]), min_size=1, max_size=8),
+    min_size=2,
+    max_size=6,
+)
+
+
+@given(docs=SUB_CORPUS)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture],
+          derandomize=True)
+def test_substring_dedup_matches_bruteforce_on_random_corpora(
+    spark, tmp_path_factory, docs
+):
+    """text_substring_dedup must equal the quadratic Python model on ANY
+    corpus (window width shrunk to 3 so collisions are dense)."""
+    import pandas as pd
+
+    import data_transform_spark.pipeline.dedup as dd
+
+    W = 3
+    texts = {i: " ".join(words) for i, words in enumerate(docs)}
+    base = tmp_path_factory.mktemp("substr_prop")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": "en",
+            "source": "synth",
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{base}/documents.parquet"
+    )
+
+    occ = []
+    for d in sorted(texts):
+        t = texts[d].split(" ")
+        for p in range(len(t) - W + 1):
+            occ.append((" ".join(t[p : p + W]), d, p))
+    first = {}
+    for g, d, p in sorted(occ, key=lambda o: (o[1], o[2])):
+        first.setdefault(g, (d, p))
+    covered = set()
+    for g, d, p in occ:
+        if first[g] != (d, p):
+            covered.update((d, q) for q in range(p, p + W))
+    expected = {}
+    for d, text in texts.items():
+        t = text.split(" ")
+        kept = [w for q, w in enumerate(t) if (d, q) not in covered]
+        expected[d] = (len(t), len(t) - len(kept), " ".join(kept))
+
+    orig_w = dd.SUBSTR_W
+    try:
+        dd.SUBSTR_W = W
+        rows = dd.text_substring_dedup(spark, str(base)).collect()
+    finally:
+        dd.SUBSTR_W = orig_w
+    got = {r.doc_id: (r.n_tokens, r.n_removed, r.clean_text) for r in rows}
+    assert got == expected, f"{got} != {expected} on {texts}"
