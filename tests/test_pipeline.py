@@ -676,3 +676,33 @@ class TestPathsTopk:
         for prefix, row in paths.items():
             assert want.get(prefix) == row.n_users, prefix
             assert 0 <= row.n_converted_after <= row.n_users
+
+
+class TestAsofTolerance:
+    def test_tolerance_nulls_exactly_the_stale_matches(self, spark, sf_dir):
+        """join_asof_tolerance must agree row-for-row with join_asof:
+        same match when the carried click is within ASOF_TOL_HOURS,
+        NULL when staler — the bound never invents or reassigns a
+        match, and every purchase row survives."""
+        import datetime
+
+        from data_transform_spark.operators.joins import ASOF_TOL_HOURS
+
+        base = {
+            r.event_id: r for r in QUERIES["join_asof"](spark, sf_dir).collect()
+        }
+        tol = {
+            r.event_id: r
+            for r in QUERIES["join_asof_tolerance"](spark, sf_dir).collect()
+        }
+        assert set(base) == set(tol)
+        bound = datetime.timedelta(hours=ASOF_TOL_HOURS)
+        n_nulled = 0
+        for eid, b in base.items():
+            t = tol[eid]
+            if b.click_ts is not None and b.ts - b.click_ts <= bound:
+                assert t.click_ts == b.click_ts, eid
+            else:
+                assert t.click_ts is None, eid
+                n_nulled += b.click_ts is not None
+        assert n_nulled > 0, "tolerance never fired — bound too loose to test"
