@@ -606,6 +606,86 @@ def graph_pagerank_conv(spark, sf_dir):
     )
 
 
+KNN_K = 8  # strongest trade partners kept per nation
+KNN_TOPK = 20  # most-similar pairs reported
+
+
+@register(
+    "graph_knn_similarity",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    knn AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY w DESC, dst) AS rn
+            FROM edges WHERE src <> dst) WHERE rn <= {KNN_K}
+    ),
+    sizes AS (SELECT src, count(*) AS n FROM knn GROUP BY src),
+    pairs AS (
+        SELECT a.src AS node_a, b.src AS node_b, count(*) AS common
+        FROM knn a JOIN knn b ON a.dst = b.dst AND a.src < b.src
+        GROUP BY 1, 2
+    )
+    SELECT node_a, node_b, common,
+           ROUND(common * 1.0 / (sa.n + sb.n - common), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.src = node_a
+    JOIN sizes sb ON sb.src = node_b
+    QUALIFY row_number() OVER (
+        ORDER BY common * 1.0 / (sa.n + sb.n - common) DESC,
+                 node_a, node_b) <= {KNN_TOPK}
+    """,
+)
+def graph_knn_similarity(spark, sf_dir):
+    """Neighborhood similarity over the kNN graph — role discovery /
+    graph-based entity resolution: sparsify each nation to its KNN_K
+    strongest trade partners (k-nearest-neighbor graph construction, the
+    standard densification fix — the raw trade graph is COMPLETE at
+    sf0.01, where raw common-neighbor counts are vacuous), then score
+    every nation pair by the Jaccard of their partner sets and report
+    the KNN_TOPK most similar. Nations with the same strong partners
+    play the same structural role even if they never trade directly —
+    the signal behind co-purchasing similarity and account-linking.
+
+    Deterministic end-to-end: the kNN cut breaks weight ties by partner
+    name, common-counts are exact ints, Jaccard is one double division
+    of small ints (bit-identical cross-engine), and the final top-k
+    breaks score ties by pair name. Plan: the shared edge aggregate, one
+    per-node window cut, a self-equi-join on partner (each side ≤ k rows
+    per node — candidate pairs bounded by k·|V|·avg-codegree, never
+    |V|²), a pair rollup, and a TakeOrderedAndProject top-k."""
+    e = _edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    w_cut = Window.partitionBy("src").orderBy(F.col("w").desc(), "dst")
+    knn = (
+        e.withColumn("rn", F.row_number().over(w_cut))
+        .filter(F.col("rn") <= KNN_K)
+        .select("src", "dst")
+    )
+    sizes = knn.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    a = knn.select(F.col("src").alias("node_a"), "dst")
+    b = knn.select(F.col("src").alias("node_b"), "dst")
+    pairs = (
+        a.join(b, "dst")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("src").alias("node_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("src").alias("node_b"), F.col("n").alias("nb"))
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    wt = Window.orderBy(jac.desc(), "node_a", "node_b")
+    return (
+        pairs.join(F.broadcast(sa), "node_a")
+        .join(F.broadcast(sb), "node_b")
+        .withColumn("_rn", F.row_number().over(wt))
+        .filter(F.col("_rn") <= KNN_TOPK)
+        .select(
+            "node_a", "node_b", "common", F.round(jac, 6).alias("jaccard")
+        )
+    )
+
+
 LPA_ITERS = 2  # synchronous label-propagation rounds
 
 
