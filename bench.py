@@ -73,11 +73,13 @@ OPTIONAL = [
     # fixture scale (measured r7, SCALING.md "Iterative graph algorithms")
     # — the documented convergence-stop crossover, not plan quality; the
     # unrolled graph_pagerank row above times the shared plan shape.
-    # round-8: substring dedup, PQ ANN, path analysis, bounded asof
+    # round-8: substring dedup, PQ ANN, path analysis, bounded asof,
+    # kNN-graph similarity
     "text_substring_dedup",
     "sim_ann_pq",
     "events_paths_topk",
     "join_asof_tolerance",
+    "graph_knn_similarity",
 ]
 
 
