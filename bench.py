@@ -100,6 +100,17 @@ def _steal_ticks() -> int | None:
 
 
 def main() -> None:
+    # SPARK_GRAFT_DEBUG injects diagnostic plan-time jobs (e.g.
+    # dedup_containment's fallback-doc count) whose cost would be
+    # misattributed to the operators under test — refuse to record a
+    # contaminated benchmark instead of silently publishing one (r8 ADVICE).
+    if os.environ.get("SPARK_GRAFT_DEBUG"):
+        print(
+            "bench.py: unset SPARK_GRAFT_DEBUG before timed runs — debug "
+            "instrumentation adds plan-time jobs that skew query timings",
+            file=sys.stderr,
+        )
+        sys.exit(2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as em
     from data_transform_spark.session import get_spark

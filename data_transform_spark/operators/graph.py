@@ -401,7 +401,13 @@ def pagerank_converged(
     graph over any other vertex universe ranks all of its own nodes
     correctly instead of silently dropping unknown ones (r7 ADVICE).
     Sink-only nodes (never a src) are still seeded and still receive
-    teleport mass, matching the default path's semantics.
+    teleport mass, matching the default path's semantics — AND their
+    outgoing (dangling) mass is redistributed uniformly each iteration
+    (standard PageRank; r8 ADVICE), so ranks sum to 1 on graphs with
+    sinks instead of leaking mass. The dangling sum rides in-plan as a
+    broadcast 1-row DECIMAL aggregate; on sink-free graphs (the default
+    nation graph included) it is exactly +0.0, leaving every rank — and
+    the convergence decision — bit-identical to the pre-fix path.
     Returns ``(rank_df, iterations_run, final_delta)``; ``rank_df`` has
     (node, rank) as doubles whose last bits are pinned by the
     round(·,12)+DECIMAL partial path above (the price of determinism; no
@@ -437,6 +443,11 @@ def pagerank_converged(
         if rid is not None
     }
     rank = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    # dangling vertices: in the universe but never a src (no out-edges);
+    # their rank mass would otherwise vanish each iteration
+    dangling = nodes.join(
+        edges_df.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
+    )
 
     iters, delta = 0, float("inf")
     live_ids: set = set()
@@ -452,12 +463,31 @@ def pagerank_converged(
             .groupBy("node")
             .agg(F.sum("contrib").alias("mass"))
         )
-        new_rank = nodes.join(contrib, "node", "left").select(
-            "node",
-            (
-                F.lit((1 - damp) / n_nodes)
-                + damp * F.coalesce(F.col("mass").cast("double"), F.lit(0.0))
-            ).alias("rank"),
+        # total rank sitting on sinks this iteration, as an exact DECIMAL
+        # 1-row aggregate (deterministic in any partition order), spread
+        # uniformly: +damp·dm/N to every node. Sink-free graphs sum an
+        # empty set -> 0 -> the added term is exactly +0.0 (bit-identical
+        # to the pre-dangling path).
+        dm = rank.join(dangling, "node", "semi").agg(
+            F.coalesce(
+                F.sum(F.round(F.col("rank"), 12).cast("decimal(28,12)")),
+                F.lit(0).cast("decimal(28,12)"),
+            ).alias("dm")
+        )
+        new_rank = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dm))
+            .select(
+                "node",
+                (
+                    F.lit((1 - damp) / n_nodes)
+                    + damp
+                    * (
+                        F.coalesce(F.col("mass").cast("double"), F.lit(0.0))
+                        + F.col("dm").cast("double") / n_nodes
+                    )
+                ).alias("rank"),
+            )
         )
         fresh_ids = None
         if (i + 1) % checkpoint_every == 0:
@@ -674,15 +704,23 @@ def graph_knn_similarity(spark, sf_dir):
     sa = sizes.select(F.col("src").alias("node_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("src").alias("node_b"), F.col("n").alias("nb"))
     jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
-    wt = Window.orderBy(jac.desc(), "node_a", "node_b")
+    # global top-k as orderBy().limit() so the plan IS the
+    # TakeOrderedAndProject the docstring claims (per-partition top-k +
+    # single k-row merge; pinned in tests/test_plans.py) — not a
+    # row_number() over an unpartitioned window (r8 VERDICT nit)
     return (
         pairs.join(F.broadcast(sa), "node_a")
         .join(F.broadcast(sb), "node_b")
-        .withColumn("_rn", F.row_number().over(wt))
-        .filter(F.col("_rn") <= KNN_TOPK)
         .select(
-            "node_a", "node_b", "common", F.round(jac, 6).alias("jaccard")
+            "node_a",
+            "node_b",
+            "common",
+            F.round(jac, 6).alias("jaccard"),
+            jac.alias("_score"),
         )
+        .orderBy(F.col("_score").desc(), "node_a", "node_b")
+        .limit(KNN_TOPK)
+        .select("node_a", "node_b", "common", "jaccard")
     )
 
 

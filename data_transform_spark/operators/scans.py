@@ -289,25 +289,48 @@ def _path_fingerprint(path: str) -> str:
     return h.hexdigest()[:12]
 
 
-def _stage_atomic(staged: str, build) -> None:
+def _stage_atomic(staged: str, build, marker: str = "_SUCCESS") -> None:
     """Publish a staged cache directory atomically: ``build(tmp)`` writes
     into a per-process temp sibling, which is then os.rename-d into the
     final path. A reader can therefore only ever observe (a) no directory
     or (b) a COMPLETE directory — never a mid-rewrite partial, which the
     previous write-in-place mode('overwrite') (delete-then-write) allowed
     when two fresh processes both missed the marker and raced (r7 ADVICE).
-    Losing the rename race (target appeared first) is benign: the winner's
-    directory is complete by construction, so the loser just discards its
-    temp copy."""
+
+    Self-healing (r8 ADVICE): a lost rename race is only benign if the
+    winner's directory is COMPLETE, which every complete build proves by
+    containing ``marker`` (Spark writes _SUCCESS; hand-rolled builds write
+    their own sentinel). After a failed rename, a target WITHOUT the marker
+    is a corrupt leftover (e.g. a pre-r8 delete-then-write crash) — it is
+    removed and the rename retried so the fresh complete copy wins instead
+    of being discarded while callers silently read the partial dir forever.
+    A failed build removes its temp sibling instead of leaking it in
+    SCRATCH."""
     import shutil
     import uuid
 
     tmp = f"{staged}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-    build(tmp)
     try:
-        os.rename(tmp, staged)
-    except OSError:
+        build(tmp)
+    except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    for _ in range(2):
+        try:
+            os.rename(tmp, staged)
+            return
+        except OSError:
+            if os.path.exists(os.path.join(staged, marker)):
+                # benign lost race: the winner's dir is complete
+                shutil.rmtree(tmp, ignore_errors=True)
+                return
+            # corrupt leftover without its completeness marker: heal it
+            shutil.rmtree(staged, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    raise OSError(
+        f"could not publish staged dir {staged!r}: target kept "
+        f"reappearing without its {marker!r} completeness marker"
+    )
 
 
 @register(
@@ -668,7 +691,7 @@ def scan_csv_malformed(spark, sf_dir):
             with open(f"{tmp}/_planted", "w") as f:
                 f.write("ok")
 
-        _stage_atomic(out_dir, _build)
+        _stage_atomic(out_dir, _build, marker="_planted")
     return (
         spark.read.schema(nation.schema)
         .options(header=True, quote='"', escape='"', mode="DROPMALFORMED")

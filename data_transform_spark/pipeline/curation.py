@@ -149,7 +149,7 @@ TEMP_ALPHA = 0.7  # sampling temperature (mT5/XLM-R use 0.3-0.7)
     oracle=f"""
     WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
     tot AS (SELECT sum(n) AS t FROM cnt),
-    w AS (SELECT source, pow(n * 1.0 / t, {TEMP_ALPHA} - 1) AS wr
+    w AS (SELECT source, ROUND(pow(n * 1.0 / t, {TEMP_ALPHA} - 1), 6) AS wr
           FROM cnt, tot),
     rates AS (SELECT source,
                      ROUND(wr / (SELECT max(wr) FROM w), 6) AS rate
@@ -173,15 +173,23 @@ def sample_temperature(spark, sf_dir):
     Plan: one tiny shuffle for the per-domain counts, total and max as
     broadcast 1-row aggregates riding in-plan, a broadcast rate join
     (domains-sized), and the same content-stable u(0,1) keep decision
-    as sample_weighted (distinct salt, so stages compose). Rates round
-    to 6 dp in BOTH engines before the comparison, collapsing any
-    last-ulp pow() divergence between Java and DuckDB."""
+    as sample_weighted (distinct salt, so stages compose). Cross-engine
+    float discipline (r8 ADVICE): the pow() output itself rounds to 6 dp
+    in BOTH engines BEFORE the max-normalization, and the ratio rounds
+    again after — a last-ulp Java-vs-DuckDB pow divergence must now land
+    within ~1e-10 of a rounding boundary TWICE (independent boundaries)
+    to flip a rate, vs once when only the final ratio rounded. Residual
+    risk is therefore second-order, not eliminated: pow with a fractional
+    exponent has no DECIMAL-exact path, so a fixture whose domain share
+    puts pow() exactly on a 0.5e-6 boundary could still diverge."""
     d = load_table(spark, sf_dir, "documents")
     cnt = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     tot = cnt.agg(F.sum("n").alias("t"))
     w = cnt.crossJoin(F.broadcast(tot)).select(
         "source",
-        F.pow(F.col("n") / F.col("t"), F.lit(TEMP_ALPHA - 1)).alias("wr"),
+        F.round(
+            F.pow(F.col("n") / F.col("t"), F.lit(TEMP_ALPHA - 1)), 6
+        ).alias("wr"),
     )
     mx = w.agg(F.max("wr").alias("mx"))
     rates = w.crossJoin(F.broadcast(mx)).select(

@@ -127,6 +127,8 @@ class TestStageAtomic:
             os.makedirs(d)
             with open(f"{d}/part-0", "w") as f:
                 f.write("v1")
+            with open(f"{d}/_SUCCESS", "w") as f:
+                f.write("")
 
         _stage_atomic(target, build_v1)
         with open(f"{target}/part-0") as f:
@@ -136,9 +138,77 @@ class TestStageAtomic:
             os.makedirs(d)
             with open(f"{d}/part-0", "w") as f:
                 f.write("v2")
+            with open(f"{d}/_SUCCESS", "w") as f:
+                f.write("")
 
         _stage_atomic(target, build_v2)  # target already exists: lost race
         with open(f"{target}/part-0") as f:
             assert f.read() == "v1"
         # no stray .tmp-* siblings left behind
         assert sorted(os.listdir(tmp_path)) == ["staged"]
+
+    def test_heals_corrupt_markerless_leftover(self, tmp_path):
+        """r8 ADVICE: a pre-existing target WITHOUT its completeness marker
+        (a delete-then-write crash leftover) must not win the rename race —
+        the fresh complete build replaces it instead of being discarded
+        while callers read the partial dir forever."""
+        from data_transform_spark.operators.scans import _stage_atomic
+
+        target = str(tmp_path / "staged")
+        os.makedirs(target)  # corrupt leftover: no _SUCCESS inside
+        with open(f"{target}/part-0", "w") as f:
+            f.write("partial")
+
+        def build(d):
+            os.makedirs(d)
+            with open(f"{d}/part-0", "w") as f:
+                f.write("fresh")
+            with open(f"{d}/_SUCCESS", "w") as f:
+                f.write("")
+
+        _stage_atomic(target, build)
+        with open(f"{target}/part-0") as f:
+            assert f.read() == "fresh"
+        assert os.path.exists(f"{target}/_SUCCESS")
+        assert sorted(os.listdir(tmp_path)) == ["staged"]
+
+    def test_failed_build_leaks_no_temp_sibling(self, tmp_path):
+        """r8 ADVICE: if build() raises, the .tmp-* sibling is cleaned up
+        (not leaked in SCRATCH) and the error propagates."""
+        import pytest
+
+        from data_transform_spark.operators.scans import _stage_atomic
+
+        target = str(tmp_path / "staged")
+
+        def bad_build(d):
+            os.makedirs(d)
+            with open(f"{d}/part-0", "w") as f:
+                f.write("half")
+            raise RuntimeError("build blew up")
+
+        with pytest.raises(RuntimeError, match="build blew up"):
+            _stage_atomic(target, bad_build)
+        assert os.listdir(tmp_path) == []  # no target, no .tmp-* leftovers
+
+    def test_custom_marker_respected(self, tmp_path):
+        """A complete winner carrying a CUSTOM marker (e.g. _planted) is
+        left untouched by a losing builder using the same marker name."""
+        from data_transform_spark.operators.scans import _stage_atomic
+
+        target = str(tmp_path / "staged")
+
+        def build(tag):
+            def _b(d):
+                os.makedirs(d)
+                with open(f"{d}/part-0", "w") as f:
+                    f.write(tag)
+                with open(f"{d}/_planted", "w") as f:
+                    f.write("ok")
+
+            return _b
+
+        _stage_atomic(target, build("first"), marker="_planted")
+        _stage_atomic(target, build("second"), marker="_planted")
+        with open(f"{target}/part-0") as f:
+            assert f.read() == "first"

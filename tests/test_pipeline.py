@@ -516,10 +516,19 @@ class TestPagerankConverged:
         )
         rank2, _i, _d = pagerank_converged(spark, sf_dir, edges=fan)
         rows2 = {r.node: r.rank for r in rank2.collect()}
-        # sink-only B/C (never a src) are still seeded, ranked, teleported
+        # sink-only B/C (never a src) are still seeded, ranked, teleported —
+        # and their dangling mass is redistributed uniformly (r8 ADVICE), so
+        # ranks form a probability distribution even on graphs with sinks
         assert set(rows2) == {"A", "B", "C"}
         assert rows2["B"] == rows2["C"] > rows2["A"]
-        assert abs(rows2["A"] - (1 - PR_DAMP) / 3) < 1e-9
+        assert abs(sum(rows2.values()) - 1.0) < 1e-6
+        # closed form with dangling redistribution (d = PR_DAMP):
+        #   a = (1-d)/3 + d·(2b)/3,  b = (1-d)/3 + d·(a/2 + 2b/3),  a + 2b = 1
+        d = PR_DAMP
+        b_closed = ((1 - d) / 3 + d / 2) / (1 + d / 3)
+        a_closed = 1 - 2 * b_closed
+        assert abs(rows2["A"] - a_closed) < 1e-6
+        assert abs(rows2["B"] - b_closed) < 1e-6
 
     def test_conv_key_pins_iteration_depth(self, spark, sf_dir):
         """graph_pagerank_conv's convergence decision is pinned: the
@@ -628,6 +637,97 @@ class TestAnnPq:
         assert row["recall_ok"], "PQ recall fell below the declared bound"
         assert row["n_queries"] == 20
         assert row["codebook_rows"] == 128
+
+
+class TestAnnIvfPq:
+    def test_ivfpq_recall_beats_bound(self, spark, sf_dir):
+        """Composed IVF-PQ (residual encoding, 6/16 probes, sampled
+        training) keeps recall@5 >= 0.45 after exact re-rank (measured
+        0.68/0.73/0.56 across SFs — numpy twin = Spark exactly)."""
+        from data_transform_spark.pipeline.similarity import sim_ann_ivfpq_topk
+
+        brute = QUERIES["sim_topk_bruteforce"](spark, sf_dir).collect()
+        got = sim_ann_ivfpq_topk(spark, sf_dir).collect()
+        b = {(r["query_id"], r["neighbor_id"]) for r in brute}
+        g = {(r["query_id"], r["neighbor_id"]) for r in got}
+        assert len(b & g) / len(b) >= 0.45
+
+    def test_ivfpq_summary_key(self, spark, sf_dir):
+        from data_transform_spark.io import load_table
+        from data_transform_spark.pipeline.similarity import IVF_K, PQ_M
+
+        row = QUERIES["sim_ann_ivfpq"](spark, sf_dir).collect()[0]
+        assert row["recall_ok"], "IVF-PQ recall fell below the declared bound"
+        assert row["n_queries"] == 20
+        assert row["codebook_rows"] == 128
+        assert row["n_lists"] == IVF_K
+        n = load_table(spark, sf_dir, "embeddings").count()
+        assert row["n_code_rows"] == n * PQ_M
+
+    def test_train_sample_deterministic_and_reshard_invariant(
+        self, spark, sf_dir
+    ):
+        """r8 VERDICT #2: quantizer training reads a BOUNDED deterministic
+        sample — the md5-rank prefix of the corpus. The sample must be
+        (a) exactly min(N, ANN_TRAIN_CAP) rows, (b) identical under any
+        repartitioning/row order, and (c) exactly the prefix a driver-side
+        md5 ranking of the vec_ids predicts."""
+        import hashlib
+
+        import pyspark.sql.functions as F
+
+        from data_transform_spark.io import load_table
+        from data_transform_spark.pipeline.similarity import (
+            ANN_TRAIN_CAP,
+            _train_sample,
+        )
+
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        ids = [r.vec_id for r in e.select("vec_id").collect()]
+        want = set(
+            sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[
+                : min(len(ids), ANN_TRAIN_CAP)
+            ]
+        )
+        got = {r.vec_id for r in _train_sample(e).collect()}
+        assert got == want
+        assert len(got) == min(len(ids), ANN_TRAIN_CAP)
+        # reshard invariance: same sample from any partitioning
+        for n_parts in (1, 7):
+            got_p = {
+                r.vec_id for r in _train_sample(e.repartition(n_parts)).collect()
+            }
+            assert got_p == want
+
+    def test_residual_codes_cover_corpus(self, spark, sf_dir):
+        """Encoding covers the FULL corpus even though the fit is sampled:
+        every vector gets PQ_M residual codes in range and one list."""
+        import pyspark.sql.functions as F
+
+        from data_transform_spark.io import load_table
+        from data_transform_spark.pipeline.similarity import (
+            IVF_K,
+            PQ_KS,
+            PQ_M,
+            _ivfpq_index,
+        )
+
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        cent, assign, books, codes_l = _ivfpq_index(e)
+        n = e.count()
+        assert codes_l.count() == n * PQ_M
+        assert books.count() == PQ_M * PQ_KS
+        bad = codes_l.filter(
+            (F.col("code") < 0)
+            | (F.col("code") >= PQ_KS)
+            | (F.col("list_id") < 0)
+            | (F.col("list_id") >= IVF_K)
+        )
+        assert bad.count() == 0
 
 
 class TestPathsTopk:
