@@ -509,3 +509,235 @@ def ml_kmeans_1d(spark, sf_dir):
             F.round(exact_mean, 4).alias("centroid"),
         )
     )
+
+
+BPE_ROUNDS = 8  # learned merge rounds (bounded — replayed by the oracle)
+
+
+def _bpe_seq0(word_col):
+    """Initial BPE symbol sequence of a word: every character wrapped in
+    its own single spaces, adjacent symbols therefore separated by TWO
+    spaces — ``' c  a  t '``. This layout makes one merge round a plain
+    left-to-right string replace: the pair (a, b) occurs as the substring
+    ``' a  b '`` ONLY where symbol a is immediately followed by symbol b
+    (both anchors are the symbols' own wrapping spaces, so a match can
+    never start or end mid-symbol), and because each symbol carries its
+    own delimiters, adjacent matches share no characters — replace()'s
+    leftmost-non-overlapping scan IS canonical greedy BPE, including the
+    a==b run case (' a  a  a  a  a ' -> ' aa  aa  a '). Symbols never
+    contain spaces (words come from splitting text ON spaces), so the
+    delimiter cannot collide."""
+    return F.concat(
+        F.lit(" "), F.array_join(F.split(word_col, ""), "  "), F.lit(" ")
+    )
+
+
+def _bpe_words(spark, sf_dir):
+    """Word-frequency table — the ONLY corpus-sized input BPE ever reads.
+    Training and encoding both run over distinct words weighted by count
+    (vocabulary-sized, not corpus-sized), exactly like Sennrich's
+    reference implementation."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _bpe_pair_counts(words, seq):
+    """Adjacent-symbol pair counts of the current sequences, weighted by
+    word frequency — all JVM-side: split to symbols, transform over the
+    1..n-1 index range (guarded: Spark's sequence(1, 0) is DESCENDING, not
+    empty), explode, aggregate."""
+    syms = F.split(F.trim(seq), "  ")
+    idx = F.when(
+        F.size(syms) > 1, F.sequence(F.lit(1), F.size(syms) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(syms, i).alias("a"),
+            F.element_at(syms, i + 1).alias("b"),
+        ),
+    )
+    return (
+        words.select("cnt", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("cnt").alias("pc"))
+    )
+
+
+def _bpe_train(spark, sf_dir, rounds: int = BPE_ROUNDS):
+    """Learn ``rounds`` BPE merges (Sennrich et al. 2016) deterministically.
+
+    Each round picks the most frequent adjacent symbol pair (ties broken
+    lexicographically by (a, b) — integer counts, so the decision is
+    bit-exact in any engine) via a 1-row orderBy().limit(1) collect — a
+    training decision is inherently a driver decision, the
+    pagerank_converged precedent — then folds the merge into the symbol
+    sequences as a literal replace. The word table is eagerly
+    localCheckpoint-ed once (ONE corpus scan for the whole training run;
+    each round's job re-reads the vocabulary-sized checkpoint, never the
+    corpus) and released before returning (graph.py block hygiene).
+    Returns [(merge_round, a, b, merged, pair_count), ...] as plain
+    literals, so callers build plans with no dependency on the
+    checkpoint."""
+    from data_transform_spark.operators.graph import (
+        _checkpoint_rdd_id,
+        _release_rdds,
+    )
+
+    words = (
+        _bpe_words(spark, sf_dir)
+        .withColumn("seq", _bpe_seq0(F.col("word")))
+        .localCheckpoint(eager=True)
+    )
+    rid = _checkpoint_rdd_id(words)
+    merges = []
+    seq = F.col("seq")
+    try:
+        for r in range(1, rounds + 1):
+            top = (
+                _bpe_pair_counts(words, seq)
+                .orderBy(F.col("pc").desc(), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not top:  # degenerate corpus: no adjacent pairs left
+                break
+            a, b, pc = top[0]["a"], top[0]["b"], int(top[0]["pc"])
+            merges.append((r, a, b, a + b, pc))
+            seq = F.replace(seq, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    finally:
+        if rid is not None:
+            _release_rdds(spark, {rid})
+    return merges
+
+
+def _bpe_cte_chain(rounds: int) -> str:
+    """The DuckDB replay of _bpe_train: w0 = char sequences, then per
+    round (pair counts -> top-1 merge -> replace) as chained CTEs — the
+    ml_kmeans_1d bounded-unroll pattern. Validated against a canonical
+    python BPE implementation (greedy leftmost, ties lexicographic) in
+    tests/test_properties.py."""
+    parts = [
+        """
+    WITH w0 AS (
+        SELECT word, count(*) AS cnt,
+               ' ' || array_to_string(
+                   list_transform(generate_series(1, length(word)),
+                                  i -> substring(word, i, 1)), '  ') || ' '
+                   AS seq
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> '' GROUP BY word
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    p{r} AS (
+        SELECT s[i] AS a, s[i + 1] AS b, sum(cnt) AS pc
+        FROM (SELECT cnt, string_split(trim(seq), '  ') AS s FROM w{r - 1}),
+             unnest(generate_series(1, len(s) - 1)) AS t(i)
+        GROUP BY 1, 2
+    ),
+    m{r} AS (
+        SELECT CAST({r} AS INTEGER) AS merge_round, a, b, a || b AS merged,
+               CAST(pc AS BIGINT) AS pair_count
+        FROM p{r} ORDER BY pc DESC, a, b LIMIT 1
+    ),
+    w{r} AS (
+        SELECT word, cnt,
+               replace(seq, ' ' || a || '  ' || b || ' ',
+                       ' ' || merged || ' ') AS seq
+        FROM w{r - 1}, m{r}
+    )"""
+        )
+    return "".join(parts)
+
+
+_VOCAB_BPE_ORACLE = _bpe_cte_chain(BPE_ROUNDS) + "\n    SELECT * FROM (" + "\n    UNION ALL ".join(
+    f"SELECT merge_round, a AS pair_a, b AS pair_b, merged, pair_count FROM m{r}"
+    for r in range(1, BPE_ROUNDS + 1)
+) + ") ORDER BY merge_round"
+
+_TOKENIZE_BPE_ORACLE = _bpe_cte_chain(BPE_ROUNDS) + f""",
+    wt AS (
+        SELECT word, len(string_split(trim(seq), '  ')) AS n_bpe,
+               length(word) AS n_chars
+        FROM w{BPE_ROUNDS}
+    )
+    SELECT doc_id, count(*) AS n_words,
+           CAST(sum(n_chars) AS BIGINT) AS n_char_tokens,
+           CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents) dw
+    JOIN wt USING (word)
+    GROUP BY doc_id
+"""
+
+
+@register("vocab_bpe", oracle=_VOCAB_BPE_ORACLE)
+def vocab_bpe(spark, sf_dir):
+    """Byte-pair-encoding trainer — the actual LLM-tokenizer family (GPT-2/
+    RoBERTa/Llama lineage), one rung above tokenize_vocab's frequency-rank
+    vocabulary (r8 VERDICT #3): BPE_ROUNDS deterministic merge rounds over
+    the corpus word-frequency table, each picking the most frequent
+    adjacent symbol pair (ties lexicographic) and fusing it corpus-wide
+    with greedy-leftmost semantics. Output: the learned merge table —
+    (merge_round, pair_a, pair_b, merged, pair_count) — the artifact a
+    tokenizer ships. The DuckDB oracle replays all rounds as chained CTEs
+    (the ml_kmeans_1d pattern); a property test additionally pins the
+    whole pipeline against a canonical python BPE on the live fixture.
+
+    Scale shape: ONE corpus scan builds the word-frequency table
+    (vocabulary-sized from then on); each round is one groupBy over
+    exploded adjacent pairs of the CURRENT symbol sequences + a 1-row
+    top-k collect + a literal string replace. At 100 TB: corpus scan once,
+    then rounds cost O(vocab), the standard way production BPE trainers
+    (HF tokenizers) operate — they too count words first."""
+    merges = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, pair_a string, pair_b string, merged string, "
+        "pair_count long",
+    )
+
+
+@register("tokenize_bpe", oracle=_TOKENIZE_BPE_ORACLE)
+def tokenize_bpe(spark, sf_dir):
+    """Encode with the learned BPE merges: apply the BPE_ROUNDS merges IN
+    LEARNED ORDER (the defining property of BPE encoding — merge priority,
+    not longest-match) to every distinct word, then broadcast-join the
+    per-word token counts back to the exploded corpus. Per document:
+    word count, pre-merge character token count, and post-merge BPE token
+    count — the compression the tokenizer actually buys.
+
+    Scale shape: training reads the corpus once (see _bpe_train); encoding
+    is a map over DISTINCT words (replace chain of BPE_ROUNDS literals,
+    zero Python) + one broadcast join against the corpus — the same
+    broadcast-vocab pattern as tokenize_vocab, so no corpus shuffle beyond
+    the per-doc rollup."""
+    merges = _bpe_train(spark, sf_dir)
+    seq = _bpe_seq0(F.col("word"))
+    for _r, a, b, m, _c in merges:
+        seq = F.replace(seq, F.lit(f" {a}  {b} "), F.lit(f" {m} "))
+    wtok = _bpe_words(spark, sf_dir).select(
+        "word",
+        F.size(F.split(F.trim(seq), "  ")).alias("n_bpe"),
+        F.length("word").alias("n_chars"),
+    )
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        docs.join(F.broadcast(wtok), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_chars").cast("long").alias("n_char_tokens"),
+            F.sum("n_bpe").cast("long").alias("n_bpe_tokens"),
+        )
+    )

@@ -529,3 +529,111 @@ def test_substring_dedup_matches_bruteforce_on_random_corpora(
         dd.SUBSTR_W = orig_w
     got = {r.doc_id: (r.n_tokens, r.n_removed, r.clean_text) for r in rows}
     assert got == expected, f"{got} != {expected} on {texts}"
+
+
+class TestBpe:
+    def test_merge_table_matches_canonical_python_bpe(self, spark, sf_dir):
+        """The whole trainer — word counts, pair counts, tie-breaks, greedy
+        leftmost merging including a==b runs — must equal a from-the-paper
+        python BPE (Sennrich 2016) on the live fixture."""
+        from collections import Counter
+
+        import duckdb
+
+        from data_transform_spark.pipeline.training import BPE_ROUNDS
+        from data_transform_spark.registry import QUERIES
+
+        rows = duckdb.sql(
+            f"select text from '{sf_dir}/documents.parquet'"
+        ).fetchall()
+        wc = Counter(
+            w for (t,) in rows for w in t.split(" ") if w
+        )
+        words = {w: list(w) for w in wc}
+        want = []
+        for r in range(1, BPE_ROUNDS + 1):
+            pc = Counter()
+            for w, syms in words.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += wc[w]
+            if not pc:
+                break
+            (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            want.append((r, a, b, a + b, cnt))
+            for w, syms in words.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                words[w] = out
+
+        got = [
+            (r.merge_round, r.pair_a, r.pair_b, r.merged, r.pair_count)
+            for r in QUERIES["vocab_bpe"](spark, sf_dir).collect()
+        ]
+        assert got == want
+
+    def test_encoding_round_trips_and_counts_match_gold(self, spark, sf_dir):
+        """Applying the learned merges must (a) never lose characters —
+        concatenating a word's BPE tokens reproduces the word — and (b)
+        yield exactly the canonical per-word token counts."""
+        from pyspark.sql import functions as F
+
+        from data_transform_spark.pipeline.training import (
+            _bpe_seq0,
+            _bpe_train,
+            _bpe_words,
+        )
+
+        merges = _bpe_train(spark, sf_dir)
+        assert len(merges) > 0
+        seq = _bpe_seq0(F.col("word"))
+        for _r, a, b, m, _c in merges:
+            seq = F.replace(seq, F.lit(f" {a}  {b} "), F.lit(f" {m} "))
+        enc = (
+            _bpe_words(spark, sf_dir)
+            .select(
+                "word",
+                F.split(F.trim(seq), "  ").alias("toks"),
+            )
+            .select(
+                "word",
+                F.size("toks").alias("n_bpe"),
+                F.array_join("toks", "").alias("rejoined"),
+            )
+            .collect()
+        )
+        for r in enc:
+            assert r.rejoined == r.word, f"round-trip lost chars: {r}"
+        # independent canonical check of token counts on a sample of words
+        from collections import Counter
+
+        import duckdb
+
+        rows = duckdb.sql(
+            f"select text from '{sf_dir}/documents.parquet'"
+        ).fetchall()
+        wc = Counter(w for (t,) in rows for w in t.split(" ") if w)
+        words = {w: list(w) for w in wc}
+        for _r, a, b, m, _c in merges:
+            for w, syms in words.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(m)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                words[w] = out
+        got = {r.word: r.n_bpe for r in enc}
+        assert got == {w: len(s) for w, s in words.items()}
+
+    def test_trainer_deterministic_across_runs(self, spark, sf_dir):
+        from data_transform_spark.pipeline.training import _bpe_train
+
+        assert _bpe_train(spark, sf_dir) == _bpe_train(spark, sf_dir)
