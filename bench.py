@@ -80,6 +80,16 @@ OPTIONAL = [
     "events_paths_topk",
     "join_asof_tolerance",
     "graph_knn_similarity",
+    # round-9: sessionized motifs, BPE trainer
+    "events_session_motif",
+    "vocab_bpe",
+    # sim_ann_ivfpq (13.8 s) and pipeline_e2e_llm (51 s) deliberately NOT
+    # benched: the former trains TWO quantizers + runs the in-key recall
+    # check vs brute force (sim_ann_pq above times the shared PQ machinery;
+    # the ivfpq QUERY path is strictly cheaper per scan), the latter runs
+    # the entire 7-stage curation pipeline in one job — either would eat
+    # half the bench wall budget for one row (the graph_pagerank_conv
+    # precedent; measured medians recorded in SCALING.md "Round-9").
 ]
 
 

@@ -1004,3 +1004,108 @@ def events_paths_topk(spark, sf_dir):
         .filter(F.col("_rn") <= PATH_TOPK)
         .select("prefix", "n_users", "n_converted_after", "conv_rate")
     )
+
+
+SESS_GAP_US = 600_000_000  # 10-minute session gap in MICROSECONDS (exact:
+# fixture timestamps carry microsecond precision, so the gap test must be
+# integer-micros in both engines — a seconds cast would truncate and
+# disagree with DuckDB's interval arithmetic at sub-second boundaries)
+
+
+_SESSION_MOTIF_ORACLE = """
+    WITH o AS (
+        SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS c,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            >= 600000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    ),
+    j AS (
+        SELECT user_id, min(ts) AS w_start, count(*) AS n_events,
+               string_agg(c, '' ORDER BY ts, event_id) AS journey
+        FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id, w_start, CAST(n_events AS BIGINT) AS n_events,
+           CAST(length(journey) AS BIGINT) AS journey_len,
+           md5(journey) AS journey_md5,
+           CAST(len(regexp_extract_all(journey, 'v+c+p')) AS BIGINT)
+               AS n_browse_buy,
+           (journey LIKE '%vp%') AS has_direct_view_buy
+    FROM j
+"""
+
+
+@register("events_session_motif", oracle=_SESSION_MOTIF_ORACLE)
+def events_session_motif(spark, sf_dir):
+    """Session-scoped motif mining (r8 VERDICT #6) — the path-mining and
+    sessionization families composed: events_sequence_motif's journey
+    machinery, but scoped to 10-minute-gap SESSIONS instead of whole user
+    histories, so motifs answer "did this VISIT browse then buy" rather
+    than "did this user ever". The session rule is EXACTLY stream_session's
+    (a session closes when the next event arrives >= gap after the
+    previous), so this batch key is the gaps-and-islands twin of the
+    registered streaming key stream_session_motif — the two are
+    parity-tested against each other under both state-store providers
+    (tests/test_streaming.py).
+
+    Per (user, session): start timestamp, event count, the journey string
+    (one char per event, ordered by (ts, event_id), md5-pinned so the hash
+    proves byte-exact assembly), and the motif columns the whole-history
+    key reports (browse→buy episodes, direct view→buy). The gap compare is
+    integer MICROSECONDS in both engines — fixture timestamps are
+    microsecond-grained, so casting to whole seconds would misplace
+    session boundaries.
+
+    Plan: one user_id shuffle shared by the lag window, the island cumsum,
+    and the (user, session) aggregate (same-key windows/aggregates reuse
+    the exchange); journeys assemble in-JVM from sorted structs; every
+    regex is row-local. Per-session state is bounded by the session gap at
+    any scale — the same argument as ts_sessionize, and sharper than the
+    whole-history key's MOTIF_CAP (a session, unlike a user history, is
+    time-bounded by construction)."""
+    ev = load_events(spark, sf_dir)
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w_u)
+    o = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("c"),
+        F.when(gap.isNull() | (gap >= SESS_GAP_US), 1).otherwise(0).alias("new_s"),
+    )
+    sid = (
+        F.sum("new_s")
+        .over(w_u.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sid")
+    )
+    s = o.select("user_id", "ts", "event_id", "c", sid)
+    j = s.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("w_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "c"))),
+                lambda r: r["c"],
+            ),
+            "",
+        ).alias("journey"),
+    )
+    return j.select(
+        "user_id",
+        "w_start",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.length("journey").cast("long").alias("journey_len"),
+        F.md5("journey").alias("journey_md5"),
+        F.size(F.expr(r"regexp_extract_all(journey, 'v+c+p', 0)"))
+        .cast("long")
+        .alias("n_browse_buy"),
+        F.col("journey").contains("vp").alias("has_direct_view_buy"),
+    )

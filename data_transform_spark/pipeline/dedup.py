@@ -887,6 +887,15 @@ def text_substring_dedup(spark, sf_dir):
     the ORIGINAL corpus, not re-judged after removal, so the pass is
     deterministic and needs no iteration."""
     d = spread(load_table(spark, sf_dir, "documents"))
+    return substring_clean(d)
+
+
+def substring_clean(d):
+    """The Lee-et-al substring-dedup pass over any (doc_id, text) frame —
+    (doc_id, n_tokens, n_removed, clean_text). Shared by the registered
+    text_substring_dedup key and the pipeline_e2e_llm capstone (which
+    chains it BEFORE near-dup clustering, the order the paper's pipeline
+    uses: exact substring removal first, then fuzzy doc-level dedup)."""
     toks = d.select("doc_id", F.split("text", " ").alias("t"))
     sizes = toks.select("doc_id", F.size("t").alias("n_tokens"))
     idx = F.when(

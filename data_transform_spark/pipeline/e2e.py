@@ -108,3 +108,378 @@ def pipeline_e2e(spark, sf_dir):
     return gated.join(top, "doc_id").select(
         "doc_id", "lang", "top_token", "tfidf", shard.alias("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_e2e_llm — the LLM-curation capstone v2 (r8 VERDICT #4): the
+# round-8/9 tiers chained in ONE plan. Gate thresholds are config tuned to
+# the synthetic fixture's token distribution (dup-word <= 0.5 where Gopher
+# uses 0.3 on natural text — the 0.3 gate keeps only ~15% of this fixture,
+# collapsing every later stage; the GATE STRUCTURE is the product).
+# ---------------------------------------------------------------------------
+
+E2E_DUP_FRAC = 0.5  # dup-word gate (Gopher: 0.3 on natural text)
+E2E_BI_FRAC = 0.2  # top-bigram coverage gate (Gopher value)
+E2E_MIN_TOK, E2E_MAX_TOK = 20, 2000  # length gate on CLEANED token counts
+E2E_SHARDS = 8
+
+_E2E_U01 = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':e2e'), 1, 8)) "
+    "AS BIGINT) / 4294967296.0"
+)
+
+
+def _e2e_llm_oracle() -> str:
+    # Heavy CTEs carry DuckDB's AS MATERIALIZED hint: the funnel's final
+    # SELECT reads each stage from ~10 scalar subqueries, and DuckDB's
+    # default CTE inlining recomputes the whole upstream pipeline per
+    # reference — at sf0.1 that multiplies the all-pairs shingle join's
+    # memory ~10x and OOMs the oracle. Materialization evaluates each
+    # stage once (what Spark's plan gets via exchange reuse) — semantics
+    # identical, verified equal at sf0.01 both ways.
+    from data_transform_spark.pipeline.curation import NGRAM_N, TEMP_ALPHA
+    from data_transform_spark.pipeline.dedup import (
+        MINHASH_EXACT_TAU,
+        SHINGLE_K,
+        SUBSTR_W,
+    )
+    from data_transform_spark.pipeline.training import PACK_BUDGET
+
+    return f"""
+    WITH toks0 AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    occ AS MATERIALIZED (
+        SELECT doc_id, i - 1 AS pos,
+               md5(array_to_string(t[i:i+{SUBSTR_W - 1}], ' ')) AS g
+        FROM toks0, unnest(generate_series(1, len(t) - {SUBSTR_W} + 1)) AS u(i)
+        WHERE len(t) >= {SUBSTR_W}
+    ),
+    dups AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+            FROM occ) WHERE rn > 1
+    ),
+    covered AS MATERIALIZED (
+        SELECT DISTINCT doc_id, q
+        FROM dups, unnest(generate_series(pos, pos + {SUBSTR_W - 1})) AS u(q)
+    ),
+    tokpos AS MATERIALIZED (
+        SELECT doc_id, i - 1 AS q, t[i] AS token
+        FROM toks0, unnest(generate_series(1, len(t))) AS u(i)
+    ),
+    kept AS MATERIALIZED (
+        SELECT tp.doc_id, tp.q, tp.token
+        FROM tokpos tp ANTI JOIN covered c
+          ON tp.doc_id = c.doc_id AND tp.q = c.q
+    ),
+    cleaned AS MATERIALIZED (
+        SELECT k.doc_id, d.source, count(*) AS n_tok,
+               string_agg(k.token, ' ' ORDER BY k.q) AS text
+        FROM kept k JOIN documents d USING (doc_id)
+        GROUP BY k.doc_id, d.source
+    ),
+    sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               array_to_string(t[i:i+{SHINGLE_K - 1}], ' ') AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM cleaned),
+             unnest(generate_series(1, greatest(len(t) - {SHINGLE_K - 1}, 1))) AS u(i)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shared AS MATERIALIZED (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    victims AS (
+        SELECT DISTINCT s.doc_b AS doc_id
+        FROM shared s
+        JOIN sz sa ON s.doc_a = sa.doc_id
+        JOIN sz sb ON s.doc_b = sb.doc_id
+        WHERE s.c * 1.0 / (sa.n + sb.n - s.c) >= {MINHASH_EXACT_TAU}
+    ),
+    surv AS MATERIALIZED (SELECT * FROM cleaned ANTI JOIN victims USING (doc_id)),
+    bgrams AS (
+        SELECT DISTINCT array_to_string(t[s:s+{NGRAM_N - 1}], ' ') AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS t
+              FROM documents WHERE doc_id % 97 = 0),
+             unnest(generate_series(1, greatest(len(t) - {NGRAM_N - 1}, 0))) AS u(s)
+    ),
+    cgrams AS (
+        SELECT doc_id, array_to_string(t[s:s+{NGRAM_N - 1}], ' ') AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS t
+              FROM surv WHERE doc_id % 97 <> 0),
+             unnest(generate_series(1, greatest(len(t) - {NGRAM_N - 1}, 0))) AS u(s)
+    ),
+    contaminated AS (SELECT DISTINCT doc_id FROM cgrams JOIN bgrams USING (g)),
+    decon AS MATERIALIZED (
+        SELECT * FROM surv
+        WHERE doc_id % 97 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    gbase AS MATERIALIZED (SELECT doc_id, source, n_tok, string_split(text, ' ') AS ts
+              FROM decon),
+    bi AS (
+        SELECT doc_id, max(c) AS max_bi FROM (
+            SELECT doc_id, gram, count(*) AS c FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ts)),
+                                             i -> ts[i] || ' ' || ts[i + 1])) AS gram
+                FROM gbase) GROUP BY doc_id, gram) GROUP BY doc_id
+    ),
+    gated AS MATERIALIZED (
+        SELECT g.doc_id, g.source, g.n_tok
+        FROM gbase g LEFT JOIN bi USING (doc_id)
+        WHERE g.n_tok BETWEEN {E2E_MIN_TOK} AND {E2E_MAX_TOK}
+          AND (g.n_tok - len(list_distinct(g.ts))) / g.n_tok <= {E2E_DUP_FRAC}
+          AND COALESCE(CAST(2 * bi.max_bi AS DOUBLE) / g.n_tok, 0) <= {E2E_BI_FRAC}
+    ),
+    cnt AS (SELECT source, count(*) AS n FROM gated GROUP BY source),
+    tt AS (SELECT sum(n) AS t FROM cnt),
+    wsrc AS (SELECT source, ROUND(pow(n * 1.0 / t, {TEMP_ALPHA} - 1), 6) AS wr
+             FROM cnt, tt),
+    rates AS (SELECT source, ROUND(wr / (SELECT max(wr) FROM wsrc), 6) AS rate
+              FROM wsrc),
+    sampled AS MATERIALIZED (
+        SELECT g.doc_id, g.source, g.n_tok
+        FROM gated g JOIN rates r USING (source)
+        WHERE {_E2E_U01} < r.rate
+    ),
+    pshard AS (
+        SELECT doc_id, n_tok,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS BIGINT) % {E2E_SHARDS} AS shard
+        FROM sampled
+    ),
+    packed AS MATERIALIZED (
+        SELECT doc_id, n_tok, shard,
+               CAST(floor(COALESCE(sum(n_tok) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   / {PACK_BUDGET}) AS BIGINT) AS pack_id
+        FROM pshard
+    )
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM cleaned) AS n_substr_clean,
+           (SELECT count(*) FROM surv) AS n_neardup_surv,
+           (SELECT count(*) FROM decon) AS n_decontaminated,
+           (SELECT count(*) FROM gated) AS n_gated,
+           (SELECT count(*) FROM packed) AS n_sampled,
+           (SELECT CAST(COALESCE(sum(n_tok), 0) AS BIGINT) FROM packed)
+               AS tokens_out,
+           (SELECT CAST(count(DISTINCT (shard, pack_id)) AS BIGINT) FROM packed)
+               AS n_packs,
+           (SELECT CAST(count(DISTINCT shard) AS BIGINT) FROM packed)
+               AS n_shards,
+           (SELECT md5(COALESCE(string_agg(CAST(doc_id AS VARCHAR), ','
+                                           ORDER BY doc_id), ''))
+            FROM packed) AS sampled_md5
+    """
+
+
+@register("pipeline_e2e_llm", oracle=_e2e_llm_oracle())
+def pipeline_e2e_llm(spark, sf_dir):
+    """LLM-curation capstone v2 (r8 VERDICT #4) — the round-8/9 tiers
+    chained the way a real corpus run chains them, in ONE lazy plan:
+
+      substring dedup (Lee et al. spans, corpus-wide first-occurrence
+      wins) → near-dup removal (MinHash-LSH candidates + exact shingle
+      Jaccard >= tau, first-wins survivor policy) → benchmark
+      decontamination (8-gram overlap vs the doc_id%97 benchmark set,
+      benchmark docs themselves excluded) → quality gates on the CLEANED
+      text (length + Gopher dup-word/top-bigram) → temperature sampling
+      (rates derived from the gated source distribution, α=0.7,
+      content-stable keep decisions) → per-shard sequence packing
+      (PACK_BUDGET-token packs) → deterministic md5 sharding.
+
+    The output is the funnel report (the pipeline_funnel idiom): one row,
+    every stage count as a broadcast 1-row aggregate riding in-plan —
+    no driver .count() anywhere — plus tokens_out, pack/shard counts, and
+    an md5 pin of the exact sampled doc_id set (so the hash proves WHICH
+    documents survived, not just how many).
+
+    Stage-policy notes (deliberate, documented):
+    - Near-dup survivor selection here is FIRST-WINS (drop every doc_b of
+      a verified pair — each pair is canonical doc_a < doc_b): one
+      broadcast anti join, fully lazy, replayable in plain SQL. It differs
+      from connected-component min-label survivors (dedup_near_survivors)
+      on chain-shaped clusters where a doc's only earlier duplicate was
+      itself dropped; full CC needs an iterative fixpoint (a driver loop),
+      which would break the one-plan contract — the CC policy remains
+      available as the registered dedup_near_survivors key.
+    - Packing is PER SHARD (shard-keyed window), not global: each shard
+      is an independently-written output file, and the keyed window
+      scales where a global cum-sum window would serialize (the
+      pack_sequences key documents the same trade).
+    - At 100 TB: one corpus scan feeds the substring-dedup fingerprints
+      and token positions; the LSH candidate stage shuffles cleaned docs
+      once by band; bench grams and sampling rates are broadcast-sized;
+      the gates are row-local on the cleaned text; everything after the
+      gated frame is metadata-narrow (doc_id, source, n_tok).
+    """
+    from data_transform_spark.pipeline.curation import NGRAM_N, TEMP_ALPHA, _u01
+    from data_transform_spark.pipeline.dedup import (
+        MINHASH_EXACT_TAU,
+        _exact_jaccard_of_pairs,
+        _minhash_candidates,
+        substring_clean,
+    )
+    from data_transform_spark.pipeline.training import PACK_BUDGET
+
+    from data_transform_spark.io import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+
+    # 1. substring-level dedup; drop fully-removed docs (exact duplicates)
+    clean = substring_clean(d).filter(F.col("n_tokens") > F.col("n_removed"))
+    cleaned = clean.join(d.select("doc_id", "source"), "doc_id").select(
+        "doc_id",
+        "source",
+        (F.col("n_tokens") - F.col("n_removed")).alias("n_tok"),
+        F.col("clean_text").alias("text"),
+    )
+
+    # 2. near-dup removal on the CLEANED text, first-wins survivors
+    pairs = _exact_jaccard_of_pairs(
+        cleaned, _minhash_candidates(cleaned)
+    ).filter(F.col("jaccard") >= MINHASH_EXACT_TAU)
+    # no broadcast hint: the victim set scales with the corpus's duplicate
+    # rate (web crawls run 30-50%) — let AQE pick broadcast when it fits
+    victims = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    surv = cleaned.join(victims, "doc_id", "left_anti")
+
+    # 3. benchmark decontamination (8-gram overlap, broadcast bench set)
+    t = F.split("text", " ")
+
+    def grams_of(frame):
+        return frame.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size(t) >= NGRAM_N,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(t) - (NGRAM_N - 1)),
+                        lambda s: F.array_join(F.slice(t, s, NGRAM_N), " "),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("g"),
+        )
+
+    bench = grams_of(d.filter(F.col("doc_id") % 97 == 0)).select("g").distinct()
+    contaminated = (
+        grams_of(surv.filter(F.col("doc_id") % 97 != 0))
+        .join(F.broadcast(bench), "g")  # bench grams ARE broadcast-sized
+        .select("doc_id")
+        .distinct()
+    )
+    # contaminated-doc set is corpus-scaled in the worst case: keyed anti
+    # join, no hint (AQE broadcasts it when it is actually small)
+    decon = surv.filter(F.col("doc_id") % 97 != 0).join(
+        contaminated, "doc_id", "left_anti"
+    )
+
+    # 4. gates on the cleaned text: length + Gopher repetition
+    base = decon.select(
+        "doc_id", "source", "n_tok", F.split("text", " ").alias("ts")
+    )
+    grams2 = F.when(
+        F.size("ts") >= 2,
+        F.expr(
+            "transform(sequence(1, size(ts) - 1),"
+            " i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_bi = (
+        base.select("doc_id", F.explode(grams2).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_bi"))
+    )
+    dup_frac = (F.col("n_tok") - F.size(F.array_distinct("ts"))) / F.col("n_tok")
+    bi_frac = F.coalesce(
+        (F.col("max_bi") * 2).cast("double") / F.col("n_tok"), F.lit(0.0)
+    )
+    gated = (
+        base.join(top_bi, "doc_id", "left")
+        .filter(
+            F.col("n_tok").between(E2E_MIN_TOK, E2E_MAX_TOK)
+            & (dup_frac <= E2E_DUP_FRAC)
+            & (bi_frac <= E2E_BI_FRAC)
+        )
+        .select("doc_id", "source", "n_tok")
+    )
+
+    # 5. temperature sampling from the GATED source distribution
+    cnt = gated.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.agg(F.sum("n").alias("t"))
+    w = cnt.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.round(
+            F.pow(F.col("n") / F.col("t"), F.lit(TEMP_ALPHA - 1)), 6
+        ).alias("wr"),
+    )
+    mx = w.agg(F.max("wr").alias("mx"))
+    rates = w.crossJoin(F.broadcast(mx)).select(
+        "source", F.round(F.col("wr") / F.col("mx"), 6).alias("rate")
+    )
+    sampled = (
+        gated.join(F.broadcast(rates), "source")
+        .filter(_u01(F.col("doc_id"), ":e2e") < F.col("rate"))
+        .select("doc_id", "source", "n_tok")
+    )
+
+    # 6+7. deterministic shard, then PER-SHARD sequence packing
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % E2E_SHARDS
+    )
+    w_pack = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = sampled.select("doc_id", "n_tok", shard.alias("shard")).select(
+        "doc_id",
+        "n_tok",
+        "shard",
+        F.floor(
+            F.coalesce(F.sum("n_tok").over(w_pack), F.lit(0)) / PACK_BUDGET
+        )
+        .cast("long")
+        .alias("pack_id"),
+    )
+
+    # funnel: every stage count as a 1-row broadcast aggregate, in-plan
+    c0 = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    c1 = cleaned.agg(F.count(F.lit(1)).alias("n_substr_clean"))
+    c2 = surv.agg(F.count(F.lit(1)).alias("n_neardup_surv"))
+    c3 = decon.agg(F.count(F.lit(1)).alias("n_decontaminated"))
+    c4 = gated.agg(F.count(F.lit(1)).alias("n_gated"))
+    c5 = packed.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("tokens_out"),
+        F.countDistinct("shard", "pack_id").cast("long").alias("n_packs"),
+        F.countDistinct("shard").cast("long").alias("n_shards"),
+        # verification pin, fixture-tier by design: collecting every
+        # sampled doc_id into one row is how the HASH proves the exact
+        # survivor set — at 100 TB you drop this column (or md5 per shard
+        # and hash the 8 shard digests); the funnel counts stay cheap
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("sampled_md5"),
+    )
+    return (
+        c0.crossJoin(F.broadcast(c1))
+        .crossJoin(F.broadcast(c2))
+        .crossJoin(F.broadcast(c3))
+        .crossJoin(F.broadcast(c4))
+        .crossJoin(F.broadcast(c5))
+    )

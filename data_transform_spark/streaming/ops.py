@@ -484,3 +484,61 @@ def stream_upsert_sink(spark, sf_dir):
     return spark.read.parquet(out).select(
         "user_id", "event_id", "ts", "event_type", "value"
     )
+
+
+def _session_motif_oracle() -> str:
+    # import at call time: events.py and ops.py are siblings in the package
+    # import graph, and the decorator evaluates at module import
+    from data_transform_spark.operators.events import _SESSION_MOTIF_ORACLE
+
+    return _SESSION_MOTIF_ORACLE
+
+
+@register("stream_session_motif", oracle=_session_motif_oracle())
+def stream_session_motif(spark, sf_dir):
+    """Streaming twin of events_session_motif (r8 VERDICT #6): the SAME
+    per-session journey + motif columns, computed with session_window
+    state over the event stream — stream_session's windowing composed with
+    the path-mining family. The journey assembles from a sorted
+    collect_list AFTER the stateful aggregate (array_sort/transform are
+    row-local projections, legal on streaming agg output), so ordering
+    never depends on arrival order; Spark's session_window closes a
+    session when the next event arrives >= gap after the previous —
+    exactly the batch twin's gaps-and-islands rule, so the two carry the
+    SAME hash oracle and are additionally parity-tested against each other
+    under BOTH state-store providers in tests/test_streaming.py.
+
+    State bound: one open session per user — time-bounded by the gap, the
+    sharpest whale bound in the family. In production this runs append
+    mode behind a watermark (stream_watermark's pattern); complete mode +
+    memory sink here is the test harness, same as every stream_* key."""
+    ev = events_stream(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("c"),
+    )
+    agg = ev.groupBy(F.session_window("ts", "10 minutes"), "user_id").agg(
+        F.min("ts").alias("w_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "c"))).alias(
+            "evs"
+        ),
+    )
+    out = agg.select(
+        "user_id",
+        "w_start",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.array_join(F.transform("evs", lambda r: r["c"]), "").alias("journey"),
+    ).select(
+        "user_id",
+        "w_start",
+        "n_events",
+        F.length("journey").cast("long").alias("journey_len"),
+        F.md5("journey").alias("journey_md5"),
+        F.size(F.expr(r"regexp_extract_all(journey, 'v+c+p', 0)"))
+        .cast("long")
+        .alias("n_browse_buy"),
+        F.col("journey").contains("vp").alias("has_direct_view_buy"),
+    )
+    return run_to_memory(out, "complete")

@@ -740,3 +740,28 @@ def test_ivfpq_scan_stays_broadcast_bounded(spark, sf_dir):
     p = buf.getvalue()
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_session_motif_single_shuffle(spark, sf_dir):
+    """Sessionized motifs must reuse ONE user_id exchange across the lag
+    window, the island cumsum, and the (user, session) aggregate — and
+    stay JVM-side (journeys assemble from sorted structs, regexes are
+    row-local)."""
+    import re
+
+    p = plan_of(spark, "events_session_motif", sf_dir)
+    n = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
+    assert n == 1, f"session motif should shuffle once, saw {n}:\n{p[:1500]}"
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_e2e_llm_no_cartesian_and_jvm_side(spark, sf_dir):
+    """The capstone chains seven stages in one plan: no cartesian product
+    anywhere (the LSH candidate stage is a band equi-join, never
+    all-pairs — the all-pairs comparison exists ONLY in the DuckDB
+    oracle), and no Python evaluation nodes (every stage is Column ops).
+    1-row funnel aggregates ride as broadcast nested loops by definition
+    and are excluded on purpose."""
+    p = plan_of(spark, "pipeline_e2e_llm", sf_dir)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -156,3 +156,14 @@ def test_stream_stateful_matches_batch_agg(spark, sf_dir, state_provider):
         .collect()
     }
     assert got == want
+
+
+def test_session_motif_stream_equals_batch(spark, sf_dir, state_provider):
+    """r8 VERDICT #6: the session-scoped motif key must produce IDENTICAL
+    rows from the streaming session_window path and the batch
+    gaps-and-islands twin — journeys, md5 pins, motif counts and all —
+    under both state-store providers (session state is keyed per user, so
+    provider choice must be invisible)."""
+    stream = QUERIES["stream_session_motif"](spark, sf_dir)
+    batch = QUERIES["events_session_motif"](spark, sf_dir)
+    assert _rows(stream) == _rows(batch)
