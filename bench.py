@@ -80,9 +80,12 @@ OPTIONAL = [
     "events_paths_topk",
     "join_asof_tolerance",
     "graph_knn_similarity",
-    # round-9: sessionized motifs, BPE trainer
+    # round-9: sessionized motifs, BPE trainer, curation additions
     "events_session_motif",
     "vocab_bpe",
+    "decontaminate_fuzzy",
+    "mix_token_budget",
+    "quality_linear",
     # sim_ann_ivfpq (13.8 s) and pipeline_e2e_llm (51 s) deliberately NOT
     # benched: the former trains TWO quantizers + runs the in-key recall
     # check vs brute force (sim_ann_pq above times the shared PQ machinery;

@@ -284,3 +284,253 @@ def pipeline_funnel(spark, sf_dir):
         F.coalesce(F.sum("n_words"), F.lit(0)).cast("long").alias("tokens_out"),
     )
     return total.crossJoin(uniq).crossJoin(g)
+
+
+FUZZY_NGRAM = 13  # GPT-3-style decontamination gram width (13 tokens)
+
+
+@register(
+    "decontaminate_fuzzy",
+    oracle=f"""
+    WITH norm AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - {FUZZY_NGRAM - 1}, 0)),
+                   s -> array_to_string(t[s : s + {FUZZY_NGRAM - 1}], ' '))) AS gs
+        FROM norm
+    ),
+    bench AS (
+        SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 97 = 0
+    ),
+    hits AS (
+        SELECT doc_id, count(*) AS n_shared
+        FROM (SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 97 <> 0)
+        JOIN bench USING (g) GROUP BY doc_id
+    )
+    SELECT g.doc_id, CAST(len(g.gs) AS BIGINT) AS n_grams,
+           CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+           ROUND(COALESCE(h.n_shared, 0) * 1.0 / greatest(len(g.gs), 1), 6)
+               AS contamination_ratio,
+           COALESCE(h.n_shared, 0) >= 1 AS is_contaminated
+    FROM grams g LEFT JOIN hits h USING (doc_id)
+    WHERE g.doc_id % 97 <> 0
+    """,
+)
+def decontaminate_fuzzy(spark, sf_dir):
+    """FUZZY benchmark decontamination — the GPT-3/Llama recipe one rung
+    above decontaminate_ngram's exact-8-gram flags: text NORMALIZES first
+    (lowercase, punctuation → space, whitespace collapse — so cosmetic
+    edits can't hide contamination), grams widen to {13} tokens (the
+    GPT-3 width; a 13-token collision is essentially never coincidence),
+    each doc's gram set dedupes, and the output grades EVERY candidate
+    doc with a contamination RATIO rather than only flagging hits —
+    supporting both the drop-on-any-hit policy (is_contaminated) and
+    graded quarantine thresholds. Docs shorter than the gram width have
+    zero grams and ratio 0 by definition.
+
+    Scale shape is decontaminate_ngram's: grams stream out of the scan
+    (sequence+slice Column ops on the normalized token array), ONLY the
+    benchmark gram set (tiny by contract) is deduped and broadcast, and
+    the per-doc rollup is one keyed aggregate. The normalization is a
+    no-op on this all-lowercase fixture — deliberately verified real by
+    the unit test, which plants cased/punctuated variants."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.split(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+                " +",
+                " ",
+            )
+        ),
+        " ",
+    )
+    gs = F.array_distinct(
+        F.when(
+            F.size(norm) >= FUZZY_NGRAM,
+            F.transform(
+                F.sequence(F.lit(1), F.size(norm) - (FUZZY_NGRAM - 1)),
+                lambda s: F.array_join(F.slice(norm, s, FUZZY_NGRAM), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    grams = d.select("doc_id", gs.alias("gs"))
+    bench = (
+        grams.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+    )
+    hits = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", F.explode("gs").alias("g"))
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("gs").cast("long").alias("n_grams"),
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            F.round(
+                F.coalesce("n_shared", F.lit(0))
+                / F.greatest(F.size("gs"), F.lit(1)),
+                6,
+            ).alias("contamination_ratio"),
+            (F.coalesce("n_shared", F.lit(0)) >= 1).alias("is_contaminated"),
+        )
+    )
+
+
+MIX_TOKEN_BUDGET = 2000  # per-source token budget for the budgeted mix
+
+
+@register(
+    "mix_token_budget",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tok,
+               COALESCE(sum(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM d
+    )
+    SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(cum_before AS BIGINT) AS cum_before
+    FROM c WHERE cum_before < {MIX_TOKEN_BUDGET}
+    """,
+)
+def mix_token_budget(spark, sf_dir):
+    """Token-budgeted domain mixing — the other half of the mixing story:
+    mix_domains/sample_temperature set per-domain RATES, but a real
+    training-mix spec says "at most N tokens from domain X". Greedy
+    whole-doc take in deterministic (doc_id) order per source: a doc is
+    kept while its domain's running token total is still under the
+    budget (the doc that CROSSES the budget is kept — whole-doc
+    semantics, so every domain lands in [budget, budget + max_doc));
+    rerunning on a grown corpus keeps exactly the same docs (prefix
+    stability), unlike rate-based sampling which re-draws everything.
+
+    One keyed window per source (scales like any keyed cumsum — no
+    global window), then a row-local budget test. At 100 TB the window's
+    sort is per-source and the budget cut makes the output size
+    independent of corpus size — this op gets CHEAPER as the corpus
+    grows past its budgets."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = d.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("cum_before"),
+    )
+    return c.filter(F.col("cum_before") < MIX_TOKEN_BUDGET).select(
+        "doc_id",
+        "source",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.col("cum_before").cast("long").alias("cum_before"),
+    )
+
+
+# Hand-specified linear quality model (the fastText-classifier pattern:
+# extract cheap features, score with a linear model, gate on the sign).
+# Weights tuned on the fixture's feature distribution to a ~63% keep rate
+# (measured; a real pipeline would fit them on labeled data — the OP is
+# the feature extraction + scoring shape, the weights are config).
+QL_W_NTOK = 0.01
+QL_W_TTR = 3.0
+QL_W_STOP = -4.0
+QL_W_AWL = 0.3
+QL_BIAS = -3.0
+
+
+@register(
+    "quality_linear",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_distinct(string_split(text, ' '))) * 1.0
+                   / len(string_split(text, ' ')) AS ttr,
+               len(list_filter(string_split(text, ' '),
+                               x -> x IN ('a', 'the'))) * 1.0
+                   / len(string_split(text, ' ')) AS stop,
+               (length(text) - len(string_split(text, ' ')) + 1) * 1.0
+                   / len(string_split(text, ' ')) AS awl
+        FROM documents
+    ),
+    z AS (
+        SELECT doc_id, n_tok, ttr, stop, awl,
+               {QL_W_NTOK} * n_tok + {QL_W_TTR} * ttr + {QL_W_STOP} * stop
+                   + {QL_W_AWL} * awl + ({QL_BIAS}) AS z
+        FROM f
+    )
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           ROUND(ttr, 6) AS ttr, ROUND(stop, 6) AS stopword_ratio,
+           ROUND(awl, 6) AS avg_word_len,
+           ROUND(1.0 / (1.0 + exp(-z)), 6) AS score,
+           z >= 0 AS keep
+    FROM z
+    """,
+)
+def quality_linear(spark, sf_dir):
+    """Model-based quality filtering (the fastText/FineWeb-Edu-classifier
+    pattern, with a hand-specified linear model standing in for learned
+    weights): extract cheap per-doc features — token count, type-token
+    ratio, stopword ratio, average word length — score them with a
+    linear model, keep docs with non-negative logits. One rung above
+    text_quality's raw features: this is the SHAPE every classifier-based
+    filter runs at scale (features in one row-local pass, broadcast-free
+    scoring, gate on the sign).
+
+    Cross-engine float discipline: the KEEP decision is z >= 0 where z is
+    built from +,-,×,÷ over integer-derived doubles and literal weights —
+    IEEE-deterministic in both engines, no pow/exp anywhere in the
+    decision (sigmoid(z) >= 0.5 ⟺ z >= 0). The displayed sigmoid score
+    rounds to 6 dp; exp() ulp divergence can at most flip that display's
+    last digit on an exact boundary, never the decision."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) * F.lit(1.0) / n_tok
+    stop = (
+        F.size(F.filter(toks, lambda x: x.isin("a", "the")))
+        * F.lit(1.0)
+        / n_tok
+    )
+    awl = (F.length("text") - n_tok + 1) * F.lit(1.0) / n_tok
+    z = (
+        F.lit(QL_W_NTOK) * n_tok
+        + F.lit(QL_W_TTR) * ttr
+        + F.lit(QL_W_STOP) * stop
+        + F.lit(QL_W_AWL) * awl
+        + F.lit(QL_BIAS)
+    )
+    return d.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tok"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(stop, 6).alias("stopword_ratio"),
+        F.round(awl, 6).alias("avg_word_len"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+        (z >= 0).alias("keep"),
+    )

@@ -741,3 +741,70 @@ def tokenize_bpe(spark, sf_dir):
             F.sum("n_bpe").cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+@register(
+    "bpe_fertility",
+    oracle=_bpe_cte_chain(BPE_ROUNDS) + f""",
+    wt AS (
+        SELECT word, len(string_split(trim(seq), '  ')) AS n_bpe,
+               length(word) AS n_chars
+        FROM w{BPE_ROUNDS}
+    ),
+    dw AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+           ROUND(CAST(sum(n_bpe) AS DOUBLE) / count(*), 6) AS fertility,
+           ROUND(CAST(sum(n_bpe) AS DOUBLE) / sum(n_chars), 6)
+               AS tokens_per_char
+    FROM dw JOIN wt USING (word)
+    GROUP BY source
+    """,
+)
+def bpe_fertility(spark, sf_dir):
+    """Tokenizer fertility audit — the number every tokenizer change is
+    judged by: BPE tokens per word (fertility) and per character, rolled
+    up by SOURCE domain. High-fertility domains cost disproportionate
+    training compute per byte; this is how a pipeline decides whether the
+    tokenizer (or the mix) needs rebalancing, and the honest way to
+    convert a token budget into a byte budget per domain.
+
+    Shape: one BPE training (see _bpe_train — corpus scanned once), the
+    replace-chain encode over DISTINCT words, a broadcast join of
+    per-word token counts onto the exploded corpus, one source-keyed
+    rollup. Integer sums and two exact divisions — deterministic in both
+    engines; the DuckDB twin replays the merge rounds with the same
+    chained CTEs as vocab_bpe."""
+    merges = _bpe_train(spark, sf_dir)
+    seq = _bpe_seq0(F.col("word"))
+    for _r, a, b, m, _c in merges:
+        seq = F.replace(seq, F.lit(f" {a}  {b} "), F.lit(f" {m} "))
+    wtok = _bpe_words(spark, sf_dir).select(
+        "word",
+        F.size(F.split(F.trim(seq), "  ")).alias("n_bpe"),
+        F.length("word").alias("n_chars"),
+    )
+    d = load_table(spark, sf_dir, "documents")
+    dw = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        dw.join(F.broadcast(wtok), "word")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_bpe").cast("long").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_bpe").cast("double") / F.count(F.lit(1)), 6
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_bpe").cast("double") / F.sum("n_chars"), 6
+            ).alias("tokens_per_char"),
+        )
+    )

@@ -637,3 +637,79 @@ class TestBpe:
         from data_transform_spark.pipeline.training import _bpe_train
 
         assert _bpe_train(spark, sf_dir) == _bpe_train(spark, sf_dir)
+
+
+class TestCurationRound9:
+    def test_fuzzy_decontamination_sees_through_cosmetics(self, spark, tmp_path):
+        """The fixture is all-lowercase, so the fuzzy key's normalization is
+        a no-op there — prove it is REAL by planting a benchmark doc and a
+        training doc that share a 13-gram only after lowercasing,
+        punctuation-stripping, and whitespace collapse (the exact
+        decontaminate_ngram key would miss this pair)."""
+        import pandas as pd
+
+        from data_transform_spark.pipeline.curation import decontaminate_fuzzy
+
+        gram = " ".join(f"tok{i}" for i in range(13))
+        texts = {
+            0: gram + " tail0 tail1",  # doc_id 0: benchmark (0 % 97 == 0)
+            1: gram.upper().replace(" ", ",  ") + "  trailing!!",  # cosmetic
+            2: " ".join(f"other{i}" for i in range(20)),  # clean doc
+        }
+        pdf = pd.DataFrame(
+            {
+                "doc_id": list(texts),
+                "text": list(texts.values()),
+                "lang": "en",
+                "source": "synth",
+                "n_chars": [len(t) for t in texts.values()],
+            }
+        )
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+            f"{tmp_path}/documents.parquet"
+        )
+        rows = {r.doc_id: r for r in decontaminate_fuzzy(spark, str(tmp_path)).collect()}
+        assert set(rows) == {1, 2}  # benchmark doc excluded from output
+        assert rows[1].is_contaminated and rows[1].n_shared >= 1
+        assert not rows[2].is_contaminated and rows[2].n_shared == 0
+        assert rows[2].contamination_ratio == 0.0
+
+    def test_token_budget_is_prefix_stable(self, spark, sf_dir):
+        """Growing the corpus must never change which of the EXISTING docs a
+        budget keeps (greedy take in doc_id order): the kept set at sf0.01
+        must be exactly the budget-prefix a driver-side replay predicts."""
+        import duckdb
+
+        from data_transform_spark.pipeline.curation import (
+            MIX_TOKEN_BUDGET,
+            mix_token_budget,
+        )
+
+        got = {
+            (r.doc_id, r.cum_before)
+            for r in mix_token_budget(spark, sf_dir).collect()
+        }
+        rows = duckdb.sql(
+            f"select doc_id, source, len(string_split(text,' ')) as n "
+            f"from '{sf_dir}/documents.parquet' order by source, doc_id"
+        ).fetchall()
+        want, cum = set(), {}
+        for doc_id, source, n in rows:
+            before = cum.get(source, 0)
+            if before < MIX_TOKEN_BUDGET:
+                want.add((doc_id, before))
+            cum[source] = before + n
+        assert got == want
+
+    def test_quality_linear_decision_matches_score(self, spark, sf_dir):
+        """keep must equal sigmoid(z) >= 0.5 for every doc (the z >= 0 form
+        is the decision actually computed), and the keep rate must be a
+        real split, not all-pass/all-fail."""
+        from data_transform_spark.pipeline.curation import quality_linear
+
+        rows = quality_linear(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.keep == (r.score >= 0.5), r
+        kept = sum(r.keep for r in rows)
+        assert 0 < kept < len(rows)

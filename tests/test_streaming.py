@@ -167,3 +167,72 @@ def test_session_motif_stream_equals_batch(spark, sf_dir, state_provider):
     stream = QUERIES["stream_session_motif"](spark, sf_dir)
     batch = QUERIES["events_session_motif"](spark, sf_dir)
     assert _rows(stream) == _rows(batch)
+
+
+def test_session_motif_append_mode_emits_closed_sessions(
+    spark, sf_dir, state_provider
+):
+    """Production shape for sessionized motifs: APPEND mode behind a 1-hour
+    watermark over time-ordered micro-batches. A session row may only be
+    emitted once its window is finalized (watermark passed it), so (a)
+    every emitted row must EXACTLY equal its batch-twin row — journeys,
+    md5, motif counts — and (b) the bulk of the corpus's sessions (all but
+    the final watermark horizon) must have been emitted. This is the
+    append-mode counterpart of the complete-mode registered key, under
+    both state-store providers."""
+    from pyspark.sql import functions as F
+
+    from data_transform_spark.io import normalize_event_ts, path_of
+    from data_transform_spark.streaming.ops import (
+        run_to_memory,
+        stage_events_chunks,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = stage_events_chunks(sf_dir, plant_late=False)
+    raw_schema = spark.read.parquet(path_of(sf_dir, "events")).schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    ).select(
+        "user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("c")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "10 minutes"), "user_id")
+        .agg(
+            F.min("ts").alias("w_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "c"))).alias(
+                "evs"
+            ),
+        )
+        .select(
+            "user_id",
+            "w_start",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.array_join(F.transform("evs", lambda r: r["c"]), "").alias(
+                "journey"
+            ),
+        )
+        .select(
+            "user_id",
+            "w_start",
+            "n_events",
+            F.length("journey").cast("long").alias("journey_len"),
+            F.md5("journey").alias("journey_md5"),
+            F.size(F.expr(r"regexp_extract_all(journey, 'v+c+p', 0)"))
+            .cast("long")
+            .alias("n_browse_buy"),
+            F.col("journey").contains("vp").alias("has_direct_view_buy"),
+        )
+    )
+    emitted = set(_rows(run_to_memory(agg, "append")))
+    batch = set(_rows(QUERIES["events_session_motif"](spark, sf_dir)))
+    assert emitted <= batch, "append emitted a session that disagrees with batch"
+    # the fixture spans 30 days; only sessions inside the final watermark
+    # horizon (last chunk's tail) may still be open and unemitted
+    assert len(emitted) >= 0.5 * len(batch), (
+        f"append emitted too few finalized sessions: {len(emitted)}/{len(batch)}"
+    )
