@@ -109,3 +109,52 @@ def sessionize(events: DataFrame, key: str = "user_id", ts: str = "ts",
     new_s = F.when(gap.isNull() | (gap >= gap_minutes * 60), 1).otherwise(0)
     run = Window.partitionBy(key).orderBy(ts).rowsBetween(Window.unboundedPreceding, 0)
     return events.withColumn("session_id", F.sum(new_s).over(run))
+
+
+def substring_dedup(docs: DataFrame) -> DataFrame:
+    """Exact substring-level dedup (Lee et al. 2022): remove every repeated
+    run of >= SUBSTR_W consecutive tokens corpus-wide (first occurrence
+    wins). ``docs`` needs (doc_id, text); returns (doc_id, n_tokens,
+    n_removed, clean_text). The span tier above doc/chunk-level dedup —
+    see pipeline.dedup.text_substring_dedup for the registered query."""
+    from data_transform_spark.pipeline.dedup import substring_clean
+
+    return substring_clean(docs)
+
+
+def train_bpe(spark, sf_dir: str, rounds: int | None = None):
+    """Learn BPE merges over a fixture directory's documents table.
+
+    Returns [(merge_round, pair_a, pair_b, merged, pair_count), ...] as
+    plain literals (canonical Sennrich semantics, deterministic; see
+    pipeline.training.vocab_bpe). Pass the merges to ``bpe_token_counts``
+    to encode."""
+    from data_transform_spark.pipeline import training as _t
+
+    return _t._bpe_train(
+        spark, sf_dir, _t.BPE_ROUNDS if rounds is None else rounds
+    )
+
+
+def bpe_token_counts(words: DataFrame, merges, word_col: str = "word") -> DataFrame:
+    """Apply learned BPE merges (in learned order) to a distinct-word frame;
+    returns the input plus n_bpe (token count per word). Broadcast-join the
+    result back to your corpus — the tokenize_bpe shape."""
+    from data_transform_spark.pipeline import training as _t
+
+    seq = _t._bpe_seq0(F.col(word_col))
+    for _r, a, b, m, _c in merges:
+        seq = F.replace(seq, F.lit(f" {a}  {b} "), F.lit(f" {m} "))
+    return words.withColumn("n_bpe", F.size(F.split(F.trim(seq), "  ")))
+
+
+def ann_ivfpq_topk(embeddings: DataFrame, spark=None) -> DataFrame:
+    """Composed IVF-PQ ANN (IVFADC): coarse-list pruning + residual PQ
+    codes + exact re-rank. ``embeddings`` needs (vec_id, emb array<double>);
+    queries are vec_id < N_QUERIES (see pipeline.similarity for the
+    constants and the registered bound-checked key). Training fits on the
+    bounded md5-prefix sample; encoding covers the full frame."""
+    from data_transform_spark.pipeline import similarity as _s
+
+    cent, _assign, books, codes_l = _s._ivfpq_index(embeddings)
+    return _s._ivfpq_topk(embeddings, cent, books, codes_l)

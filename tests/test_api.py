@@ -83,3 +83,36 @@ def test_tfidf_matches_registered_query(spark, sf_dir):
     got = api.tfidf(docs).withColumn("tfidf", F.round("tfidf", 6))
     want = QUERIES["text_tfidf"](spark, sf_dir)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_api_bpe_roundtrip(spark, sf_dir):
+    """train_bpe + bpe_token_counts must agree with the registered
+    tokenize_bpe rollup (same merges, same counts)."""
+    import pyspark.sql.functions as F
+
+    from data_transform_spark import api
+    from data_transform_spark.pipeline.training import _bpe_words
+    from data_transform_spark.registry import QUERIES
+
+    merges = api.train_bpe(spark, sf_dir)
+    assert merges and merges[0][0] == 1
+    words = _bpe_words(spark, sf_dir)
+    enc = api.bpe_token_counts(words, merges)
+    total_bpe = enc.select(F.sum(F.col("n_bpe") * F.col("cnt"))).collect()[0][0]
+    reg = QUERIES["tokenize_bpe"](spark, sf_dir)
+    reg_total = reg.select(F.sum("n_bpe_tokens")).collect()[0][0]
+    assert total_bpe == reg_total
+
+
+def test_api_substring_dedup_matches_registered(spark, sf_dir):
+    from data_transform_spark import api
+    from data_transform_spark.io import load_table
+    from data_transform_spark.registry import QUERIES
+
+    d = load_table(spark, sf_dir, "documents")
+    got = {r.doc_id: r.n_removed for r in api.substring_dedup(d).collect()}
+    want = {
+        r.doc_id: r.n_removed
+        for r in QUERIES["text_substring_dedup"](spark, sf_dir).collect()
+    }
+    assert got == want
