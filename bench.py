@@ -86,6 +86,8 @@ OPTIONAL = [
     "decontaminate_fuzzy",
     "mix_token_budget",
     "quality_linear",
+    "text_ngram_novelty",
+    "events_markov_surprisal",
     # sim_ann_ivfpq (13.8 s) and pipeline_e2e_llm (51 s) deliberately NOT
     # benched: the former trains TWO quantizers + runs the in-key recall
     # check vs brute force (sim_ann_pq above times the shared PQ machinery;

@@ -1109,3 +1109,71 @@ def events_session_motif(spark, sf_dir):
         .alias("n_browse_buy"),
         F.col("journey").contains("vp").alias("has_direct_view_buy"),
     )
+
+
+@register(
+    "events_markov_surprisal",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type AS nxt,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    tr AS (SELECT user_id, prev, nxt FROM o WHERE prev IS NOT NULL),
+    ranks AS (
+        SELECT prev, nxt,
+               row_number() OVER (PARTITION BY prev
+                                  ORDER BY count(*) DESC, nxt) AS rnk
+        FROM tr GROUP BY prev, nxt
+    )
+    SELECT t.user_id, count(*) AS n_transitions,
+           ROUND(CAST(sum(r.rnk) AS DOUBLE) / count(*), 4) AS avg_rank,
+           CAST(max(r.rnk) AS BIGINT) AS max_rank
+    FROM tr t JOIN ranks r ON r.prev = t.prev AND r.nxt = t.nxt
+    GROUP BY t.user_id
+    """,
+)
+def events_markov_surprisal(spark, sf_dir):
+    """Per-USER journey surprisal under the corpus transition model — the
+    behavioral-anomaly rung above events_transitions (which models the
+    corpus) and events_bot_flag (which gates on fixed heuristics): every
+    (prev → next) step a user takes is ranked against all corpus
+    continuations of that prev-state (1 = the most common next event),
+    and the user scores the mean and worst rank of their steps. Rule-
+    abiding users score near 1; scripted or adversarial traffic walks
+    low-probability edges and scores high — the score IS the evidence,
+    ready for thresholding downstream (no gate baked in).
+
+    Same integer-exact discipline as text_bigram_surprisal: ranks, not
+    float log-probs, so the score is bit-identical across engines and
+    partition layouts. Plan: one user_id shuffle builds the lag pairs,
+    the transition-rank table is states²-sized (broadcast), one per-user
+    rollup reuses the user_id partitioning."""
+    ev = load_events(spark, sf_dir)
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("nxt"),
+            F.lag("event_type").over(w_u).alias("prev"),
+        )
+        .filter(F.col("prev").isNotNull())
+    )
+    wr = Window.partitionBy("prev").orderBy(F.col("cnt").desc(), "nxt")
+    ranks = (
+        tr.groupBy("prev", "nxt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("prev", "nxt", F.row_number().over(wr).alias("rnk"))
+    )
+    return (
+        tr.join(F.broadcast(ranks), ["prev", "nxt"])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.round(
+                F.sum("rnk").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_rank"),
+            F.max("rnk").cast("long").alias("max_rank"),
+        )
+    )

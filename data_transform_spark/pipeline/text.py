@@ -566,3 +566,71 @@ def text_bigram_surprisal(spark, sf_dir):
             ),
         )
     )
+
+
+NOVELTY_N = 8  # n-gram width for novelty attribution (decontamination width)
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+        SELECT DISTINCT doc_id, array_to_string(t[s : s + {NOVELTY_N - 1}], ' ') AS g
+        FROM toks,
+             unnest(generate_series(1, greatest(len(t) - {NOVELTY_N - 1}, 0))) AS u(s)
+    ),
+    first_owner AS (SELECT g, min(doc_id) AS owner FROM grams GROUP BY g)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.owner = grams.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(sum(CASE WHEN f.owner = grams.doc_id THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS novelty
+    FROM grams JOIN first_owner f USING (g)
+    GROUP BY doc_id
+    """,
+)
+def text_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram NOVELTY — the data-valuation signal behind
+    contribution-aware sampling: what fraction of a doc's distinct
+    {8}-grams first appear (by min doc_id — the same first-occurrence
+    total order as substring dedup) in THIS doc? A fully-copied doc
+    scores 0, a fully-original one scores 1; dataset freshness curves
+    and crawl-dedup ROI estimates are rollups of exactly this number.
+    Complements the dedup family: dedup DECIDES, novelty MEASURES, so
+    you can rank marginal sources before paying to ingest them.
+
+    Integer-exact end to end (counts and one division, rounded): no
+    floats cross engines un-rounded. Shape: one distinct-gram explode,
+    one gram-keyed min aggregate (the content-hash layout shuffle every
+    dedup key already pays), one broadcast-free keyed join back, one
+    per-doc rollup. Docs shorter than the gram width emit no row —
+    they contribute no attributable text."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.size(t) >= NOVELTY_N,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(t) - (NOVELTY_N - 1)),
+                        lambda s: F.array_join(F.slice(t, s, NOVELTY_N), " "),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            )
+        ).alias("g"),
+    )
+    first_owner = grams.groupBy("g").agg(F.min("doc_id").alias("owner"))
+    is_novel = F.when(F.col("owner") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        grams.join(first_owner, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(is_novel).cast("long").alias("n_novel"),
+            F.round(F.sum(is_novel) / F.count(F.lit(1)), 6).alias("novelty"),
+        )
+    )

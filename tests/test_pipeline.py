@@ -806,3 +806,58 @@ class TestAsofTolerance:
                 assert t.click_ts is None, eid
                 n_nulled += b.click_ts is not None
         assert n_nulled > 0, "tolerance never fired — bound too loose to test"
+
+
+class TestNoveltyAndSurprisal:
+    def test_novelty_bounds_and_conservation(self, spark, sf_dir):
+        """novelty ∈ (0, 1]; the per-doc novel-gram counts must sum to the
+        corpus's TOTAL distinct gram count (every gram has exactly one
+        first owner — conservation), and the fixture's duplicated docs
+        must give at least one doc with novelty < 1."""
+        import pyspark.sql.functions as F
+
+        from data_transform_spark.io import load_table
+        from data_transform_spark.pipeline.text import NOVELTY_N
+
+        rows = QUERIES["text_ngram_novelty"](spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 0 <= r.novelty <= 1
+            assert 0 <= r.n_novel <= r.n_grams
+        d = load_table(spark, sf_dir, "documents")
+        t = F.split("text", " ")
+        total_distinct = (
+            d.select(
+                F.explode(
+                    F.when(
+                        F.size(t) >= NOVELTY_N,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(t) - (NOVELTY_N - 1)),
+                            lambda s: F.array_join(F.slice(t, s, NOVELTY_N), " "),
+                        ),
+                    ).otherwise(F.array().cast("array<string>"))
+                ).alias("g")
+            )
+            .select("g")
+            .distinct()
+            .count()
+        )
+        assert sum(r.n_novel for r in rows) == total_distinct
+        assert any(r.novelty < 1 for r in rows), "fixture has exact dups"
+
+    def test_surprisal_ranks_sane(self, spark, sf_dir):
+        """avg_rank >= 1 (rank 1 is the most common continuation),
+        max_rank >= avg_rank, and every multi-event user appears."""
+        from data_transform_spark.io import load_table
+
+        rows = QUERIES["events_markov_surprisal"](spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.avg_rank >= 1
+            assert r.max_rank >= r.avg_rank - 1e-9
+            assert r.n_transitions >= 1
+        ev = load_table(spark, sf_dir, "events")
+        multi = (
+            ev.groupBy("user_id").count().filter("count >= 2").count()
+        )
+        assert len(rows) == multi
