@@ -576,7 +576,8 @@ NOVELTY_N = 8  # n-gram width for novelty attribution (decontamination width)
     oracle=f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     grams AS (
-        SELECT DISTINCT doc_id, array_to_string(t[s : s + {NOVELTY_N - 1}], ' ') AS g
+        SELECT DISTINCT doc_id,
+               md5(array_to_string(t[s : s + {NOVELTY_N - 1}], ' ')) AS g
         FROM toks,
              unnest(generate_series(1, greatest(len(t) - {NOVELTY_N - 1}, 0))) AS u(s)
     ),
@@ -605,8 +606,11 @@ def text_ngram_novelty(spark, sf_dir):
     floats cross engines un-rounded. Shape: one distinct-gram explode,
     one gram-keyed min aggregate (the content-hash layout shuffle every
     dedup key already pays), one broadcast-free keyed join back, one
-    per-doc rollup. Docs shorter than the gram width emit no row —
-    they contribute no attributable text."""
+    per-doc rollup. Grams shuffle as md5 DIGESTS, not raw ~50-char
+    strings (the text_substring_dedup trick): narrower shuffle + join
+    key, and because BOTH engines hash the same bytes, even a collision
+    (~2^-128) would be attributed identically. Docs shorter than the
+    gram width emit no row — they contribute no attributable text."""
     d = load_table(spark, sf_dir, "documents")
     t = F.split("text", " ")
     grams = d.select(
@@ -617,7 +621,9 @@ def text_ngram_novelty(spark, sf_dir):
                     F.size(t) >= NOVELTY_N,
                     F.transform(
                         F.sequence(F.lit(1), F.size(t) - (NOVELTY_N - 1)),
-                        lambda s: F.array_join(F.slice(t, s, NOVELTY_N), " "),
+                        lambda s: F.md5(
+                            F.array_join(F.slice(t, s, NOVELTY_N), " ")
+                        ),
                     ),
                 ).otherwise(F.array().cast("array<string>"))
             )

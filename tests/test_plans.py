@@ -765,3 +765,39 @@ def test_e2e_llm_no_cartesian_and_jvm_side(spark, sf_dir):
     p = plan_of(spark, "pipeline_e2e_llm", sf_dir)
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_markov_surprisal_broadcast_rank_join_jvm_side(spark, sf_dir):
+    """Journey surprisal: the states²-sized rank table must reach the
+    per-user transition stream through a BROADCAST hash join (never a
+    shuffle of the corpus on (prev, next)), the per-user rollup must reuse
+    the lag window's user_id partitioning (no exchange between the join
+    and the final aggregate — the probe side shows exactly ONE exchange),
+    and nothing leaves the JVM. The rank-table build re-derives the lag
+    pairs on its own (differently-pruned) scan — two scans total, the same
+    trade events_transitions makes; what matters is that neither side ever
+    shuffles the event stream a second time."""
+    import re
+
+    p = plan_of(spark, "events_markov_surprisal", sf_dir)
+    assert "BroadcastHashJoin" in p, "rank table must broadcast"
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    # probe side: Scan -> Exchange(user) -> Window -> ... -> join -> agg
+    # with NO further exchange; the tree section lists the probe side
+    # before the BroadcastExchange — count exchanges appearing there
+    tree = p[: p.index("BroadcastExchange")]
+    n_probe = len(re.findall(r"Exchange \(\d+\)", tree))
+    assert n_probe == 1, f"probe side should shuffle once:\n{tree}"
+
+
+def test_ngram_novelty_keyed_joins_only(spark, sf_dir):
+    """Novelty attribution must be keyed joins/aggregates only (gram-digest
+    shuffles, no cartesian, no Python), and the gram key reaching the
+    shuffle must be the md5 DIGEST, not the raw gram string (narrow
+    shuffle at scale — the substring-dedup trick)."""
+    p = plan_of(spark, "text_ngram_novelty", sf_dir)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "md5" in p, "gram digests missing from the plan"
