@@ -88,6 +88,7 @@ OPTIONAL = [
     "quality_linear",
     "text_ngram_novelty",
     "events_markov_surprisal",
+    "join_interval_overlap",
     # sim_ann_ivfpq (13.8 s) and pipeline_e2e_llm (51 s) deliberately NOT
     # benched: the former trains TWO quantizers + runs the in-key recall
     # check vs brute force (sim_ann_pq above times the shared PQ machinery;

@@ -788,3 +788,123 @@ def join_asof_forward(spark, sf_dir):
         .filter(F.col("tag") == 0)
         .select("event_id", "user_id", "ts", "purchase_ts")
     )
+
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey, l_shipdate,
+               l_shipdate + to_days((CAST(l_quantity AS INTEGER) % 14) + 1)
+                   AS l_arrivedate,
+               row_number() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_shipdate, l_quantity,
+                            l_partkey, l_suppkey) AS rn
+        FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.l_orderkey AS okey,
+               datediff('day',
+                        greatest(a.l_shipdate, b.l_shipdate),
+                        least(a.l_arrivedate, b.l_arrivedate)) AS ov_days
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.rn < b.rn
+         AND a.l_shipdate <= b.l_arrivedate
+         AND b.l_shipdate <= a.l_arrivedate
+    ),
+    sizes AS (SELECT l_orderkey AS okey, count(*) AS n_lines FROM li GROUP BY 1)
+    SELECT s.okey AS l_orderkey, CAST(s.n_lines AS BIGINT) AS n_lines,
+           CAST(count(*) AS BIGINT) AS n_overlapping_pairs,
+           CAST(max(p.ov_days) AS BIGINT) AS max_overlap_days
+    FROM sizes s JOIN pairs p ON p.okey = s.okey
+    GROUP BY s.okey, s.n_lines
+    """,
+)
+def join_interval_overlap(spark, sf_dir):
+    """INTERVAL-OVERLAP self-join (Allen's-algebra overlaps predicate) —
+    the family member join_interval (point-in-range probe) and
+    join_range_bucketed (banded numeric ranges) don't cover: pairs of
+    intervals that overlap EACH OTHER. Here: per order, which line items
+    were in transit simultaneously — the concurrency question behind
+    shipment consolidation, resource-booking conflicts, and session
+    co-presence. Per order with >= 1 overlap: line count, overlapping
+    pair count, longest pairwise overlap in days (greatest(start) ..
+    least(end), integer datediff — exact cross-engine). The transit
+    window is DERIVED (ship + 1..14 days from l_quantity — this fixture
+    carries no receiptdate column; the derivation is deterministic and
+    identical in both engines, and the operator is agnostic to where the
+    interval endpoints come from).
+
+    Scale shape: the self-join is keyed by the natural entity key
+    (l_orderkey) — ONE shuffle, candidate pairs bounded by
+    lines-per-key², with lines-per-key <= 7 by TPC-H construction;
+    never corpus². The oblique inequality predicates ride the equi-join
+    as residual join filters, so the plan stays a keyed hash/merge join,
+    not a nested loop (plan-pinned). The generic UNKEYED interval
+    overlap needs the banded-grid treatment (join_range_bucketed's
+    recipe on both endpoints) — documented there; the keyed form is what
+    entity-scoped schemas overwhelmingly need."""
+    arrive = F.date_add(
+        F.col("l_shipdate"), (F.col("l_quantity").cast("int") % 14) + 1
+    )
+    # pair identity = per-order row_number, NOT l_linenumber: the fixture's
+    # (orderkey, linenumber) is NOT unique, and a '<' on a non-unique key
+    # silently drops the pairs between duplicates (found by the brute-force
+    # test). Ties in the sort key can only occur between rows with
+    # identical (shipdate, quantity) — identical INTERVALS — so any
+    # deterministic tie assignment yields the same pair statistics.
+    w_rn = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_shipdate", "l_quantity", "l_partkey", "l_suppkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_shipdate",
+        arrive.alias("l_arrivedate"),
+        F.row_number().over(w_rn).alias("rn"),
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("rn").alias("rn_a"),
+        F.col("l_shipdate").alias("ship_a"),
+        F.col("l_arrivedate").alias("arr_a"),
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("rn").alias("rn_b"),
+        F.col("l_shipdate").alias("ship_b"),
+        F.col("l_arrivedate").alias("arr_b"),
+    )
+    pairs = (
+        a.join(b, "okey")
+        .filter(
+            (F.col("rn_a") < F.col("rn_b"))
+            & (F.col("ship_a") <= F.col("arr_b"))
+            & (F.col("ship_b") <= F.col("arr_a"))
+        )
+        .select(
+            "okey",
+            F.datediff(
+                F.least("arr_a", "arr_b"), F.greatest("ship_a", "ship_b")
+            ).alias("ov_days"),
+        )
+    )
+    sizes = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    return (
+        sizes.join(pairs, "okey")
+        .groupBy("okey", "n_lines")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlapping_pairs"),
+            F.max("ov_days").cast("long").alias("max_overlap_days"),
+        )
+        .select(
+            F.col("okey").alias("l_orderkey"),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("n_overlapping_pairs").cast("long").alias("n_overlapping_pairs"),
+            "max_overlap_days",
+        )
+    )

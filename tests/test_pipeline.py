@@ -861,3 +861,44 @@ class TestNoveltyAndSurprisal:
             ev.groupBy("user_id").count().filter("count >= 2").count()
         )
         assert len(rows) == multi
+
+
+class TestIntervalOverlap:
+    def test_matches_python_bruteforce(self, spark, sf_dir):
+        """Per-order overlap counts and max-overlap days must equal an
+        independent python brute force over the same derived intervals."""
+        import datetime as dt
+        from collections import defaultdict
+
+        import duckdb
+
+        rows = duckdb.sql(
+            f"select l_orderkey, l_linenumber, l_shipdate, "
+            f"CAST(l_quantity AS INTEGER) as q "
+            f"from '{sf_dir}/lineitem.parquet'"
+        ).fetchall()
+        by_order = defaultdict(list)
+        for okey, ln, ship, q in rows:
+            if isinstance(ship, dt.datetime):
+                ship = ship.date()
+            arrive = ship + dt.timedelta(days=(q % 14) + 1)
+            by_order[okey].append((ln, ship, arrive))
+        want = {}
+        for okey, lines in by_order.items():
+            lines.sort()
+            n_pairs, max_ov = 0, None
+            for i in range(len(lines)):
+                for j in range(i + 1, len(lines)):
+                    _, s1, a1 = lines[i]
+                    _, s2, a2 = lines[j]
+                    if s1 <= a2 and s2 <= a1:
+                        n_pairs += 1
+                        ov = (min(a1, a2) - max(s1, s2)).days
+                        max_ov = ov if max_ov is None else max(max_ov, ov)
+            if n_pairs:
+                want[okey] = (len(lines), n_pairs, max_ov)
+        got = {
+            r.l_orderkey: (r.n_lines, r.n_overlapping_pairs, r.max_overlap_days)
+            for r in QUERIES["join_interval_overlap"](spark, sf_dir).collect()
+        }
+        assert got == want

@@ -801,3 +801,15 @@ def test_ngram_novelty_keyed_joins_only(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "md5" in p, "gram digests missing from the plan"
+
+
+def test_interval_overlap_is_keyed_join_not_nested_loop(spark, sf_dir):
+    """The overlap self-join must plan as a KEYED join on l_orderkey with
+    the Allen-overlap inequalities as residual filters — never a
+    cartesian/nested-loop over lineitem."""
+    p = plan_of(spark, "join_interval_overlap", sf_dir)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    )
