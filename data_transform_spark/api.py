@@ -148,7 +148,7 @@ def bpe_token_counts(words: DataFrame, merges, word_col: str = "word") -> DataFr
     return words.withColumn("n_bpe", F.size(F.split(F.trim(seq), "  ")))
 
 
-def ann_ivfpq_topk(embeddings: DataFrame, spark=None) -> DataFrame:
+def ann_ivfpq_topk(embeddings: DataFrame) -> DataFrame:
     """Composed IVF-PQ ANN (IVFADC): coarse-list pruning + residual PQ
     codes + exact re-rank. ``embeddings`` needs (vec_id, emb array<double>);
     queries are vec_id < N_QUERIES (see pipeline.similarity for the

@@ -312,6 +312,15 @@ def _stage_atomic(staged: str, build, marker: str = "_SUCCESS") -> None:
     tmp = f"{staged}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     try:
         build(tmp)
+        # A build whose output lacks its own completeness marker would be
+        # indistinguishable from a corrupt leftover to every later process
+        # (which would rmtree it while readers hold it — the r9 ADVICE race).
+        # Catch the marker-name mismatch at build time instead.
+        if not os.path.exists(os.path.join(tmp, marker)):
+            raise OSError(
+                f"_stage_atomic build for {staged!r} did not write its "
+                f"completeness marker {marker!r} — marker kwarg mismatch?"
+            )
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
@@ -835,7 +844,7 @@ def scan_json_multiline(spark, sf_dir):
             with open(f"{tmp}/_STAGED", "w") as fh:
                 fh.write("ok")
 
-        _stage_atomic(staged, _build)
+        _stage_atomic(staged, _build, marker="_STAGED")
     return (
         spark.read.schema(nation.schema)
         .option("multiLine", "true")

@@ -24,6 +24,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from data_transform_spark.io import normalize_event_ts, path_of
+from data_transform_spark.operators.events import _SESSION_MOTIF_ORACLE
 from data_transform_spark.operators.scans import SCRATCH
 from data_transform_spark.registry import register
 
@@ -486,15 +487,7 @@ def stream_upsert_sink(spark, sf_dir):
     )
 
 
-def _session_motif_oracle() -> str:
-    # import at call time: events.py and ops.py are siblings in the package
-    # import graph, and the decorator evaluates at module import
-    from data_transform_spark.operators.events import _SESSION_MOTIF_ORACLE
-
-    return _SESSION_MOTIF_ORACLE
-
-
-@register("stream_session_motif", oracle=_session_motif_oracle())
+@register("stream_session_motif", oracle=_SESSION_MOTIF_ORACLE)
 def stream_session_motif(spark, sf_dir):
     """Streaming twin of events_session_motif (r8 VERDICT #6): the SAME
     per-session journey + motif columns, computed with session_window

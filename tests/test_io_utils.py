@@ -212,3 +212,29 @@ class TestStageAtomic:
         _stage_atomic(target, build("second"), marker="_planted")
         with open(f"{target}/part-0") as f:
             assert f.read() == "first"
+
+    def test_build_must_write_its_marker(self, tmp_path):
+        """r9 ADVICE: a build that writes a DIFFERENT marker than the one
+        passed to _stage_atomic would publish a dir every later process
+        treats as a corrupt leftover (and rmtree's while readers hold it).
+        The mismatch is now caught at build time, before the rename."""
+        import pytest
+
+        from data_transform_spark.operators.scans import _stage_atomic
+
+        target = str(tmp_path / "staged")
+
+        def build(d):
+            os.makedirs(d)
+            with open(f"{d}/part-0", "w") as f:
+                f.write("data")
+            with open(f"{d}/_STAGED", "w") as f:  # wrong name for _SUCCESS
+                f.write("ok")
+
+        with pytest.raises(OSError, match="completeness marker"):
+            _stage_atomic(target, build)  # default marker=_SUCCESS
+        assert os.listdir(tmp_path) == []  # nothing published, nothing leaked
+
+        _stage_atomic(target, build, marker="_STAGED")  # correct kwarg: ok
+        with open(f"{target}/part-0") as f:
+            assert f.read() == "data"

@@ -702,14 +702,18 @@ class TestCurationRound9:
         assert got == want
 
     def test_quality_linear_decision_matches_score(self, spark, sf_dir):
-        """keep must equal sigmoid(z) >= 0.5 for every doc (the z >= 0 form
-        is the decision actually computed), and the keep rate must be a
-        real split, not all-pass/all-fail."""
+        """keep must agree with the sigmoid score for every doc whose score
+        is clear of the 0.5 boundary (the decision actually computed is
+        z >= 0; score is sigmoid(z) ROUNDED to 6 dp, so a z marginally
+        below 0 can round to exactly 0.500000 — r9 ADVICE — and such rows
+        are decided by the z sign, not the rounded score). Keep rate must
+        be a real split, not all-pass/all-fail."""
         from data_transform_spark.pipeline.curation import quality_linear
 
         rows = quality_linear(spark, sf_dir).collect()
         assert rows
         for r in rows:
-            assert r.keep == (r.score >= 0.5), r
+            if abs(r.score - 0.5) > 5e-7:  # clear of the 6-dp rounding band
+                assert r.keep == (r.score > 0.5), r
         kept = sum(r.keep for r in rows)
         assert 0 < kept < len(rows)
