@@ -1053,6 +1053,144 @@ def sim_ann_ivfpq(spark, sf_dir):
     )
 
 
+# --- train-once / serve-many: the staged IVF-PQ index (r9 VERDICT #1) ----
+#
+# The production 100 TB shape: the index is BUILT once (one training +
+# encode job over the corpus), staged to parquet, and every query session
+# after that reads the staged artifact — centroids, residual codebooks,
+# codes — without a single k-means stage in its plan. The registered
+# sim_ann_ivfpq key keeps the self-contained train+query contract for the
+# oracle; sim_ann_persist is the split the verdict asked for.
+
+IVFPQ_INDEX_MARKER = "_INDEX"  # completeness marker for the staged artifact
+
+
+def ivfpq_index_dir(sf_dir: str) -> str:
+    """Staged-index location: SF-namespaced AND content-fingerprinted on
+    the embeddings fixture, so an index built at one SF (or against a
+    regenerated fixture) can never be silently served for another — the
+    dir name itself is the cache key (the scan_* staging discipline)."""
+    import os
+
+    from data_transform_spark.io import path_of
+    from data_transform_spark.operators.scans import SCRATCH, _path_fingerprint
+
+    src = path_of(sf_dir, "embeddings")
+    return (
+        f"{SCRATCH}/ivfpq_index_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{_path_fingerprint(src)}"
+    )
+
+
+def ivfpq_stage_index(spark, sf_dir) -> str:
+    """Build the IVF-PQ index ONCE and publish it atomically as parquet.
+
+    Three tables: centroids (c_id, c_emb) — the coarse quantizer;
+    codebooks (m, c_id, c_sub) — the per-subspace residual PQ codebooks;
+    codes (vec_id, m, code, list_id) — every corpus vector's 4-bit codes
+    carrying its inverted-list id. Together they are the whole index: the
+    serve path never needs the training sample, the seeds, or a Lloyd
+    pass again. The build is the same deterministic _ivfpq_index as the
+    self-contained key (md5-ranked seeds, bounded ANN_TRAIN_CAP sample),
+    so staged-vs-fresh results are identical — tested. Publication is
+    _stage_atomic with an explicit top-level marker (Spark writes
+    _SUCCESS per subdirectory; the artifact is complete only when all
+    three are)."""
+    import os
+
+    from data_transform_spark.operators.scans import _stage_atomic
+
+    staged = ivfpq_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(staged, IVFPQ_INDEX_MARKER)):
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        cent, _assign, books, codes_l = _ivfpq_index(e)
+
+        def _build(tmp: str) -> None:
+            cent.write.parquet(f"{tmp}/centroids")
+            books.write.parquet(f"{tmp}/codebooks")
+            codes_l.write.parquet(f"{tmp}/codes")
+            with open(os.path.join(tmp, IVFPQ_INDEX_MARKER), "w") as fh:
+                fh.write("ok")
+
+        _stage_atomic(staged, _build, marker=IVFPQ_INDEX_MARKER)
+    return staged
+
+
+def ivfpq_read_index(spark, staged: str):
+    """(cent, books, codes_l) DataFrames off the staged artifact."""
+    return (
+        spark.read.parquet(f"{staged}/centroids"),
+        spark.read.parquet(f"{staged}/codebooks"),
+        spark.read.parquet(f"{staged}/codes"),
+    )
+
+
+def sim_ann_ivfpq_serve_topk(spark, sf_dir):
+    """Warm-path IVF-PQ query: serve top-k from the staged index. The plan
+    contains parquet scans of the staged artifact plus the embeddings
+    table (queries + exact re-rank) and ZERO training stages — no
+    md5-ranked sample, no Lloyd pass, no seed window (plan-pinned in
+    tests/test_plans.py). This is what every query session after the
+    build job runs at 100 TB."""
+    staged = ivfpq_stage_index(spark, sf_dir)
+    cent, books, codes_l = ivfpq_read_index(spark, staged)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    return _ivfpq_topk(e, cent, books, codes_l)
+
+
+@register(
+    "sim_ann_persist",
+    oracle=f"""
+    SELECT CAST({N_QUERIES * TOPK} AS BIGINT) AS n_results,
+           CAST({N_QUERIES} AS BIGINT) AS n_queries,
+           TRUE AS recall_ok,
+           CAST((SELECT count(*) FROM embeddings) * {PQ_M} AS BIGINT)
+               AS n_code_rows,
+           CAST({PQ_M * PQ_KS} AS BIGINT) AS codebook_rows,
+           CAST({IVF_K} AS BIGINT) AS n_lists
+    """,
+)
+def sim_ann_persist(spark, sf_dir):
+    """Train-once / serve-many IVF-PQ (r9 VERDICT #1): the first call
+    builds and stages the index to parquet; every call serves queries
+    from the staged artifact with zero k-means/codebook stages in the
+    plan. The summary row carries the same contract as sim_ann_ivfpq —
+    recall bound vs exact top-5 (same 0.45 floor; the staged index is
+    bit-identical to a fresh build, tested) — and the shape counts are
+    computed FROM THE STAGED PARQUET, so the hash pins that the artifact
+    on disk holds exactly corpus×M code rows, the full M×Ks codebook and
+    all IVF_K lists for THIS SF: an index from another SF (different
+    corpus count) can neither live at this dir name (SF-namespaced,
+    content-fingerprinted) nor pass the n_code_rows pin."""
+    staged = ivfpq_stage_index(spark, sf_dir)
+    cent, books, codes_l = ivfpq_read_index(spark, staged)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    summary = _ann_recall_summary(
+        _ivfpq_topk(e, cent, books, codes_l),
+        sim_topk_bruteforce(spark, sf_dir),
+        0.45,
+    )
+    shape = (
+        codes_l.agg(F.count(F.lit(1)).alias("n_code_rows"))
+        .crossJoin(books.agg(F.count(F.lit(1)).alias("codebook_rows")))
+        .crossJoin(cent.agg(F.count(F.lit(1)).alias("n_lists")))
+    )
+    return summary.crossJoin(F.broadcast(shape)).select(
+        "n_results",
+        "n_queries",
+        "recall_ok",
+        F.col("n_code_rows").cast("long").alias("n_code_rows"),
+        F.col("codebook_rows").cast("long").alias("codebook_rows"),
+        F.col("n_lists").cast("long").alias("n_lists"),
+    )
+
+
 EMBED_DUP_TAU = 0.4  # cosine threshold for embedding-level near-dup clusters
 
 

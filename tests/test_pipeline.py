@@ -730,6 +730,58 @@ class TestAnnIvfPq:
         assert bad.count() == 0
 
 
+class TestAnnPersist:
+    def test_served_topk_identical_to_fresh_build(self, spark, sf_dir):
+        """Train-once/serve-many (r9 VERDICT #1): the staged parquet index
+        must serve EXACTLY the rows a fresh in-plan build produces — the
+        build is deterministic and parquet round-trips doubles exactly."""
+        from data_transform_spark.pipeline.similarity import (
+            sim_ann_ivfpq_serve_topk,
+            sim_ann_ivfpq_topk,
+        )
+
+        fresh = {
+            tuple(r) for r in sim_ann_ivfpq_topk(spark, sf_dir).collect()
+        }
+        served = {
+            tuple(r) for r in sim_ann_ivfpq_serve_topk(spark, sf_dir).collect()
+        }
+        assert served == fresh
+
+    def test_persist_key_summary(self, spark, sf_dir):
+        from data_transform_spark.io import load_table
+        from data_transform_spark.pipeline.similarity import IVF_K, PQ_M
+
+        row = QUERIES["sim_ann_persist"](spark, sf_dir).collect()[0]
+        assert row["recall_ok"]
+        assert row["n_queries"] == 20
+        assert row["codebook_rows"] == 128
+        assert row["n_lists"] == IVF_K
+        n = load_table(spark, sf_dir, "embeddings").count()
+        assert row["n_code_rows"] == n * PQ_M
+
+    def test_staged_index_is_sf_isolated(self, spark):
+        """An index staged at one SF must never be served at another: the
+        artifact path is SF-namespaced AND content-fingerprinted, and the
+        codes actually staged under each path cover exactly that SF's
+        corpus."""
+        from data_transform_spark.io import load_table
+        from data_transform_spark.pipeline.similarity import (
+            PQ_M,
+            ivfpq_index_dir,
+            ivfpq_stage_index,
+        )
+
+        sf_a, sf_b = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+        assert ivfpq_index_dir(sf_a) != ivfpq_index_dir(sf_b)
+        staged_a = ivfpq_stage_index(spark, sf_a)
+        staged_b = ivfpq_stage_index(spark, sf_b)
+        assert staged_a != staged_b
+        for sf, staged in ((sf_a, staged_a), (sf_b, staged_b)):
+            n = load_table(spark, sf, "embeddings").count()
+            assert spark.read.parquet(f"{staged}/codes").count() == n * PQ_M
+
+
 class TestPathsTopk:
     def test_paths_agree_with_motif_prefixes(self, spark, sf_dir):
         """Every reported prefix must equal the first PATH_PREFIX_LEN chars

@@ -742,6 +742,29 @@ def test_ivfpq_scan_stays_broadcast_bounded(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
+def test_ivfpq_serve_plan_is_training_free(spark, sf_dir):
+    """r9 VERDICT #1 done-criterion: the warm serve path reads the staged
+    parquet index and contains ZERO training stages — no md5-ranked
+    training sample or seed window, no Lloyd pass (posexplode/avg
+    refinement). Only the staged artifact plus the embeddings table
+    (queries + exact re-rank) may be scanned."""
+    from data_transform_spark.pipeline.similarity import (
+        ivfpq_stage_index,
+        sim_ann_ivfpq_serve_topk,
+    )
+
+    ivfpq_stage_index(spark, sf_dir)  # ensure warm
+    df = sim_ann_ivfpq_serve_topk(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "ivfpq_index_" in p, "serve path must scan the staged index"
+    assert "md5" not in p.lower(), "training sample leaked into serve plan"
+    assert "posexplode" not in p.lower(), "Lloyd pass leaked into serve plan"
+    assert "CartesianProduct" not in p
+
+
 def test_session_motif_single_shuffle(spark, sf_dir):
     """Sessionized motifs must reuse ONE user_id exchange across the lag
     window, the island cumsum, and the (user, session) aggregate — and
