@@ -640,3 +640,146 @@ def text_ngram_novelty(spark, sf_dir):
             F.round(F.sum(is_novel) / F.count(F.lit(1)), 6).alias("novelty"),
         )
     )
+
+
+# --- PII redaction (r9 VERDICT #2) ---------------------------------------
+#
+# The C4/CCNet curation stage: regex-redact emails, phone-shaped and
+# IP-shaped spans, and report per-type counts (the audit the funnel wants).
+# Patterns are deliberately RE2-compatible (character classes, bounded
+# repetition, \b) so the SAME source strings compile identically under
+# Java's regex engine (Spark) and RE2 (DuckDB) — no lookbehind, no
+# backreferences. Scrub order is fixed (email -> phone -> IP) and identical
+# on both sides; DuckDB's regexp_replace needs the explicit 'g' flag
+# (SURVEY §5.3 trap) where Spark replaces globally by default.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\(\d{3}\) \d{3}-\d{4}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH planted AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' call (555) ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                            || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END
+               || CASE WHEN doc_id % 2 = 0
+                       THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                            || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                            || '.' || CAST(doc_id % 100 + 1 AS VARCHAR)
+                       ELSE '' END AS text
+        FROM documents
+    ),
+    scrubbed AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS BIGINT)
+                   AS n_phones,
+               CAST(len(regexp_extract_all(text, '{PII_IP_RE}')) AS BIGINT)
+                   AS n_ips,
+               CAST(length(text) AS BIGINT) AS planted_len,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{PII_PHONE_RE}', '<PHONE>', 'g'),
+                   '{PII_IP_RE}', '<IP>', 'g') AS clean
+        FROM planted
+    )
+    SELECT doc_id, n_emails, n_phones, n_ips, planted_len,
+           CAST(length(clean) AS BIGINT) AS clean_len,
+           md5(clean) AS clean_md5,
+           (len(regexp_extract_all(clean, '{PII_EMAIL_RE}'))
+            + len(regexp_extract_all(clean, '{PII_PHONE_RE}'))
+            + len(regexp_extract_all(clean, '{PII_IP_RE}'))) = 0 AS all_clean
+    FROM scrubbed
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction with a per-type audit — the standard C4/CCNet scrub
+    stage: replace email / phone-shaped / IP-shaped spans with typed
+    placeholder tokens and count what was removed, per document.
+
+    The fixture corpus is digit-free by construction, so the key first
+    PLANTS deterministic PII spans derived from doc_id (emails on every
+    3rd doc, phones every 5th, IPs every 2nd — replayed identically in
+    the oracle SQL): the scrub is exercised on real matches at every SF
+    and the hash pins counts, cleaned lengths AND the cleaned bytes
+    (md5). `all_clean` re-applies all three patterns to the output — the
+    post-condition a production run gates publication on.
+
+    Scale shape: entirely row-local projections (regexp_count +
+    regexp_replace, JVM-side, whole-stage codegen) — zero shuffles, zero
+    Python. At 100 TB this is a map-only pass that pipelines with the
+    scan; counts aggregate into the funnel with one extra rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    email = F.when(
+        did % 3 == 0,
+        F.concat(
+            F.lit(" contact user"), did.cast("string"), F.lit("@example.com")
+        ),
+    ).otherwise("")
+    phone = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit(" call (555) "),
+            F.lpad((did % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise("")
+    ip = F.when(
+        did % 2 == 0,
+        F.concat(
+            F.lit(" from 10."),
+            (did % 256).cast("string"),
+            F.lit("."),
+            ((did * 7) % 256).cast("string"),
+            F.lit("."),
+            (did % 100 + 1).cast("string"),
+        ),
+    ).otherwise("")
+    planted = d.select(
+        "doc_id", F.concat(F.col("text"), email, phone, ip).alias("text")
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+    scrubbed = planted.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count("text", F.lit(PII_IP_RE)).cast("long").alias("n_ips"),
+        F.length("text").cast("long").alias("planted_len"),
+        clean.alias("clean"),
+    )
+    leftovers = (
+        F.regexp_count("clean", F.lit(PII_EMAIL_RE))
+        + F.regexp_count("clean", F.lit(PII_PHONE_RE))
+        + F.regexp_count("clean", F.lit(PII_IP_RE))
+    )
+    return scrubbed.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ips",
+        "planted_len",
+        F.length("clean").cast("long").alias("clean_len"),
+        F.md5("clean").alias("clean_md5"),
+        (leftovers == 0).alias("all_clean"),
+    )

@@ -717,3 +717,50 @@ class TestCurationRound9:
                 assert r.keep == (r.score > 0.5), r
         kept = sum(r.keep for r in rows)
         assert 0 < kept < len(rows)
+
+
+class TestPiiScrub:
+    def test_known_pii_shapes_redacted_and_counted(self, spark, tmp_path):
+        """r9 VERDICT #2 done-criterion: plant known PII shapes in
+        synthetic rows and check redaction + per-type counts. Doc ids are
+        chosen so the operator's own fixture-augmentation plants NOTHING
+        (doc_id % 2, % 3, % 5 all nonzero) — every match below comes from
+        the planted text."""
+        import pandas as pd
+
+        from data_transform_spark.pipeline.text import text_pii_scrub
+
+        texts = {
+            1: "reach alice.smith+test@mail-server.co.uk or (123) 456-7890 now",
+            7: "hosts 192.168.1.100 and 8.8.8.8 rebooted cleanly",
+            11: "no pii here just plain text",
+            13: "not-an-email @ missing.domain and 1.2.3 partial version",
+        }
+        pdf = pd.DataFrame(
+            {
+                "doc_id": list(texts),
+                "text": list(texts.values()),
+                "lang": "en",
+                "source": "synth",
+                "n_chars": [len(t) for t in texts.values()],
+            }
+        )
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+            f"{tmp_path}/documents.parquet"
+        )
+        rows = {r.doc_id: r for r in text_pii_scrub(spark, str(tmp_path)).collect()}
+        assert set(rows) == {1, 7, 11, 13}
+        assert (rows[1].n_emails, rows[1].n_phones, rows[1].n_ips) == (1, 1, 0)
+        assert (rows[7].n_emails, rows[7].n_phones, rows[7].n_ips) == (0, 0, 2)
+        assert (rows[11].n_emails, rows[11].n_phones, rows[11].n_ips) == (0, 0, 0)
+        # decoys: space-separated @, 3-octet fragment, version-ish dots
+        assert (rows[13].n_emails, rows[13].n_phones, rows[13].n_ips) == (0, 0, 0)
+        for r in rows.values():
+            assert r.all_clean, r
+        # untouched doc round-trips byte-identical (md5 of original text)
+        import hashlib
+
+        assert rows[11].clean_md5 == hashlib.md5(texts[11].encode()).hexdigest()
+        assert rows[11].clean_len == len(texts[11])
+        # redacted doc shrinks: spans were longer than their placeholders
+        assert rows[1].clean_len < rows[1].planted_len
