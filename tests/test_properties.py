@@ -764,3 +764,69 @@ class TestPiiScrub:
         assert rows[11].clean_len == len(texts[11])
         # redacted doc shrinks: spans were longer than their placeholders
         assert rows[1].clean_len < rows[1].planted_len
+
+
+class TestQualityNb:
+    def test_fitted_decision_beats_base_rate_on_heldout(self, spark, sf_dir):
+        """r9 VERDICT #3 done-criterion: the in-plan-trained NB decision
+        must beat the weak label's MAJORITY base rate on the held-out
+        md5-split docs — i.e. the fit learned real word-count evidence,
+        not a constant. (Measured 0.84-0.90 vs 0.59-0.62 across SFs.)"""
+        import __spark_entry__  # noqa: F401
+        from data_transform_spark.registry import QUERIES
+
+        rows = QUERIES["quality_nb"](spark, sf_dir).collect()
+        held = [r for r in rows if not r.is_train]
+        assert held, "md5 split produced no held-out docs?"
+        pos = sum(r.label for r in held) / len(held)
+        base = max(pos, 1.0 - pos)
+        acc = sum(r.correct for r in held) / len(held)
+        assert acc > base + 0.05, f"acc {acc:.3f} vs base {base:.3f}"
+        # decision consistency: pred == (logit_u >= 0), correct == (pred == label)
+        for r in rows:
+            assert r.pred == (r.logit_u >= 0)
+            assert r.correct == (r.pred == r.label)
+
+    def test_nb_weights_rank_marker_words_correctly(self, spark, sf_dir):
+        """The fitted per-token log-odds must rank every positive marker
+        word above every junk marker word — the weak label's keywords are
+        exactly what the fit should rediscover from counts alone."""
+        from pyspark.sql import functions as F
+
+        from data_transform_spark.io import load_table
+        from data_transform_spark.pipeline.curation import QNB_NEG, QNB_POS
+
+        # replay the fit driver-side from the raw corpus (tiny vocab)
+        import hashlib
+        import math
+        from collections import Counter
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+        cp, cn = Counter(), Counter()
+        np_ = nn_ = 0
+        for r in docs:
+            if hashlib.md5(str(r.doc_id).encode()).hexdigest()[0] >= "8":
+                continue
+            toks = r.text.split(" ")
+            c = Counter(toks)
+            pos = sum(c[w] for w in QNB_POS) > sum(c[w] for w in QNB_NEG)
+            if pos:
+                cp.update(toks)
+                np_ += len(toks)
+            else:
+                cn.update(toks)
+                nn_ += len(toks)
+        v = len(set(cp) | set(cn))
+
+        def wu(t):
+            return round(
+                (
+                    math.log(cp[t] + 1)
+                    - math.log(np_ + v)
+                    - math.log(cn[t] + 1)
+                    + math.log(nn_ + v)
+                )
+                * 1e6
+            )
+
+        assert min(wu(t) for t in QNB_POS) > max(wu(t) for t in QNB_NEG)
