@@ -116,6 +116,10 @@ def _official_green() -> set[str]:
 # inert and can be dropped).
 _CHANGED_IN_ROUND = {
     "sample_hash": 4,  # round 4: 16->32-bit md5 bucket prefix resamples
+    # round 10: stub image decode upgraded to a REAL pure-numpy BMP codec
+    # (r9 VERDICT #4) — dims/stats now come from decoded pixels
+    "multimodal_features": 10,
+    "multimodal_resize": 10,
 }
 
 

@@ -268,15 +268,60 @@ class TestMultimodal:
         r2 = sorted(QUERIES["multimodal_features"](spark, sf_dir).collect())
         assert r1 == r2
         for r in r1:
-            assert 64 <= r["width"] <= 255
-            assert 64 <= r["height"] <= 255
+            assert 8 <= r["width"] <= 31
+            assert 8 <= r["height"] <= 31
             assert r["n_channels"] == 3
+            assert 0 <= r["px_min"] <= r["px_max"] <= 255
+            # exact BMP size: 54-byte header + padded stride x rows
+            stride = 3 * r["width"] + (4 - (3 * r["width"]) % 4) % 4
+            assert r["byte_len"] == 54 + stride * r["height"]
 
-    def test_stub_decoder_is_pure(self):
-        from data_transform_spark.pipeline.multimodal import fake_decode_image
+    def test_bmp_codec_roundtrips_exactly(self):
+        """The pure-numpy BMP codec must round-trip ANY (h, w, 3) uint8
+        array bit-exactly — including widths whose 3-byte rows need 1-3
+        padding bytes (the classic decoder bug)."""
+        import numpy as np
 
-        assert fake_decode_image(b"abc") == fake_decode_image(b"abc")
-        assert fake_decode_image(b"abc") != fake_decode_image(b"abd")
+        from data_transform_spark.pipeline.multimodal import (
+            decode_bmp,
+            encode_bmp,
+        )
+
+        rng = np.random.RandomState(7)
+        for h, w in [(1, 1), (3, 2), (5, 3), (8, 4), (13, 31), (31, 8)]:
+            img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            blob = encode_bmp(img)
+            assert blob[:2] == b"BM"
+            back = decode_bmp(blob)
+            assert back.shape == (h, w, 3)
+            assert (back == img).all(), f"round-trip drift at {h}x{w}"
+
+    def test_resize_dims_and_aspect_property(self):
+        """resize_nearest: long side == RESIZE_TARGET, short side is the
+        exact floor-scaled aspect map (>= 1), and every output pixel is a
+        source pixel (nearest-neighbor never invents values)."""
+        import numpy as np
+
+        from data_transform_spark.pipeline.multimodal import (
+            RESIZE_TARGET,
+            resize_nearest,
+            synth_image,
+        )
+
+        import hashlib
+
+        for seed in range(20):
+            img = synth_image(hashlib.md5(str(seed).encode()).digest())
+            h, w, _ = img.shape
+            out = resize_nearest(img)
+            oh, ow, _ = out.shape
+            if w >= h:
+                assert ow == RESIZE_TARGET
+                assert oh == max(1, (h * RESIZE_TARGET) // w)
+            else:
+                assert oh == RESIZE_TARGET
+                assert ow == max(1, (w * RESIZE_TARGET) // h)
+            assert set(np.unique(out)) <= set(np.unique(img))
 
 
 class TestCuration:
