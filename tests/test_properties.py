@@ -830,3 +830,64 @@ class TestQualityNb:
             )
 
         assert min(wu(t) for t in QNB_POS) > max(wu(t) for t in QNB_NEG)
+
+
+class TestSubstringIncremental:
+    def test_incremental_equals_full_under_arrival_order(self, spark, sf_dir):
+        """r9 VERDICT #6 done-criterion: incremental(batch | staged store)
+        must equal the FULL substring-dedup pass over old+new under
+        arrival order (history precedes the batch), restricted to the
+        batch docs. Emulated by remapping batch doc_ids above every
+        history id and running substring_clean on the remapped corpus."""
+        import __spark_entry__  # noqa: F401
+        from pyspark.sql import functions as F
+
+        from data_transform_spark.io import load_table
+        from data_transform_spark.pipeline.dedup import substring_clean
+        from data_transform_spark.registry import QUERIES
+
+        OFFSET = 10**12
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        remapped = d.withColumn(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 10 >= 8, F.col("doc_id") + OFFSET
+            ).otherwise(F.col("doc_id")),
+        )
+        full = (
+            substring_clean(remapped)
+            .filter(F.col("doc_id") >= OFFSET)
+            .select(
+                (F.col("doc_id") - OFFSET).alias("doc_id"),
+                "n_tokens",
+                "n_removed",
+                "clean_text",
+            )
+        )
+        incr = QUERIES["text_substring_dedup_incr"](spark, sf_dir)
+        got = sorted(map(tuple, incr.collect()))
+        want = sorted(map(tuple, full.collect()))
+        assert got == want
+
+    def test_store_is_digest_only_and_serve_reads_it(self, spark, sf_dir):
+        """The staged store holds ONLY 32-char md5 digests (never text),
+        and the serve plan scans the staged parquet."""
+        import contextlib
+        import io
+
+        import __spark_entry__  # noqa: F401
+        from data_transform_spark.pipeline.dedup import (
+            substring_stage_store,
+        )
+        from data_transform_spark.registry import QUERIES
+
+        staged = substring_stage_store(spark, sf_dir)
+        store = spark.read.parquet(staged)
+        assert store.columns == ["g"]
+        assert store.filter("length(g) != 32").count() == 0
+
+        df = QUERIES["text_substring_dedup_incr"](spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        assert "substr_store_" in buf.getvalue()
