@@ -89,6 +89,12 @@ OPTIONAL = [
     "text_ngram_novelty",
     "events_markov_surprisal",
     "join_interval_overlap",
+    # round-10: PII scrub, trained NB classifier, warm-path staged-index
+    # ANN serve, incremental substring dedup
+    "text_pii_scrub",
+    "quality_nb",
+    "sim_ann_persist",
+    "text_substring_dedup_incr",
     # sim_ann_ivfpq (13.8 s) and pipeline_e2e_llm (51 s) deliberately NOT
     # benched: the former trains TWO quantizers + runs the in-key recall
     # check vs brute force (sim_ann_pq above times the shared PQ machinery;
