@@ -45,6 +45,11 @@ _PKG = "data_transform_spark"
 _MUTABLE_STATE = {
     f"{_PKG}.registry.QUERIES",
     f"{_PKG}.registry.ORACLES",
+    # r10: pipeline_e2e_llm's share-point cache — empty at import, holds
+    # DataFrames after an invocation, so its repr is run-state-dependent
+    # (stable "[]" before the first call, unstable after) and must never
+    # join the key's hash
+    f"{_PKG}.pipeline.e2e._E2E_PERSISTED",
 }
 
 # Constant leaves whose repr is deterministic across processes. Containers
