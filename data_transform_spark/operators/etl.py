@@ -448,3 +448,56 @@ def dq_psi_drift(spark, sf_dir):
             F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
         )
     )
+
+
+@register(
+    "corpus_manifest",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           md5(string_agg(md5(text), '' ORDER BY md5(text))) AS corpus_md5
+    FROM documents GROUP BY source
+    UNION ALL
+    SELECT '*' AS source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           md5(string_agg(md5(text), '' ORDER BY md5(text))) AS corpus_md5
+    FROM documents
+    """,
+)
+def corpus_manifest(spark, sf_dir):
+    """Content-addressed corpus manifest — the data-lineage primitive a
+    100 TB pipeline publishes with every snapshot: per source (plus the
+    '*' whole-corpus row) the doc count, token count, and a single
+    CONTENT digest — md5 over the per-doc md5(text) digests concatenated
+    in digest order. Order- and reshard-invariant (sorting by the digest
+    itself needs no document key), duplicate-aware (two copies contribute
+    twice), and byte-sensitive: any added, dropped or edited document
+    anywhere flips its source's digest and the '*' digest. Two runs
+    compare manifests to PROVE corpus identity without rescanning text —
+    the precondition for trusting cached dedup stores, staged ANN
+    indexes, or a resumed training job.
+
+    Plan: one scan (docs reduce to 32-byte digests immediately), one
+    source-keyed aggregate + one global aggregate. The collect_list here
+    is per-source at fixture scale; at 100 TB the same digest composes
+    hierarchically — md5 over sorted per-shard digests, each shard
+    digest built the same way — one extra aggregation level, same
+    invariances."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+
+    def roll(frame, src_col):
+        return frame.groupBy(src_col.alias("source")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.md5(
+                F.concat_ws("", F.array_sort(F.collect_list("h")))
+            ).alias("corpus_md5"),
+        )
+
+    return roll(d, F.col("source")).unionByName(roll(d, F.lit("*")))

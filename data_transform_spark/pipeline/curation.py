@@ -553,10 +553,10 @@ _QNB_POS_SQL = ", ".join(f"'{w}'" for w in QNB_POS)
 _QNB_NEG_SQL = ", ".join(f"'{w}'" for w in QNB_NEG)
 
 
-@register(
-    "quality_nb",
-    oracle=f"""
-    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+# Shared CTE chain: the full NB fit + per-doc scoring, reused verbatim by
+# the quality_nb oracle and the quality_pr_curve oracle (one source of
+# truth — the two replays can never drift).
+_QNB_CTE_SQL = f"""d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     lab AS (
         SELECT doc_id, toks,
                len(list_filter(toks, x -> x IN ({_QNB_POS_SQL})))
@@ -603,12 +603,21 @@ _QNB_NEG_SQL = ", ".join(f"'{w}'" for w in QNB_NEG)
     score AS (
         SELECT t.doc_id, CAST(sum(coalesce(w.wu, 0)) AS BIGINT) AS su
         FROM tok t LEFT JOIN w USING (tok) GROUP BY t.doc_id
-    )
-    SELECT l.doc_id, l.is_train, l.label,
-           CAST(s.su + p.pu AS BIGINT) AS logit_u,
-           (s.su + p.pu) >= 0 AS pred,
-           ((s.su + p.pu) >= 0) = l.label AS correct
-    FROM lab l JOIN score s USING (doc_id), prior p
+    ),
+    scored AS (
+        SELECT l.doc_id, l.is_train, l.label,
+               CAST(s.su + p.pu AS BIGINT) AS logit_u,
+               (s.su + p.pu) >= 0 AS pred,
+               ((s.su + p.pu) >= 0) = l.label AS correct
+        FROM lab l JOIN score s USING (doc_id), prior p
+    )"""
+
+
+@register(
+    "quality_nb",
+    oracle=f"""
+    WITH {_QNB_CTE_SQL}
+    SELECT doc_id, is_train, label, logit_u, pred, correct FROM scored
     """,
 )
 def quality_nb(spark, sf_dir):
@@ -702,4 +711,88 @@ def quality_nb(spark, sf_dir):
             (logit >= 0).alias("pred"),
             ((logit >= 0) == F.col("label")).alias("correct"),
         )
+    )
+
+
+@register(
+    "quality_pr_curve",
+    oracle=f"""
+    WITH {_QNB_CTE_SQL},
+    held AS (
+        SELECT doc_id, label, logit_u,
+               row_number() OVER (ORDER BY logit_u DESC, doc_id) AS rn
+        FROM scored WHERE NOT is_train
+    ),
+    n AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN label THEN 1 ELSE 0 END) AS npos
+        FROM held
+    ),
+    b AS (SELECT ((rn - 1) * 10) // n + 1 AS bucket, label FROM held, n),
+    pb AS (
+        SELECT bucket, count(*) AS n_docs,
+               sum(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos
+        FROM b GROUP BY bucket
+    ),
+    cum AS (
+        SELECT bucket, n_docs,
+               sum(n_docs) OVER (ORDER BY bucket) AS cum_docs,
+               sum(n_pos) OVER (ORDER BY bucket) AS cum_pos
+        FROM pb
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(cum_docs AS BIGINT) AS cum_docs,
+           CAST(cum_pos AS BIGINT) AS cum_pos,
+           ROUND(cum_pos * 1.0 / cum_docs, 6) AS precision_at,
+           ROUND(cum_pos * 1.0 / n.npos, 6) AS recall_at
+    FROM cum, n
+    """,
+)
+def quality_pr_curve(spark, sf_dir):
+    """Classifier calibration table (the step after quality_nb in the
+    fastText recipe: you don't ship a classifier, you ship a THRESHOLD):
+    rank the held-out docs by fitted logit, cut at each decile, and report
+    cumulative precision/recall against the weak label — the table a
+    pipeline owner reads to pick the keep-rate/quality trade-off.
+
+    Integer-exact: ranks, bucket ids ((rn-1)*10/n floor — no ntile
+    edge-semantics dependence), cumulative counts; the only floats are
+    the two final rounded divisions. Evaluation runs on the HELD-OUT
+    md5-split (never the training half — the split quality_nb already
+    enforces). Scale note: the global rank window is EVAL-SET-sized, not
+    corpus-sized — a production run scores the corpus distributed but
+    calibrates on a bounded held-out sample exactly like this; for
+    corpus-wide curves you'd swap the exact rank for approx_percentile
+    thresholds (agg_approx_percentile's machinery)."""
+    scored = quality_nb(spark, sf_dir).filter(~F.col("is_train"))
+    w = Window.orderBy(F.col("logit_u").desc(), "doc_id")
+    ranked = scored.select(
+        "label", F.row_number().over(w).alias("rn")
+    )
+    n = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("label"), 1).otherwise(0)).alias("npos"),
+    )
+    b = ranked.crossJoin(F.broadcast(n)).select(
+        (F.floor((F.col("rn") - 1) * 10 / F.col("n")) + 1).alias("bucket"),
+        "label",
+        "npos",
+    )
+    pb = b.groupBy("bucket", "npos").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("label"), 1).otherwise(0)).alias("n_pos"),
+    )
+    wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return pb.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_docs").over(wc).cast("long").alias("cum_docs"),
+        F.sum("n_pos").over(wc).cast("long").alias("cum_pos"),
+        F.round(
+            F.sum("n_pos").over(wc) * F.lit(1.0) / F.sum("n_docs").over(wc), 6
+        ).alias("precision_at"),
+        F.round(
+            F.sum("n_pos").over(wc) * F.lit(1.0) / F.col("npos"), 6
+        ).alias("recall_at"),
     )

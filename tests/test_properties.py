@@ -891,3 +891,80 @@ class TestSubstringIncremental:
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
         assert "substr_store_" in buf.getvalue()
+
+
+class TestPrCurveAndManifest:
+    def test_pr_curve_shape_and_calibration(self, spark, sf_dir):
+        """Decile PR table invariants: buckets 1..10 cover the whole
+        held-out set, recall is non-decreasing and hits 1.0 at bucket 10,
+        bucket-10 precision equals the held-out base rate, and the top
+        decile's precision strictly beats the base rate (the ranking
+        carries real signal)."""
+        import __spark_entry__  # noqa: F401
+        from data_transform_spark.registry import QUERIES
+
+        rows = sorted(
+            QUERIES["quality_pr_curve"](spark, sf_dir).collect(),
+            key=lambda r: r.bucket,
+        )
+        assert [r.bucket for r in rows] == list(range(1, 11))
+        held = QUERIES["quality_nb"](spark, sf_dir).filter("not is_train")
+        n_held = held.count()
+        n_pos = held.filter("label").count()
+        assert rows[-1].cum_docs == n_held == sum(r.n_docs for r in rows)
+        assert rows[-1].cum_pos == n_pos
+        assert rows[-1].recall_at == 1.0
+        assert abs(rows[-1].precision_at - n_pos / n_held) < 1e-6
+        recalls = [r.recall_at for r in rows]
+        assert recalls == sorted(recalls)
+        assert rows[0].precision_at > n_pos / n_held + 0.05
+
+    def test_manifest_detects_any_edit_and_counts_duplicates(
+        self, spark, tmp_path
+    ):
+        """corpus_manifest: editing ONE doc flips exactly its source's
+        digest and the '*' digest (other sources untouched); an exact
+        duplicate changes the digest too (duplicate-aware), while
+        reordering rows never does (content-addressed)."""
+        import pandas as pd
+
+        from data_transform_spark.operators.etl import corpus_manifest
+
+        def write(rows, sub):
+            pdf = pd.DataFrame(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "text": [r[1] for r in rows],
+                    "lang": "en",
+                    "source": [r[2] for r in rows],
+                    "n_chars": [len(r[1]) for r in rows],
+                }
+            )
+            p = tmp_path / sub
+            spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+                f"{p}/documents.parquet"
+            )
+            return str(p)
+
+        base = [(1, "alpha beta", "s1"), (2, "gamma delta", "s1"),
+                (3, "epsilon zeta", "s2")]
+        m0 = {r.source: r for r in corpus_manifest(spark, write(base, "a")).collect()}
+        # reorder rows: identical manifest
+        m1 = {r.source: r for r in corpus_manifest(
+            spark, write(list(reversed(base)), "b")).collect()}
+        assert {s: m.corpus_md5 for s, m in m0.items()} == {
+            s: m.corpus_md5 for s, m in m1.items()
+        }
+        # edit one s1 doc: s1 and '*' flip, s2 unchanged
+        edited = [(1, "alpha beta EDITED", "s1"), base[1], base[2]]
+        m2 = {r.source: r for r in corpus_manifest(
+            spark, write(edited, "c")).collect()}
+        assert m2["s1"].corpus_md5 != m0["s1"].corpus_md5
+        assert m2["*"].corpus_md5 != m0["*"].corpus_md5
+        assert m2["s2"].corpus_md5 == m0["s2"].corpus_md5
+        # exact duplicate: digest changes (duplicate-aware)
+        duped = base + [(4, "alpha beta", "s1")]
+        m3 = {r.source: r for r in corpus_manifest(
+            spark, write(duped, "d")).collect()}
+        assert m3["s1"].corpus_md5 != m0["s1"].corpus_md5
+        assert m3["s1"].n_docs == 3
