@@ -1512,3 +1512,81 @@ def text_substring_dedup_incr(spark, sf_dir):
         .alias("n_removed"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+def substring_store_v2_dir(sf_dir: str) -> str:
+    """Location of the POST-increment store (history ∪ batch digests)."""
+    from data_transform_spark.io import path_of
+    from data_transform_spark.operators.scans import SCRATCH, _path_fingerprint
+
+    src = path_of(sf_dir, "documents")
+    return (
+        f"{SCRATCH}/substr_store2_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{_path_fingerprint(src)}"
+    )
+
+
+@register(
+    "text_substring_store_update",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    hist AS (
+        SELECT DISTINCT md5(array_to_string(t[i:i+{SUBSTR_W - 1}], ' ')) AS g
+        FROM toks, unnest(generate_series(1, len(t) - {SUBSTR_W} + 1)) AS u(i)
+        WHERE len(t) >= {SUBSTR_W} AND doc_id % 10 < 8
+    ),
+    batch AS (
+        SELECT DISTINCT md5(array_to_string(t[i:i+{SUBSTR_W - 1}], ' ')) AS g
+        FROM toks, unnest(generate_series(1, len(t) - {SUBSTR_W} + 1)) AS u(i)
+        WHERE len(t) >= {SUBSTR_W} AND doc_id % 10 >= 8
+    ),
+    novel AS (SELECT b.g FROM batch b ANTI JOIN hist h ON b.g = h.g)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM hist) AS n_hist,
+           (SELECT CAST(count(*) AS BIGINT) FROM novel) AS n_batch_novel,
+           CAST((SELECT count(*) FROM hist)
+                + (SELECT count(*) FROM novel) AS BIGINT) AS n_total
+    """,
+)
+def text_substring_store_update(spark, sf_dir):
+    """Close the incremental-substring-dedup loop (the dedup_incremental
+    'survivors' signatures append to the store' contract, substring
+    tier): after a batch is deduped, its NOVEL window digests — those not
+    already in the history store — append to form the NEXT increment's
+    store. Built from the STAGED v1 store plus the batch only (history
+    text is never rescanned): one digest anti-join + one atomic parquet
+    publish. The summary row's counts are computed FROM the staged
+    parquets (v1 store + updated store — the sim_ann_persist discipline),
+    so the hash pins that the updated artifact on disk holds exactly
+    history ∪ batch distinct digests; set-equality with a from-scratch
+    full-corpus store is property-tested. At 100 TB both stores are
+    digest tables ~32 bytes per distinct passage; the update is
+    batch-sized work plus one store-sized distinct union write (or, with
+    a digest-bucketed store layout, an append of pre-bucketed novel
+    digests — no rewrite)."""
+    from data_transform_spark.operators.scans import _stage_atomic
+
+    staged = substring_stage_store(spark, sf_dir)
+    store = spark.read.parquet(staged)
+    staged2 = substring_store_v2_dir(sf_dir)
+    if not os.path.exists(os.path.join(staged2, SUBSTR_STORE_MARKER)):
+        batch = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 10 >= 8
+        )
+        novel = (
+            _substring_grams(batch)
+            .select("g")
+            .distinct()
+            .join(store, "g", "left_anti")
+        )
+        updated = store.unionByName(novel)
+        _stage_atomic(
+            staged2, lambda tmp: updated.write.mode("overwrite").parquet(tmp)
+        )
+    upd = spark.read.parquet(staged2)
+    n_hist = store.agg(F.count(F.lit(1)).cast("long").alias("n_hist"))
+    n_total = upd.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return n_hist.crossJoin(F.broadcast(n_total)).select(
+        "n_hist",
+        (F.col("n_total") - F.col("n_hist")).cast("long").alias("n_batch_novel"),
+        "n_total",
+    )

@@ -657,9 +657,85 @@ PII_PHONE_RE = r"\(\d{3}\) \d{3}-\d{4}"
 PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
 
-@register(
-    "text_pii_scrub",
-    oracle=f"""
+def pii_plant(frame):
+    """Deterministic fixture augmentation: append doc_id-derived PII spans
+    (email on every 3rd doc, phone every 5th, IP every 2nd) to a
+    (doc_id, text) frame — the digit-free corpus gets real matches.
+    Shared verbatim by the batch key, the streaming twin and the oracle
+    replay (same expressions, same order)."""
+    did = F.col("doc_id")
+    email = F.when(
+        did % 3 == 0,
+        F.concat(
+            F.lit(" contact user"), did.cast("string"), F.lit("@example.com")
+        ),
+    ).otherwise("")
+    phone = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit(" call (555) "),
+            F.lpad((did % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise("")
+    ip = F.when(
+        did % 2 == 0,
+        F.concat(
+            F.lit(" from 10."),
+            (did % 256).cast("string"),
+            F.lit("."),
+            ((did * 7) % 256).cast("string"),
+            F.lit("."),
+            (did % 100 + 1).cast("string"),
+        ),
+    ).otherwise("")
+    return frame.select(
+        "doc_id", F.concat(F.col("text"), email, phone, ip).alias("text")
+    )
+
+
+def pii_scrub(planted):
+    """Row-local scrub + audit projection over a planted (doc_id, text)
+    frame: typed placeholder replacement in fixed order (email -> phone ->
+    IP), per-type counts, cleaned length/md5, all_clean post-condition.
+    Works identically on batch and STREAMING frames (pure projections, no
+    state) — the property the streaming twin leans on."""
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+    scrubbed = planted.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count("text", F.lit(PII_IP_RE)).cast("long").alias("n_ips"),
+        F.length("text").cast("long").alias("planted_len"),
+        clean.alias("clean"),
+    )
+    leftovers = (
+        F.regexp_count("clean", F.lit(PII_EMAIL_RE))
+        + F.regexp_count("clean", F.lit(PII_PHONE_RE))
+        + F.regexp_count("clean", F.lit(PII_IP_RE))
+    )
+    return scrubbed.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ips",
+        "planted_len",
+        F.length("clean").cast("long").alias("clean_len"),
+        F.md5("clean").alias("clean_md5"),
+        (leftovers == 0).alias("all_clean"),
+    )
+
+
+PII_SCRUB_ORACLE = f"""
     WITH planted AS (
         SELECT doc_id,
                text
@@ -701,8 +777,10 @@ PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
             + len(regexp_extract_all(clean, '{PII_PHONE_RE}'))
             + len(regexp_extract_all(clean, '{PII_IP_RE}'))) = 0 AS all_clean
     FROM scrubbed
-    """,
-)
+    """
+
+
+@register("text_pii_scrub", oracle=PII_SCRUB_ORACLE)
 def text_pii_scrub(spark, sf_dir):
     """PII redaction with a per-type audit — the standard C4/CCNet scrub
     stage: replace email / phone-shaped / IP-shaped spans with typed
@@ -719,67 +797,8 @@ def text_pii_scrub(spark, sf_dir):
     Scale shape: entirely row-local projections (regexp_count +
     regexp_replace, JVM-side, whole-stage codegen) — zero shuffles, zero
     Python. At 100 TB this is a map-only pass that pipelines with the
-    scan; counts aggregate into the funnel with one extra rollup."""
-    d = load_table(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    email = F.when(
-        did % 3 == 0,
-        F.concat(
-            F.lit(" contact user"), did.cast("string"), F.lit("@example.com")
-        ),
-    ).otherwise("")
-    phone = F.when(
-        did % 5 == 0,
-        F.concat(
-            F.lit(" call (555) "),
-            F.lpad((did % 1000).cast("string"), 3, "0"),
-            F.lit("-"),
-            F.lpad((did % 10000).cast("string"), 4, "0"),
-        ),
-    ).otherwise("")
-    ip = F.when(
-        did % 2 == 0,
-        F.concat(
-            F.lit(" from 10."),
-            (did % 256).cast("string"),
-            F.lit("."),
-            ((did * 7) % 256).cast("string"),
-            F.lit("."),
-            (did % 100 + 1).cast("string"),
-        ),
-    ).otherwise("")
-    planted = d.select(
-        "doc_id", F.concat(F.col("text"), email, phone, ip).alias("text")
-    )
-    clean = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>"),
-            PII_PHONE_RE,
-            "<PHONE>",
-        ),
-        PII_IP_RE,
-        "<IP>",
-    )
-    scrubbed = planted.select(
-        "doc_id",
-        F.regexp_count("text", F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
-        F.regexp_count("text", F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
-        F.regexp_count("text", F.lit(PII_IP_RE)).cast("long").alias("n_ips"),
-        F.length("text").cast("long").alias("planted_len"),
-        clean.alias("clean"),
-    )
-    leftovers = (
-        F.regexp_count("clean", F.lit(PII_EMAIL_RE))
-        + F.regexp_count("clean", F.lit(PII_PHONE_RE))
-        + F.regexp_count("clean", F.lit(PII_IP_RE))
-    )
-    return scrubbed.select(
-        "doc_id",
-        "n_emails",
-        "n_phones",
-        "n_ips",
-        "planted_len",
-        F.length("clean").cast("long").alias("clean_len"),
-        F.md5("clean").alias("clean_md5"),
-        (leftovers == 0).alias("all_clean"),
-    )
+    scan; counts aggregate into the funnel with one extra rollup. The
+    plant + scrub stages are shared helpers (pii_plant / pii_scrub) also
+    driven by the streaming twin stream_pii_scrub."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return pii_scrub(pii_plant(d))

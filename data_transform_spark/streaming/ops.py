@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from data_transform_spark.io import normalize_event_ts, path_of
 from data_transform_spark.operators.events import _SESSION_MOTIF_ORACLE
 from data_transform_spark.operators.scans import SCRATCH
+from data_transform_spark.pipeline.text import PII_SCRUB_ORACLE, pii_plant, pii_scrub
 from data_transform_spark.registry import register
 
 
@@ -535,3 +536,47 @@ def stream_session_motif(spark, sf_dir):
         F.col("journey").contains("vp").alias("has_direct_view_buy"),
     )
     return run_to_memory(out, "complete")
+
+
+def stage_docs_dir(sf_dir: str) -> str:
+    """Copy the documents fixture into a scratch dir for the file stream
+    source (same stamp-invalidated pattern as stage_events_dir — a
+    regenerated fixture never serves stale data)."""
+    src = path_of(sf_dir, "documents")
+    src_dir = f"{SCRATCH}/stream_docs_{os.path.basename(sf_dir.rstrip('/'))}"
+    os.makedirs(src_dir, exist_ok=True)
+    staged = f"{src_dir}/documents.parquet"
+    stamp_file = f"{src_dir}/_stamp"
+    stamp = _source_stamp(src)
+    prev = open(stamp_file).read() if os.path.exists(stamp_file) else None
+    if prev != stamp or not os.path.exists(staged):
+        if os.path.isdir(staged):
+            shutil.rmtree(staged)
+        _copy_parquet(src, staged)
+        with open(stamp_file, "w") as f:
+            f.write(stamp)
+    return src_dir
+
+
+def docs_stream(spark, sf_dir: str):
+    """readStream over the documents table — the ingestion shape of a
+    continuously-crawled corpus (files land, the curation stream picks
+    them up)."""
+    raw_schema = spark.read.parquet(path_of(sf_dir, "documents")).schema
+    return spark.readStream.schema(raw_schema).parquet(stage_docs_dir(sf_dir))
+
+
+@register("stream_pii_scrub", oracle=PII_SCRUB_ORACLE)
+def stream_pii_scrub(spark, sf_dir):
+    """STREAMING curation: the PII scrub stage running over the document
+    ingestion stream — the first documents-table streaming key (the
+    stream_* family so far covers events). Redaction is stateless
+    (pii_plant/pii_scrub are pure row-local projections, shared verbatim
+    with the batch text_pii_scrub), so the query runs in APPEND mode with
+    no watermark and no state store: each arriving file's docs are
+    scrubbed and emitted exactly once — the production shape where crawl
+    output lands as files and cleaned docs flow to the training store.
+    Batch == stream by the core Structured Streaming guarantee, so the
+    key carries the batch twin's full hash oracle."""
+    docs = docs_stream(spark, sf_dir).select("doc_id", "text")
+    return run_to_memory(pii_scrub(pii_plant(docs)), "append")

@@ -968,3 +968,41 @@ class TestPrCurveAndManifest:
             spark, write(duped, "d")).collect()}
         assert m3["s1"].corpus_md5 != m0["s1"].corpus_md5
         assert m3["s1"].n_docs == 3
+
+
+class TestStoreUpdateAndStreamScrub:
+    def test_updated_store_equals_full_corpus_store(self, spark, sf_dir):
+        """The post-increment store (v1 ∪ batch-novel) must hold EXACTLY
+        the distinct window digests of the full corpus — the invariant
+        that keeps every later increment correct."""
+        import __spark_entry__  # noqa: F401
+        from data_transform_spark.io import load_table
+        from data_transform_spark.pipeline.dedup import (
+            _substring_grams,
+            substring_store_v2_dir,
+        )
+        from data_transform_spark.registry import QUERIES
+
+        row = QUERIES["text_substring_store_update"](spark, sf_dir).collect()[0]
+        assert row.n_total == row.n_hist + row.n_batch_novel
+        upd = spark.read.parquet(substring_store_v2_dir(sf_dir))
+        got = {r.g for r in upd.collect()}
+        full = {
+            r.g
+            for r in _substring_grams(load_table(spark, sf_dir, "documents"))
+            .select("g")
+            .distinct()
+            .collect()
+        }
+        assert got == full
+        assert len(got) == row.n_total  # staged store is exactly distinct
+
+    def test_stream_scrub_matches_batch_scrub(self, spark, sf_dir):
+        """The streaming scrub must emit exactly the batch twin's rows
+        (stateless map-only stage: append mode, no watermark, no state)."""
+        import __spark_entry__  # noqa: F401
+        from data_transform_spark.registry import QUERIES
+
+        batch = {tuple(r) for r in QUERIES["text_pii_scrub"](spark, sf_dir).collect()}
+        stream = {tuple(r) for r in QUERIES["stream_pii_scrub"](spark, sf_dir).collect()}
+        assert stream == batch
