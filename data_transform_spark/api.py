@@ -158,3 +158,52 @@ def ann_ivfpq_topk(embeddings: DataFrame) -> DataFrame:
 
     cent, _assign, books, codes_l = _s._ivfpq_index(embeddings)
     return _s._ivfpq_topk(embeddings, cent, books, codes_l)
+
+
+def pii_scrub_text(docs: DataFrame) -> DataFrame:
+    """Redact email/phone/IP spans from a (doc_id, text) frame and report
+    per-type counts + an all_clean post-condition (pipeline.text.pii_scrub
+    — the registered text_pii_scrub minus the fixture PII planting). Pure
+    row-local regexp projections: map-only at any scale."""
+    from data_transform_spark.pipeline.text import pii_scrub
+
+    return pii_scrub(docs.select("doc_id", "text"))
+
+
+def fit_quality_nb(spark, sf_dir: str) -> DataFrame:
+    """In-plan-trained Naive Bayes quality scores for every doc: (doc_id,
+    is_train, label, logit_u micronats, pred, correct). The fit runs on
+    the md5-split train half against the keyword weak label; see
+    pipeline.curation.quality_nb (and quality_pr_curve for the
+    threshold-calibration table)."""
+    from data_transform_spark.pipeline.curation import quality_nb
+
+    return quality_nb(spark, sf_dir)
+
+
+def corpus_digest(docs: DataFrame, group_col: str = "source") -> DataFrame:
+    """Content-addressed manifest of any (text, <group>) frame: per group,
+    doc/token counts plus an order/reshard-invariant md5-of-sorted-doc-md5s
+    digest. Compare two runs' manifests to prove corpus identity without
+    rescanning text (operators.etl.corpus_manifest's core, reusable)."""
+    d = docs.select(
+        F.col(group_col).alias("grp"),
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    return d.groupBy(F.col("grp").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list("h")))).alias(
+            "corpus_md5"
+        ),
+    )
+
+
+def ann_ivfpq_serve(spark, sf_dir: str) -> DataFrame:
+    """Warm-path ANN: serve IVF-PQ top-k from the staged parquet index
+    (building + staging it on first call) — zero training stages in the
+    warm plan. See pipeline.similarity.sim_ann_ivfpq_serve_topk."""
+    from data_transform_spark.pipeline.similarity import sim_ann_ivfpq_serve_topk
+
+    return sim_ann_ivfpq_serve_topk(spark, sf_dir)

@@ -116,3 +116,54 @@ def test_api_substring_dedup_matches_registered(spark, sf_dir):
         for r in QUERIES["text_substring_dedup"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_api_pii_scrub_clean_doc_roundtrip(spark):
+    """pii_scrub_text on clean text is identity (all_clean, zero counts);
+    on planted text it redacts and counts."""
+    from data_transform_spark import api
+
+    docs = spark.createDataFrame(
+        [(1, "hello plain world"), (2, "mail me at a.b@c.org now")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in api.pii_scrub_text(docs).collect()}
+    assert rows[1].all_clean and rows[1].n_emails == 0
+    assert rows[1].clean_len == len("hello plain world")
+    assert rows[2].n_emails == 1 and rows[2].all_clean
+
+
+def test_api_quality_and_serve_match_registered(spark, sf_dir):
+    from data_transform_spark import api
+    from data_transform_spark.registry import QUERIES
+
+    got = {r.doc_id: r.logit_u for r in api.fit_quality_nb(spark, sf_dir).collect()}
+    want = {
+        r.doc_id: r.logit_u for r in QUERIES["quality_nb"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+    from data_transform_spark.pipeline.similarity import sim_ann_ivfpq_topk
+
+    served = {tuple(r) for r in api.ann_ivfpq_serve(spark, sf_dir).collect()}
+    fresh = {tuple(r) for r in sim_ann_ivfpq_topk(spark, sf_dir).collect()}
+    assert served == fresh
+
+
+def test_api_corpus_digest_invariances(spark):
+    """corpus_digest: reorder-invariant, edit-sensitive, group-scoped."""
+    from data_transform_spark import api
+
+    rows = [(1, "a b", "s1"), (2, "c d", "s1"), (3, "e f", "s2")]
+    d1 = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    d2 = spark.createDataFrame(
+        list(reversed(rows)), "doc_id long, text string, source string"
+    )
+    m1 = {r.source: r.corpus_md5 for r in api.corpus_digest(d1).collect()}
+    m2 = {r.source: r.corpus_md5 for r in api.corpus_digest(d2).collect()}
+    assert m1 == m2
+    d3 = spark.createDataFrame(
+        [(1, "a b EDIT", "s1")] + rows[1:], "doc_id long, text string, source string"
+    )
+    m3 = {r.source: r.corpus_md5 for r in api.corpus_digest(d3).collect()}
+    assert m3["s1"] != m1["s1"] and m3["s2"] == m1["s2"]
