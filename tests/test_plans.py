@@ -836,3 +836,34 @@ def test_interval_overlap_is_keyed_join_not_nested_loop(spark, sf_dir):
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
         "BroadcastHashJoin" in p
     )
+
+
+def test_pii_scrub_is_map_only(spark, sf_dir):
+    """PII redaction must stay a zero-shuffle, JVM-side map pass: regexp
+    projections pipelined with the scan — no Exchange, no Python worker."""
+    import re
+
+    p = plan_of(spark, "text_pii_scrub", sf_dir)
+    assert not re.findall(r"^\(\d+\) Exchange", p, flags=re.M), "scrub shuffled"
+    assert "EvalPython" not in p
+
+
+def test_corpus_manifest_two_aggregates(spark, sf_dir):
+    """The manifest is exactly two keyed aggregates over digest-width rows
+    (per-source + global): 2 exchanges, no Python, no join."""
+    import re
+
+    p = plan_of(spark, "corpus_manifest", sf_dir)
+    n = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
+    assert n == 2, f"expected 2 exchanges, saw {n}"
+    assert "EvalPython" not in p
+
+
+def test_quality_nb_fit_stays_jvm_side_and_broadcasts_weights(spark, sf_dir):
+    """The in-plan NB fit must never leave the JVM and must ship the
+    vocab-sized weight/total/prior frames as broadcasts (the corpus-sized
+    side is only ever scan + keyed aggregate)."""
+    p = plan_of(spark, "quality_nb", sf_dir)
+    assert "EvalPython" not in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
