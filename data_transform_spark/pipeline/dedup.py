@@ -272,6 +272,34 @@ def _corpus_at_gate_scale(docs) -> bool:
     return total >= MINHASH_GATE_MIN_BYTES
 
 
+def _sig_bands(sig):
+    """(doc_id, band, bucket) LSH band rows off a signature frame. Band
+    rows carry only the bucket hash — NOT the 48-slot sig array: shipping
+    sigs through the 24x explode + self-join dominated the stage cost;
+    the estimate gate rejoins sig for the (tiny) candidate set instead.
+    Split out so the incremental store builder and the self-contained
+    candidate generator can never drift."""
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", j * BAND_R + k + 1)
+                                for k in range(BAND_R)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def _minhash_candidates(docs):
     """Candidate (doc_a, doc_b) pairs: banded LSH bucket join (+ estimate
     gate at scale).
@@ -294,29 +322,7 @@ def _minhash_candidates(docs):
         # the 48-aggregate signature job runs once. Eager — the lazy variant
         # races AQE and spams "non-existent accumulator" warnings.
         sig = sig.localCheckpoint(eager=True)
-    # band rows carry only (doc_id, band, bucket) — NOT the 48-slot sig
-    # array: shipping sigs through the 24x explode + self-join dominated
-    # the stage cost; the estimate gate rejoins sig for the (tiny)
-    # candidate set instead.
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("sig", j * BAND_R + k + 1)
-                                for k in range(BAND_R)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for j in range(N_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    bands = _sig_bands(sig)
 
     a = bands.alias("a")
     b = bands.alias("b")
@@ -1589,4 +1595,187 @@ def text_substring_store_update(spark, sf_dir):
         "n_hist",
         (F.col("n_total") - F.col("n_hist")).cast("long").alias("n_batch_novel"),
         "n_total",
+    )
+
+
+# --- incremental NEAR-DUP dedup (completes the incremental ladder) -------
+#
+# dedup_incremental (exact doc tier) and text_substring_dedup_incr
+# (substring tier) never rescan history; this is the same contract for the
+# MinHash-LSH tier. History is staged ONCE as two digest tables: its LSH
+# band rows (doc_id, band, bucket — the join keys candidate generation
+# needs) and its distinct shingle md5 digests + implied set sizes (what
+# EXACT verification needs). A new batch then finds cross-batch near-dup
+# pairs with a band-keyed join against the store and verifies them against
+# the stored digests — historical TEXT is never re-read.
+
+MINHASH_STORE_MARKER = "_INDEX"
+
+
+def _shingle_digests(docs):
+    """(doc_id, sh) distinct shingle md5 digests — 32-byte set elements;
+    set intersections over digests equal intersections over shingles
+    (both engines hash the same bytes, the text_substring_dedup trick)."""
+    return _shingles(docs).select("doc_id", F.md5("shingle").alias("sh"))
+
+
+def minhash_store_dir(sf_dir: str) -> str:
+    from data_transform_spark.io import path_of
+    from data_transform_spark.operators.scans import SCRATCH, _path_fingerprint
+
+    src = path_of(sf_dir, "documents")
+    return (
+        f"{SCRATCH}/minhash_store_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{_path_fingerprint(src)}"
+    )
+
+
+def minhash_stage_store(spark, sf_dir) -> str:
+    """Stage the history partition's LSH band rows + shingle digests
+    atomically (one history scan, ever)."""
+    from data_transform_spark.operators.scans import _stage_atomic
+
+    staged = minhash_store_dir(sf_dir)
+    if not os.path.exists(os.path.join(staged, MINHASH_STORE_MARKER)):
+        hist = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 10 < 8
+        )
+        bands = _sig_bands(minhash_signatures(hist))
+        sh = _shingle_digests(hist)
+
+        def _build(tmp: str) -> None:
+            bands.write.parquet(f"{tmp}/bands")
+            sh.write.parquet(f"{tmp}/shingles")
+            with open(os.path.join(tmp, MINHASH_STORE_MARKER), "w") as fh:
+                fh.write("ok")
+
+        _stage_atomic(staged, _build, marker=MINHASH_STORE_MARKER)
+    return staged
+
+
+def _digest_jaccard_of_pairs(cand, sh_a, sh_b):
+    """Exact shingle-set jaccard over DIGEST frames: ``cand`` (doc_a,
+    doc_b) scored against sh_a/(doc_id, sh) for the a-side and sh_b for
+    the b-side. The _exact_jaccard_of_pairs shape generalized to two
+    (possibly staged) shingle sources."""
+    sizes_a = sh_a.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
+    sizes_b = sh_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb"))
+    a = sh_a.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh_b.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+    shared = (
+        cand.join(a, "doc_a")
+        .join(b, (F.col("doc_b") == F.col("b_id")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        shared.join(sizes_a.select(F.col("doc_id").alias("doc_a"), "na"), "doc_a")
+        .join(sizes_b.select(F.col("doc_id").alias("doc_b"), "nb"), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_minhash_incr",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               md5(array_to_string(t[i:i+{SHINGLE_K - 1}], ' ')) AS shingle
+        FROM toks,
+             unnest(generate_series(1, greatest(len(t) - {SHINGLE_K - 1}, 1))) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    exact_pairs AS (
+        SELECT s.doc_a, s.doc_b,
+               s.c * 1.0 / (sa.n + sb.n - s.c) AS jaccard
+        FROM shared s
+        JOIN sizes sa ON s.doc_a = sa.doc_id
+        JOIN sizes sb ON s.doc_b = sb.doc_id
+        WHERE s.c * 1.0 / (sa.n + sb.n - s.c) >= {MINHASH_EXACT_TAU}
+    )
+    SELECT doc_a, doc_b, jaccard FROM exact_pairs
+    WHERE NOT (doc_a % 10 < 8 AND doc_b % 10 < 8)
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_incr(spark, sf_dir):
+    """Incremental MinHash near-dup: every near-dup pair INVOLVING the new
+    batch — batch-vs-history via a band join against the staged store,
+    batch-vs-batch via the usual self-join — with exact shingle-jaccard
+    verification against stored digests. Historical text is never
+    re-read: candidate generation joins the staged (band, bucket) rows,
+    verification joins the staged 32-byte shingle digests (set sizes
+    derived from the same store). Output pairs are numeric-canonical
+    (doc_a < doc_b), identical to the full run's pair identity, so the
+    hash oracle is simply the exact all-pairs answer restricted to pairs
+    with at least one batch side — and equality with the self-contained
+    dedup_near_minhash under the same restriction is property-tested.
+
+    100 TB shape: the store is band rows (24/doc) + shingle digests
+    (~32 B per distinct shingle); the increment pays one (band, bucket)-
+    keyed shuffle join, the batch's own signature aggregate, and
+    candidate-bounded digest joins — all batch-scaled except the store
+    join, which is the hash-partitioned layout the store would be
+    bucketed by. Completes the incremental ladder: exact-doc
+    (dedup_incremental), substring (text_substring_dedup_incr), near-dup
+    (this key)."""
+    staged = minhash_stage_store(spark, sf_dir)
+    hist_bands = spark.read.parquet(f"{staged}/bands")
+    hist_sh = spark.read.parquet(f"{staged}/shingles")
+    batch = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 >= 8
+    )
+    batch_bands = _sig_bands(minhash_signatures(batch))
+    batch_sh = _shingle_digests(batch)
+
+    h = hist_bands.alias("h")
+    n = batch_bands.alias("n")
+    cross_cand = (
+        h.join(
+            n,
+            (F.col("h.band") == F.col("n.band"))
+            & (F.col("h.bucket") == F.col("n.bucket")),
+        )
+        .select(
+            F.least(F.col("h.doc_id"), F.col("n.doc_id")).alias("doc_a"),
+            F.greatest(F.col("h.doc_id"), F.col("n.doc_id")).alias("doc_b"),
+            # remember which side is historical: verification reads the
+            # a-side from whichever store holds it
+            (F.col("h.doc_id") < F.col("n.doc_id")).alias("hist_is_a"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    a = batch_bands.alias("a")
+    b = batch_bands.alias("b")
+    intra_cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    cross_ha = _digest_jaccard_of_pairs(
+        cross_cand.filter("hist_is_a").select("doc_a", "doc_b"), hist_sh, batch_sh
+    )
+    cross_hb = _digest_jaccard_of_pairs(
+        cross_cand.filter("not hist_is_a").select("doc_a", "doc_b"),
+        batch_sh,
+        hist_sh,
+    )
+    intra = _digest_jaccard_of_pairs(intra_cand, batch_sh, batch_sh)
+    return (
+        cross_ha.unionByName(cross_hb)
+        .unionByName(intra)
+        .filter(F.col("jaccard") >= MINHASH_EXACT_TAU)
+        .orderBy("doc_a", "doc_b")
     )

@@ -1006,3 +1006,36 @@ class TestStoreUpdateAndStreamScrub:
         batch = {tuple(r) for r in QUERIES["text_pii_scrub"](spark, sf_dir).collect()}
         stream = {tuple(r) for r in QUERIES["stream_pii_scrub"](spark, sf_dir).collect()}
         assert stream == batch
+
+
+class TestMinhashIncremental:
+    def test_incremental_equals_full_restricted(self, spark, sf_dir):
+        """dedup_minhash_incr must emit exactly the self-contained
+        dedup_near_minhash pairs that involve at least one batch doc —
+        same pair identities AND same exact-jaccard values (digest-set
+        intersections equal shingle-set intersections)."""
+        import __spark_entry__  # noqa: F401
+        from data_transform_spark.registry import QUERIES
+
+        full = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in QUERIES["dedup_near_minhash"](spark, sf_dir).collect()
+            if not (r.doc_a % 10 < 8 and r.doc_b % 10 < 8)
+        }
+        incr = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in QUERIES["dedup_minhash_incr"](spark, sf_dir).collect()
+        }
+        assert incr == full
+
+    def test_store_holds_bands_and_digests_only(self, spark, sf_dir):
+        """The staged store is join keys + 32-char digests — no text."""
+        import __spark_entry__  # noqa: F401
+        from data_transform_spark.pipeline.dedup import minhash_stage_store
+
+        staged = minhash_stage_store(spark, sf_dir)
+        bands = spark.read.parquet(f"{staged}/bands")
+        sh = spark.read.parquet(f"{staged}/shingles")
+        assert sorted(bands.columns) == ["band", "bucket", "doc_id"]
+        assert sorted(sh.columns) == ["doc_id", "sh"]
+        assert sh.filter("length(sh) != 32").count() == 0
