@@ -95,6 +95,9 @@ OPTIONAL = [
     "quality_nb",
     "sim_ann_persist",
     "text_substring_dedup_incr",
+    "dedup_minhash_incr",
+    "quality_pr_curve",
+    "corpus_manifest",
     # sim_ann_ivfpq (13.8 s) and pipeline_e2e_llm (51 s) deliberately NOT
     # benched: the former trains TWO quantizers + runs the in-key recall
     # check vs brute force (sim_ann_pq above times the shared PQ machinery;
