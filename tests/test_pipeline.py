@@ -999,3 +999,49 @@ class TestIntervalOverlap:
             for r in QUERIES["join_interval_overlap"](spark, sf_dir).collect()
         }
         assert got == want
+
+
+class TestIndexAppend:
+    def test_appended_codes_are_valid_and_complete(self, spark, sf_dir):
+        """Every appended vector gets exactly PQ_M codes, each referencing
+        a real codeword and a real coarse list of the STAGED index."""
+        from pyspark.sql import functions as F
+
+        from data_transform_spark.io import load_table
+        from data_transform_spark.pipeline.similarity import (
+            IVF_K,
+            PQ_KS,
+            PQ_M,
+            _ivfpq_encode,
+            ivfpq_read_index,
+            ivfpq_stage_hist_index,
+        )
+
+        staged = ivfpq_stage_hist_index(spark, sf_dir)
+        cent, books, _codes = ivfpq_read_index(spark, staged)
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        batch = e.filter(F.col("vec_id") % 10 >= 8)
+        codes = _ivfpq_encode(batch, cent, books)
+        n_batch = batch.count()
+        assert codes.count() == n_batch * PQ_M
+        per_vec = codes.groupBy("vec_id").count().filter(f"count != {PQ_M}")
+        assert per_vec.count() == 0
+        bad = codes.filter(
+            (F.col("code") < 0)
+            | (F.col("code") >= PQ_KS)
+            | (F.col("list_id") < 0)
+            | (F.col("list_id") >= IVF_K)
+        )
+        assert bad.count() == 0
+
+    def test_append_key_summary(self, spark, sf_dir):
+        from data_transform_spark.io import load_table
+        from data_transform_spark.pipeline.similarity import PQ_M
+
+        row = QUERIES["sim_ann_index_append"](spark, sf_dir).collect()[0]
+        assert row["recall_ok"]
+        n = load_table(spark, sf_dir, "embeddings").count()
+        assert row["n_hist_codes"] + row["n_append_codes"] == n * PQ_M
+        assert row["n_append_codes"] > 0

@@ -867,3 +867,17 @@ def test_quality_nb_fit_stays_jvm_side_and_broadcasts_weights(spark, sf_dir):
     assert "EvalPython" not in p
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_index_append_plan_is_training_free(spark, sf_dir):
+    """The append path (encode-many after train-once) must contain ZERO
+    training stages: no md5 sample ranking, no Lloyd posexplode — only
+    the staged history index, the batch assignment scans and the query
+    path."""
+    from data_transform_spark.pipeline.similarity import ivfpq_stage_hist_index
+
+    ivfpq_stage_hist_index(spark, sf_dir)  # warm
+    p = plan_of(spark, "sim_ann_index_append", sf_dir)
+    assert "ivfpq_hist_" in p, "append path must scan the staged index"
+    assert "md5" not in p.lower(), "training sample leaked into append plan"
+    assert "posexplode" not in p.lower(), "Lloyd pass leaked into append plan"
