@@ -1045,3 +1045,32 @@ class TestIndexAppend:
         n = load_table(spark, sf_dir, "embeddings").count()
         assert row["n_hist_codes"] + row["n_append_codes"] == n * PQ_M
         assert row["n_append_codes"] > 0
+
+
+class TestStagedIndexHeal:
+    def test_markerless_corrupt_index_is_rebuilt(self, spark):
+        """A staged index that lost its completeness marker (crashed
+        publisher, partial copy) must be treated as corrupt and REBUILT on
+        the next call — the _stage_atomic heal path exercised end-to-end
+        on the real artifact, not a toy dir."""
+        import os
+        import shutil
+
+        from data_transform_spark.io import load_table
+        from data_transform_spark.pipeline.similarity import (
+            IVFPQ_INDEX_MARKER,
+            PQ_M,
+            ivfpq_stage_index,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        staged = ivfpq_stage_index(spark, sf)
+        # corrupt it: drop the marker AND one component table
+        os.remove(os.path.join(staged, IVFPQ_INDEX_MARKER))
+        shutil.rmtree(os.path.join(staged, "codes"))
+
+        healed = ivfpq_stage_index(spark, sf)
+        assert healed == staged
+        assert os.path.exists(os.path.join(staged, IVFPQ_INDEX_MARKER))
+        n = load_table(spark, sf, "embeddings").count()
+        assert spark.read.parquet(f"{staged}/codes").count() == n * PQ_M
