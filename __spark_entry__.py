@@ -60,6 +60,10 @@ def _wrap(fn: Callable) -> Callable[[SparkSession, str], DataFrame]:
 
 
 def _official_green() -> set[str]:
+    return set(_official_green_rounds())
+
+
+def _official_green_rounds() -> dict[str, int]:
     import glob
     import json
 
@@ -102,9 +106,9 @@ def _official_green() -> set[str]:
     # capped sweep must then re-check everything, not skip ~90 red keys as
     # "verified" (round-4 ADVICE).
     if not latest:
-        return set(_GREEN_FALLBACK)
+        return {key: 0 for key in _GREEN_FALLBACK}
     return {
-        key
+        key: rnd
         for key, (rnd, ok) in latest.items()
         if ok and rnd >= _CHANGED_IN_ROUND.get(key, -1)
     }
@@ -120,6 +124,10 @@ _CHANGED_IN_ROUND = {
     # (r9 VERDICT #4) — dims/stats now come from decoded pixels
     "multimodal_features": 10,
     "multimodal_resize": 10,
+    # round 11: digest composes hierarchically (256 content buckets ->
+    # bucket digests -> published md5) per r10 ADVICE — corpus_md5 values
+    # change; counts unchanged
+    "corpus_manifest": 11,
 }
 
 
@@ -202,7 +210,8 @@ _FAMILY_ORDER = [
 ]
 
 
-_GREEN_OFFICIAL = _official_green()
+_GREEN_ROUNDS = _official_green_rounds()
+_GREEN_OFFICIAL = set(_GREEN_ROUNDS)
 
 
 def _key_rounds() -> dict[str, int]:
@@ -244,7 +253,14 @@ def _sweep_rank(name: str) -> tuple:
     ins = list(QUERIES).index(name)
     pri = _SWEEP_RANK.get(name, len(_SWEEP_PRIORITY))
     rnd = _KEY_ROUNDS.get(name, _ROUND_UNKNOWN)
-    return (name in _GREEN_OFFICIAL, rnd, pri, fam, ins)
+    # Age-based re-verify tier (r10 VERDICT #5): unverified keys still lead
+    # (oldest registration round first — unchanged), but WITHIN the green
+    # block keys sort by how long ago the driver last certified them, so
+    # once new-key pressure eases, each capped sweep's spare slots rotate
+    # through the stalest green rows (r1-r3-era scans/joins) instead of a
+    # fixed registration-order tail.
+    green_rnd = _GREEN_ROUNDS.get(name, 0) if name in _GREEN_OFFICIAL else 0
+    return (name in _GREEN_OFFICIAL, green_rnd, rnd, pri, fam, ins)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

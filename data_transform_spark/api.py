@@ -148,12 +148,16 @@ def bpe_token_counts(words: DataFrame, merges, word_col: str = "word") -> DataFr
     return words.withColumn("n_bpe", F.size(F.split(F.trim(seq), "  ")))
 
 
-def ann_ivfpq_topk(embeddings: DataFrame) -> DataFrame:
+def ann_ivfpq_topk(embeddings: DataFrame, spark=None) -> DataFrame:
     """Composed IVF-PQ ANN (IVFADC): coarse-list pruning + residual PQ
     codes + exact re-rank. ``embeddings`` needs (vec_id, emb array<double>);
     queries are vec_id < N_QUERIES (see pipeline.similarity for the
     constants and the registered bound-checked key). Training fits on the
-    bounded md5-prefix sample; encoding covers the full frame."""
+    bounded md5-prefix sample; encoding covers the full frame.
+
+    ``spark`` is DEPRECATED and ignored (it was never used): kept for one
+    release so r9-era callers passing it positionally or by keyword don't
+    break (r10 ADVICE). It will be removed; pass only the frame."""
     from data_transform_spark.pipeline import similarity as _s
 
     cent, _assign, books, codes_l = _s._ivfpq_index(embeddings)

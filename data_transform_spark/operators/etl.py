@@ -453,17 +453,34 @@ def dq_psi_drift(spark, sf_dir):
 @register(
     "corpus_manifest",
     oracle="""
+    WITH h AS (
+        SELECT source, md5(text) AS h,
+               len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    b AS (
+        SELECT source, substring(h, 1, 2) AS bucket,
+               count(*) AS n_docs, sum(n_tok) AS n_tokens,
+               md5(string_agg(h, '' ORDER BY h)) AS bd
+        FROM h GROUP BY source, substring(h, 1, 2)
+    ),
+    ball AS (
+        SELECT substring(h, 1, 2) AS bucket,
+               count(*) AS n_docs, sum(n_tok) AS n_tokens,
+               md5(string_agg(h, '' ORDER BY h)) AS bd
+        FROM h GROUP BY substring(h, 1, 2)
+    )
     SELECT source,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
-           md5(string_agg(md5(text), '' ORDER BY md5(text))) AS corpus_md5
-    FROM documents GROUP BY source
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           md5(string_agg(bd, '' ORDER BY bucket)) AS corpus_md5
+    FROM b GROUP BY source
     UNION ALL
     SELECT '*' AS source,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
-           md5(string_agg(md5(text), '' ORDER BY md5(text))) AS corpus_md5
-    FROM documents
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           md5(string_agg(bd, '' ORDER BY bucket)) AS corpus_md5
+    FROM ball
     """,
 )
 def corpus_manifest(spark, sf_dir):
@@ -479,12 +496,19 @@ def corpus_manifest(spark, sf_dir):
     the precondition for trusting cached dedup stores, staged ANN
     indexes, or a resumed training job.
 
-    Plan: one scan (docs reduce to 32-byte digests immediately), one
-    source-keyed aggregate + one global aggregate. The collect_list here
-    is per-source at fixture scale; at 100 TB the same digest composes
-    hierarchically — md5 over sorted per-shard digests, each shard
-    digest built the same way — one extra aggregation level, same
-    invariances."""
+    The digest composes HIERARCHICALLY (r10 ADVICE): docs hash into 256
+    content-addressed buckets (first hex byte of the doc digest), each
+    bucket digests its sorted member digests, and the published digest is
+    md5 over the bucket digests in bucket order. No aggregation buffer
+    ever holds more than its bucket's 32-byte digests — per-group state
+    is O(n_docs/256), and the '*' whole-corpus row is a 256-row rollup of
+    bucket digests, never a corpus-sized list on one row. Bucketing is by
+    content, so order/reshard invariance and duplicate-awareness are
+    unchanged; at 100 TB you add more prefix levels, same invariances.
+
+    Plan: one scan (docs reduce to 32-byte digests immediately), a
+    (source, bucket)-keyed aggregate, then a source-keyed rollup of the
+    256 bucket digests (plus the same two levels globally for '*')."""
     d = load_table(spark, sf_dir, "documents").select(
         "source",
         F.md5("text").alias("h"),
@@ -492,11 +516,26 @@ def corpus_manifest(spark, sf_dir):
     )
 
     def roll(frame, src_col):
-        return frame.groupBy(src_col.alias("source")).agg(
+        buckets = frame.groupBy(
+            src_col.alias("source"), F.substring("h", 1, 2).alias("bucket")
+        ).agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_tok").cast("long").alias("n_tokens"),
             F.md5(
                 F.concat_ws("", F.array_sort(F.collect_list("h")))
+            ).alias("bd"),
+        )
+        return buckets.groupBy("source").agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("bucket", "bd"))),
+                        lambda x: x.bd,
+                    ),
+                )
             ).alias("corpus_md5"),
         )
 

@@ -297,8 +297,15 @@ def _persist_share(df):
 
 
 def _release_prior_shares() -> None:
+    # Best-effort: handles here are bound to the SparkSession that cached
+    # them — if that session was stopped and a new one started in the same
+    # process, unpersist raises on the dead SparkContext. The blocks died
+    # with their session, so swallowing is correct, not lossy (r10 ADVICE).
     while _E2E_PERSISTED:
-        _E2E_PERSISTED.pop().unpersist(False)
+        try:
+            _E2E_PERSISTED.pop().unpersist(False)
+        except Exception:
+            pass
 
 
 @register("pipeline_e2e_llm", oracle=_e2e_llm_oracle())

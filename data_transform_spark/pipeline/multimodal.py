@@ -355,3 +355,209 @@ def multimodal_frame_sample(spark, sf_dir):
     return src.mapInPandas(
         sample, "doc_id long, frame_idx long, frame_md5 string, frame_bytes long"
     )
+
+
+# --- perceptual image dedup (r10 VERDICT #2) ------------------------------
+
+PHASH_GRID = 8  # dHash grid: 8 rows x 9 sampled cols -> 64 bits
+PHASH_MAX_HAMMING = 3  # near-dup threshold (of 64 bits)
+PHASH_CHUNKS = 4  # pigeonhole: ham<=3 pairs agree on >=1 of 4 16-bit chunks
+PHASH_VARIANT_MOD = 5  # every 5th doc gets a perturbed near-dup variant
+
+
+def noise_image(doc_id: int, w: int, h: int) -> "np.ndarray":
+    """(h, w, 3) uint8 fixture image whose pixel (r, c, k) is byte k of
+    md5(f'img:{doc_id}:{r}:{c}') — per-pixel md5 noise, so (a) dHash bits
+    are balanced fair coins (the banding join stays uniform, unlike the
+    gradient synth_image whose monotone rows would concentrate chunk
+    buckets) and (b) the DuckDB twin recomputes any SAMPLED position's
+    gray value from the same md5 rule without decoding bytes."""
+    img = np.empty((h, w, 3), dtype=np.uint8)
+    for r in range(h):
+        for c in range(w):
+            dg = hashlib.md5(f"img:{doc_id}:{r}:{c}".encode()).digest()
+            img[r, c, 0] = dg[0]
+            img[r, c, 1] = dg[1]
+            img[r, c, 2] = dg[2]
+    return img
+
+
+def dhash64(img: "np.ndarray") -> int:
+    """Difference hash of a decoded (h, w, 3) image: integer gray
+    (r+g+b)//3, nearest-neighbor sample to an 8x9 grid (src = (i*dim)//n,
+    the resize_nearest index map), bit(r, c) = gray(r, c) > gray(r, c+1),
+    packed little-endian into a SIGNED 64-bit int (Spark LongType carries
+    the bit pattern; hamming via bit_count(xor) is sign-agnostic)."""
+    g = img.astype(np.int64).sum(axis=2) // 3
+    h, w = g.shape
+    rows = (np.arange(PHASH_GRID, dtype=np.int64) * h) // PHASH_GRID
+    cols = (np.arange(PHASH_GRID + 1, dtype=np.int64) * w) // (PHASH_GRID + 1)
+    gs = g[rows][:, cols]
+    bits = (gs[:, :PHASH_GRID] > gs[:, 1:]).reshape(-1).astype(np.uint64)
+    fp = int((bits << np.arange(64, dtype=np.uint64)).sum())
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
+def _phash_gray_sql(delta: str) -> str:
+    """Analytic gray value at sampled grid cell (r, c): the md5-noise rule
+    composed with the integer index maps — b0 carries the variant's +delta
+    perturbation (mod 256), exactly like the planted pixel array."""
+    key = "'img:' || doc_id || ':' || ((r * h) // 8) || ':' || ((c * w) // 9)"
+    b = [
+        f"CAST(('0x' || substring(md5({key}), {1 + 2 * k}, 2)) AS BIGINT)"
+        for k in range(3)
+    ]
+    return f"((({b[0]} + {delta}) % 256 + {b[1]} + {b[2]}) // 3)"
+
+
+@register(
+    "dedup_image_phash",
+    oracle=f"""
+    WITH meta AS ({_BMP_META_SQL}),
+    imgs AS (
+        SELECT doc_id, doc_id * 2 AS img_id, w, h, 0 AS delta FROM meta
+        UNION ALL
+        SELECT doc_id, doc_id * 2 + 1, w, h, 1 FROM meta
+        WHERE doc_id % {PHASH_VARIANT_MOD} = 0
+    ),
+    cells AS (
+        SELECT img_id, r.r AS r, c.c AS c,
+               {_phash_gray_sql("delta")} AS gray
+        FROM imgs,
+             unnest(generate_series(0, {PHASH_GRID - 1})) AS r(r),
+             unnest(generate_series(0, {PHASH_GRID})) AS c(c)
+    ),
+    bits AS (
+        SELECT a.img_id, a.r * 8 + a.c AS idx,
+               CASE WHEN a.gray > b.gray THEN '1' ELSE '0' END AS bit
+        FROM cells a JOIN cells b
+          ON a.img_id = b.img_id AND a.r = b.r AND b.c = a.c + 1
+        WHERE a.c < {PHASH_GRID}
+    ),
+    fp AS (
+        SELECT img_id, string_agg(bit, '' ORDER BY idx) AS f
+        FROM bits GROUP BY img_id
+    )
+    SELECT a.img_id AS img_a, b.img_id AS img_b,
+           CAST(hamming(a.f, b.f) AS BIGINT) AS hamming,
+           a.img_id // 2 = b.img_id // 2 AS same_doc
+    FROM fp a JOIN fp b ON a.img_id < b.img_id
+    WHERE hamming(a.f, b.f) <= {PHASH_MAX_HAMMING}
+    """,
+)
+def dedup_image_phash(spark, sf_dir):
+    """Perceptual near-dup IMAGE dedup (r10 VERDICT #2) — the one dedup
+    modality the text ladder didn't cover: decode every image payload with
+    the real pure-numpy BMP codec, fingerprint it with a 64-bit dHash
+    (integer gray, 8x9 nearest-neighbor grid, adjacent-column comparisons
+    — the standard perceptual hash), and emit all pairs within hamming
+    <= {PHASH_MAX_HAMMING}, found via the dedup_simhash pigeonhole: pairs
+    that close must agree on >= 1 of 4 16-bit chunks, so candidate
+    generation is a (chunk, value)-keyed equi-join with EXACT recall 1.0
+    (pigeonhole principle, property-tested vs brute force) — never
+    all-pairs.
+
+    Fixture planting: each doc's image is per-pixel md5 noise (dims from
+    the doc's md5, the synth_image rule); every {PHASH_VARIANT_MOD}th doc
+    also contributes a VARIANT copy with channel 0 shifted +1 mod 256 — a
+    perturbation that leaves most dHash comparisons unchanged (both sides
+    of each adjacent-gray comparison shift together) but deterministically
+    flips a few bits at near-tie and wrap cells, yielding planted pairs
+    with hamming 0..{PHASH_MAX_HAMMING} plus deterministic exclusions
+    beyond it. The DuckDB twin replays gray values at the 72 sampled grid
+    positions analytically from the md5 rule (never decoding bytes) and
+    checks ALL pairs, so the hash certifies both the codec-fed dHash and
+    the banding recall.
+
+    Scale shape: fingerprints are one mapInPandas corpus scan (decode +
+    72-cell sample, same pass a thumbnail stage already pays); banding is
+    the dedup_simhash posture — md5-noise grays make the 16-bit chunk
+    buckets uniform, so bucket load is n²/2^16 per chunk (skew-free); at
+    larger corpora you widen chunks / add bits exactly as for simhash,
+    trading the pigeonhole guarantee's threshold against bucket size."""
+    d = load_table(spark, sf_dir, "documents")
+    return phash_pairs(phash_fingerprints(d))
+
+
+def phash_fingerprints(docs):
+    """(img_id, phash) over the fixture image corpus: base image per doc
+    plus the planted variant every PHASH_VARIANT_MOD-th doc, each round-
+    tripped through the real BMP codec before hashing."""
+    src = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+    def fingerprint(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                dg = hashlib.md5(bytes(p)).digest()
+                w, h = 8 + dg[0] % 24, 8 + dg[1] % 24
+                base = noise_image(int(doc_id), w, h)
+                fp = dhash64(decode_bmp(encode_bmp(base)))
+                rows.append((int(doc_id) * 2, fp))
+                if doc_id % PHASH_VARIANT_MOD == 0:
+                    var = base.copy()
+                    var[:, :, 0] = (
+                        (var[:, :, 0].astype(np.int64) + 1) % 256
+                    ).astype(np.uint8)
+                    rows.append(
+                        (int(doc_id) * 2 + 1, dhash64(decode_bmp(encode_bmp(var))))
+                    )
+            yield pd.DataFrame(rows, columns=["img_id", "phash"])
+
+    return src.mapInPandas(fingerprint, "img_id long, phash long")
+
+
+def phash_pairs(fp):
+    """All (img_a < img_b) pairs within PHASH_MAX_HAMMING over an
+    (img_id, phash) frame — candidates from the 16-bit-chunk pigeonhole
+    equi-join (exact recall 1.0), verified by bit_count(xor)."""
+    chunks = fp.select(
+        "img_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned("phash", c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for c in range(PHASH_CHUNKS)
+                ]
+            )
+        ).alias("cc"),
+    ).select(
+        "img_id", "phash",
+        F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.img_id") < F.col("b.img_id")),
+        )
+        .select(
+            F.col("a.img_id").alias("img_a"),
+            F.col("b.img_id").alias("img_b"),
+            F.col("a.phash").alias("fp_a"),
+            F.col("b.phash").alias("fp_b"),
+        )
+        .dropDuplicates(["img_a", "img_b"])
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("long")
+    return (
+        cand.select(
+            "img_a",
+            "img_b",
+            hamming.alias("hamming"),
+            (F.floor(F.col("img_a") / 2) == F.floor(F.col("img_b") / 2)).alias(
+                "same_doc"
+            ),
+        )
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .orderBy("img_a", "img_b")
+    )

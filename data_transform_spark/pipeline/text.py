@@ -700,21 +700,23 @@ def pii_scrub(planted):
     frame: typed placeholder replacement in fixed order (email -> phone ->
     IP), per-type counts, cleaned length/md5, all_clean post-condition.
     Works identically on batch and STREAMING frames (pure projections, no
-    state) — the property the streaming twin leans on."""
-    clean = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>"),
-            PII_PHONE_RE,
-            "<PHONE>",
-        ),
-        PII_IP_RE,
-        "<IP>",
-    )
+    state) — the property the streaming twin leans on.
+
+    Counting is PROGRESSIVE, mirroring the sequential replacement order:
+    emails are counted on the raw text, phones on the email-scrubbed text,
+    IPs on the phone-scrubbed text. A span matched by an earlier pattern
+    can therefore never be double-counted by a later one — the audit counts
+    equal the number of replacements actually performed, for arbitrary
+    (overlap-prone) inputs via api.pii_scrub_text, not just the fixture's
+    disjoint planted spans (r10 ADVICE)."""
+    after_email = F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>")
+    after_phone = F.regexp_replace(after_email, F.lit(PII_PHONE_RE), F.lit("<PHONE>"))
+    clean = F.regexp_replace(after_phone, F.lit(PII_IP_RE), F.lit("<IP>"))
     scrubbed = planted.select(
         "doc_id",
         F.regexp_count("text", F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
-        F.regexp_count("text", F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
-        F.regexp_count("text", F.lit(PII_IP_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(after_email, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(after_phone, F.lit(PII_IP_RE)).cast("long").alias("n_ips"),
         F.length("text").cast("long").alias("planted_len"),
         clean.alias("clean"),
     )
@@ -754,21 +756,32 @@ PII_SCRUB_ORACLE = f"""
                        ELSE '' END AS text
         FROM documents
     ),
+    staged AS (
+        -- progressive counting (matches the Spark path): each type is
+        -- counted on the text AFTER earlier types were replaced, so an
+        -- overlapping span is only ever attributed to the pattern that
+        -- actually consumed it (r10 ADVICE)
+        SELECT doc_id, text,
+               regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g')
+                   AS after_email
+        FROM planted
+    ),
+    staged2 AS (
+        SELECT *, regexp_replace(after_email, '{PII_PHONE_RE}', '<PHONE>', 'g')
+                   AS after_phone
+        FROM staged
+    ),
     scrubbed AS (
         SELECT doc_id,
                CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT)
                    AS n_emails,
-               CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS BIGINT)
+               CAST(len(regexp_extract_all(after_email, '{PII_PHONE_RE}')) AS BIGINT)
                    AS n_phones,
-               CAST(len(regexp_extract_all(text, '{PII_IP_RE}')) AS BIGINT)
+               CAST(len(regexp_extract_all(after_phone, '{PII_IP_RE}')) AS BIGINT)
                    AS n_ips,
                CAST(length(text) AS BIGINT) AS planted_len,
-               regexp_replace(
-                   regexp_replace(
-                       regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
-                       '{PII_PHONE_RE}', '<PHONE>', 'g'),
-                   '{PII_IP_RE}', '<IP>', 'g') AS clean
-        FROM planted
+               regexp_replace(after_phone, '{PII_IP_RE}', '<IP>', 'g') AS clean
+        FROM staged2
     )
     SELECT doc_id, n_emails, n_phones, n_ips, planted_len,
            CAST(length(clean) AS BIGINT) AS clean_len,

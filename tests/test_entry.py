@@ -254,3 +254,18 @@ class TestKeyRoundDerivation:
         add_keys("k1", "k2")
         commit("plain commit, no boundary")
         assert self._derive(repo) == {"k1": 1, "k2": 1}
+
+
+def test_sweep_green_block_recertifies_oldest_first():
+    """r10 VERDICT #5: 292 keys had no driver row since their registering
+    round because green keys kept a fixed order past the 50-key cap. Within
+    the green block, last-certified round must be non-decreasing so spare
+    sweep slots rotate through the stalest certifications first."""
+    ordered = list(entry_mod.queries())
+    green = entry_mod._GREEN_OFFICIAL
+    green_tail = [n for n in ordered if n in green]
+    rounds = [entry_mod._GREEN_ROUNDS[n] for n in green_tail]
+    assert rounds == sorted(rounds), (
+        "green keys must sort oldest-certification-first; violations near: "
+        f"{[n for n, a, b in zip(green_tail, rounds, sorted(rounds)) if a != b][:5]}"
+    )

@@ -1074,3 +1074,56 @@ class TestStagedIndexHeal:
         assert os.path.exists(os.path.join(staged, IVFPQ_INDEX_MARKER))
         n = load_table(spark, sf, "embeddings").count()
         assert spark.read.parquet(f"{staged}/codes").count() == n * PQ_M
+
+
+class TestImagePhash:
+    def test_banding_recall_exactly_one(self, spark, sf_dir):
+        """Pigeonhole guarantee: the (chunk, value)-keyed candidate join
+        must recover EVERY pair within PHASH_MAX_HAMMING — compare the
+        registered key's pairs against brute-force hamming over all
+        collected fingerprints (r10 VERDICT #2 done-condition)."""
+        from itertools import combinations
+
+        from data_transform_spark.io import load_table
+        from data_transform_spark.pipeline.multimodal import (
+            PHASH_MAX_HAMMING,
+            phash_fingerprints,
+        )
+
+        fps = {
+            r["img_id"]: r["phash"] & ((1 << 64) - 1)
+            for r in phash_fingerprints(
+                load_table(spark, sf_dir, "documents")
+            ).collect()
+        }
+        want = {
+            (a, b)
+            for a, b in combinations(sorted(fps), 2)
+            if bin(fps[a] ^ fps[b]).count("1") <= PHASH_MAX_HAMMING
+        }
+        got = {
+            (r["img_a"], r["img_b"])
+            for r in QUERIES["dedup_image_phash"](spark, sf_dir).collect()
+        }
+        assert want, "fixture planted no near-dup image pairs"
+        assert got == want
+
+    def test_dhash_stable_under_codec_roundtrip_and_planted_variant(self, spark):
+        """dHash of a decoded image equals dHash of the raw array (codec
+        round-trip is lossless), and the planted +1-on-channel-0 variant
+        stays within the near-dup threshold for a typical image."""
+        from data_transform_spark.pipeline.multimodal import (
+            decode_bmp,
+            dhash64,
+            encode_bmp,
+            noise_image,
+        )
+
+        img = noise_image(12345, 20, 17)
+        assert dhash64(decode_bmp(encode_bmp(img))) == dhash64(img)
+        var = img.copy()
+        var[:, :, 0] = ((var[:, :, 0].astype("int64") + 1) % 256).astype("uint8")
+        ham = bin(
+            (dhash64(img) ^ dhash64(var)) & ((1 << 64) - 1)
+        ).count("1")
+        assert ham <= 6  # near-tie/wrap flips only — stays near-dup-close
