@@ -1676,9 +1676,10 @@ def _digest_jaccard_of_pairs(cand, sh_a, sh_b):
     )
 
 
-@register(
-    "dedup_minhash_incr",
-    oracle=f"""
+# Shared with the streaming twin (stream_dedup_incr): batch == stream by
+# the Structured Streaming guarantee, and the discovered pair set is
+# convergent under ANY micro-batch slicing (see streaming/ops.py).
+MINHASH_INCR_ORACLE = f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     sh AS (
         SELECT DISTINCT doc_id,
@@ -1703,8 +1704,10 @@ def _digest_jaccard_of_pairs(cand, sh_a, sh_b):
     SELECT doc_a, doc_b, jaccard FROM exact_pairs
     WHERE NOT (doc_a % 10 < 8 AND doc_b % 10 < 8)
     ORDER BY doc_a, doc_b
-    """,
-)
+    """
+
+
+@register("dedup_minhash_incr", oracle=MINHASH_INCR_ORACLE)
 def dedup_minhash_incr(spark, sf_dir):
     """Incremental MinHash near-dup: every near-dup pair INVOLVING the new
     batch — batch-vs-history via a band join against the staged store,

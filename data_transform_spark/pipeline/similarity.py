@@ -1581,3 +1581,222 @@ def sim_ann_index_append(spark, sf_dir):
         F.lit(PQ_M * PQ_KS).cast("long").alias("codebook_rows"),
         F.lit(IVF_K).cast("long").alias("n_lists"),
     )
+
+
+# --- index compaction + staleness (r10 VERDICT #3) ------------------------
+
+ANN_RETRAIN_RATIO = 1.5  # append-vs-history residual-energy ratio budget
+ANN_COMPACT_BATCH_MODS = (8, 9)  # the two nightly append batches (%10)
+
+
+def ivfpq_appends_dir(sf_dir: str) -> str:
+    """Staged location of the N appended code batches (one subdir per
+    batch) — the accumulation a nightly encode-only job leaves behind."""
+    import os
+
+    from data_transform_spark.io import path_of
+    from data_transform_spark.operators.scans import SCRATCH, _path_fingerprint
+
+    src = path_of(sf_dir, "embeddings")
+    return (
+        f"{SCRATCH}/ivfpq_appends_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{_path_fingerprint(src)}"
+    )
+
+
+def ivfpq_stage_appends(spark, sf_dir) -> str:
+    """Encode-only append of each batch against the staged HISTORY index
+    (zero Lloyd passes), one parquet subdir per batch — N invocations of
+    the sim_ann_index_append contract accumulated on disk."""
+    import os
+
+    from data_transform_spark.operators.scans import _stage_atomic
+
+    hist_staged = ivfpq_stage_hist_index(spark, sf_dir)
+    staged = ivfpq_appends_dir(sf_dir)
+    if not os.path.exists(os.path.join(staged, IVFPQ_INDEX_MARKER)):
+        cent, books, _codes_hist = ivfpq_read_index(spark, hist_staged)
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+
+        def _build(tmp: str) -> None:
+            for mod in ANN_COMPACT_BATCH_MODS:
+                batch = e.filter(F.col("vec_id") % 10 == mod)
+                _ivfpq_encode(batch, cent, books).write.parquet(
+                    f"{tmp}/batch-{mod}"
+                )
+            with open(os.path.join(tmp, IVFPQ_INDEX_MARKER), "w") as fh:
+                fh.write("ok")
+
+        _stage_atomic(staged, _build, marker=IVFPQ_INDEX_MARKER)
+    return staged
+
+
+def ivfpq_compact_dir(sf_dir: str) -> str:
+    import os
+
+    from data_transform_spark.io import path_of
+    from data_transform_spark.operators.scans import SCRATCH, _path_fingerprint
+
+    src = path_of(sf_dir, "embeddings")
+    return (
+        f"{SCRATCH}/ivfpq_compact_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{_path_fingerprint(src)}"
+    )
+
+
+def ivfpq_stage_compact(spark, sf_dir) -> str:
+    """Merge the history codes + every appended batch into ONE serving
+    artifact: a single codes dataset repartitioned by list_id (ADC-scan
+    locality — probing a list reads contiguous files, not one sliver per
+    append), with the centroids/codebooks carried over unchanged (a
+    compaction never retrains). Atomic staging, same marker discipline as
+    the index builds."""
+    import os
+
+    from data_transform_spark.operators.scans import _stage_atomic
+
+    hist_staged = ivfpq_stage_hist_index(spark, sf_dir)
+    appends = ivfpq_stage_appends(spark, sf_dir)
+    staged = ivfpq_compact_dir(sf_dir)
+    if not os.path.exists(os.path.join(staged, IVFPQ_INDEX_MARKER)):
+        cent, books, codes_hist = ivfpq_read_index(spark, hist_staged)
+        merged = codes_hist
+        for mod in ANN_COMPACT_BATCH_MODS:
+            batch_codes = spark.read.parquet(f"{appends}/batch-{mod}")
+            merged = merged.unionByName(batch_codes.select(*codes_hist.columns))
+
+        def _build(tmp: str) -> None:
+            cent.write.parquet(f"{tmp}/centroids")
+            books.write.parquet(f"{tmp}/codebooks")
+            # (list_id, m): list-local file layout for probed scans WITHOUT
+            # the IVF_K-wide partition skew plain list_id keying would give
+            # a 100 TB codes table (16 lists -> 16 giant partitions)
+            merged.repartition("list_id", "m").write.parquet(f"{tmp}/codes")
+            with open(os.path.join(tmp, IVFPQ_INDEX_MARKER), "w") as fh:
+                fh.write("ok")
+
+        _stage_atomic(staged, _build, marker=IVFPQ_INDEX_MARKER)
+    return staged
+
+
+@register(
+    "sim_ann_index_compact",
+    oracle=f"""
+    SELECT CAST({N_QUERIES * TOPK} AS BIGINT) AS n_results,
+           CAST({N_QUERIES} AS BIGINT) AS n_queries,
+           TRUE AS recall_ok,
+           CAST((SELECT count(*) FROM embeddings) * {PQ_M} AS BIGINT)
+               AS n_compact_codes,
+           CAST({len(ANN_COMPACT_BATCH_MODS)} AS BIGINT) AS n_batches_merged,
+           TRUE AS compact_equals_merged,
+           TRUE AS drift_within_budget
+    """,
+)
+def sim_ann_index_compact(spark, sf_dir):
+    """Index maintenance beyond one append (r10 VERDICT #3): N appended
+    code batches accumulate next to the history index (staged here as two
+    encode-only nightly batches, %10==8 and %10==9); compaction merges
+    them into ONE staged serving artifact — a single codes dataset
+    repartitioned by list_id, centroids/codebooks unchanged — and the
+    STALENESS metric decides when append stops being enough.
+
+    The summary row pins, from the staged artifacts themselves:
+    - n_compact_codes: the compacted codes table holds exactly corpus x M
+      rows — nothing lost or duplicated by the merge;
+    - compact_equals_merged: the compacted table equals the history ∪
+      appends union EXACTLY (exceptAll both directions, counted in-plan)
+      — compaction is a layout change, never a content change;
+    - recall_ok: serving from the compacted artifact clears the family's
+      0.45 floor vs exact top-5 (same index content as
+      sim_ann_index_append: measured 0.73/0.69/0.66);
+    - drift_within_budget: the retrain trigger — mean squared coarse
+      residual of APPENDED vectors vs HISTORY vectors, ratio <=
+      {ANN_RETRAIN_RATIO}. Appends drawn from the training distribution
+      sit near 1.0; a drifted crawl inflates appended residual energy
+      (the centroids no longer explain it) and trips the budget, which is
+      the signal to retrain rather than keep appending.
+
+    100 TB shape: compaction reads/writes only the 64x-compressed codes
+    (the single corpus-sized artifact), one list_id-keyed shuffle; the
+    staleness probe is one assignment scan over the appended slice — both
+    are the nightly maintenance cost, and historical raw vectors are
+    never re-read."""
+    staged = ivfpq_stage_compact(spark, sf_dir)
+    appends = ivfpq_stage_appends(spark, sf_dir)
+    hist_staged = ivfpq_stage_hist_index(spark, sf_dir)
+    cent, books, codes_hist = ivfpq_read_index(spark, hist_staged)
+    compact_codes = spark.read.parquet(f"{staged}/codes")
+    merged = codes_hist
+    for mod in ANN_COMPACT_BATCH_MODS:
+        merged = merged.unionByName(
+            spark.read.parquet(f"{appends}/batch-{mod}").select(
+                *codes_hist.columns
+            )
+        )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    summary = _ann_recall_summary(
+        _ivfpq_topk(e, cent, books, compact_codes),
+        sim_topk_bruteforce(spark, sf_dir),
+        0.45,
+    )
+    cols = codes_hist.columns
+    diff = (
+        compact_codes.select(*cols)
+        .exceptAll(merged.select(*cols))
+        .agg(F.count(F.lit(1)).alias("d1"))
+        .crossJoin(
+            merged.select(*cols)
+            .exceptAll(compact_codes.select(*cols))
+            .agg(F.count(F.lit(1)).alias("d2"))
+        )
+        .select(((F.col("d1") + F.col("d2")) == 0).alias("compact_equals_merged"))
+    )
+    shape = compact_codes.agg(F.count(F.lit(1)).alias("n_compact_codes"))
+
+    # staleness: mean squared coarse residual, appended vs history slices,
+    # assignments read from the compacted codes (one distinct per vec)
+    assign = compact_codes.select("vec_id", "list_id").distinct()
+    cl = cent.select(F.col("c_id").alias("list_id"), "c_emb")
+    rsq = F.aggregate(
+        F.zip_with("emb", "c_emb", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    energy = (
+        e.join(assign, "vec_id")
+        .join(F.broadcast(cl), "list_id")
+        .select((F.col("vec_id") % 10 >= 8).alias("is_append"), rsq.alias("r2"))
+        .groupBy("is_append")
+        .agg(F.avg("r2").alias("mean_r2"))
+    )
+    drift = (
+        energy.groupBy()
+        .pivot("is_append", [False, True])
+        .agg(F.first("mean_r2"))
+        .select(
+            (F.col("true") <= ANN_RETRAIN_RATIO * F.col("false")).alias(
+                "drift_within_budget"
+            )
+        )
+    )
+    return (
+        summary.crossJoin(F.broadcast(shape))
+        .crossJoin(F.broadcast(diff))
+        .crossJoin(F.broadcast(drift))
+        .select(
+            "n_results",
+            "n_queries",
+            "recall_ok",
+            F.col("n_compact_codes").cast("long").alias("n_compact_codes"),
+            F.lit(len(ANN_COMPACT_BATCH_MODS)).cast("long").alias(
+                "n_batches_merged"
+            ),
+            "compact_equals_merged",
+            "drift_within_budget",
+        )
+    )

@@ -23,9 +23,10 @@ import uuid
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from data_transform_spark.io import normalize_event_ts, path_of
+from data_transform_spark.io import load_table, normalize_event_ts, path_of
 from data_transform_spark.operators.events import _SESSION_MOTIF_ORACLE
 from data_transform_spark.operators.scans import SCRATCH
+from data_transform_spark.pipeline.dedup import MINHASH_INCR_ORACLE
 from data_transform_spark.pipeline.text import PII_SCRUB_ORACLE, pii_plant, pii_scrub
 from data_transform_spark.registry import register
 
@@ -580,3 +581,129 @@ def stream_pii_scrub(spark, sf_dir):
     key carries the batch twin's full hash oracle."""
     docs = docs_stream(spark, sf_dir).select("doc_id", "text")
     return run_to_memory(pii_scrub(pii_plant(docs)), "append")
+
+
+@register("stream_dedup_incr", oracle=MINHASH_INCR_ORACLE)
+def stream_dedup_incr(spark, sf_dir):
+    """STREAMING incremental MinHash near-dup (r10 VERDICT #4): the
+    dedup_minhash_incr store maintained by a document stream — crawl
+    batches land as files, and each micro-batch's foreachBatch pass (a)
+    finds every near-dup pair the batch introduces (batch-vs-store via
+    the band-keyed join, batch-vs-batch via the self-join, exact digest-
+    jaccard verification), then (b) appends the batch's band rows +
+    shingle digests to the store. Historical text is never re-read.
+
+    Exactly-once discipline (the stream_upsert_sink lesson, store-tier):
+    every write in the foreachBatch body targets a batch-{id} subdir with
+    mode("overwrite"), so a replayed batch overwrites its own output
+    idempotently; and the store READ inside the body lists subdirs
+    explicitly, EXCLUDING batch ids >= the current one — a replay
+    therefore never sees its own half-appended rows and can never pair a
+    batch's docs against themselves through the store (which would
+    duplicate every intra-batch pair as a cross pair).
+
+    Convergent under ANY micro-batch slicing: a pair is discovered
+    exactly once, in the batch where its LATER doc arrives (the earlier
+    doc's rows are already in the store), so the union of per-batch pair
+    outputs equals the batch twin's answer whatever AvailableNow does —
+    asserted against dedup_minhash_incr row-for-row in the parity test,
+    and the post-stream store equals the batch-maintained store. The key
+    therefore carries the batch twin's FULL hash oracle (the
+    stream_session_motif precedent): same pair identity, same digest-
+    jaccard expression, so the value hash matches whatever the slicing.
+
+    100 TB shape: identical to dedup_minhash_incr per batch — the store
+    join is the only store-scaled stage and is the layout the store would
+    be bucketed by; batch work scales with the batch. The store grows by
+    24 band rows + ~32 B/shingle per doc, exactly what the nightly
+    example (examples/incremental_refresh.py) provisions."""
+    run = f"{SCRATCH}/stream_minhash_{uuid.uuid4().hex[:8]}"
+    return run_stream_dedup_incr(spark, sf_dir, run)
+
+
+def run_stream_dedup_incr(spark, sf_dir, run: str):
+    """stream_dedup_incr's body with an explicit run directory, so tests
+    can inspect the post-stream store (bands/shingles subdirs) alongside
+    the returned pairs."""
+    from data_transform_spark.pipeline.dedup import (
+        MINHASH_EXACT_TAU,
+        _digest_jaccard_of_pairs,
+        _shingle_digests,
+        _sig_bands,
+        minhash_signatures,
+        minhash_stage_store,
+    )
+
+    hist_staged = minhash_stage_store(spark, sf_dir)
+    bands_dir, sh_dir = f"{run}/bands", f"{run}/shingles"
+    pairs_dir, input_dir = f"{run}/pairs", f"{run}/input"
+    os.makedirs(pairs_dir)
+    shutil.copytree(f"{hist_staged}/bands", f"{bands_dir}/base")
+    shutil.copytree(f"{hist_staged}/shingles", f"{sh_dir}/base")
+
+    # the arriving crawl: the batch partition staged as 4 files, drained
+    # 2 files per trigger -> at least two micro-batches cross the store
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 >= 8
+    )
+    docs.repartition(4).write.parquet(input_dir)
+    schema = spark.read.parquet(input_dir).schema
+
+    def _prior(d: str, batch_id: int) -> list[str]:
+        return [
+            os.path.join(d, name)
+            for name in sorted(os.listdir(d))
+            if name == "base"
+            or (name.startswith("batch-") and int(name.rsplit("-", 1)[1]) < batch_id)
+        ]
+
+    def process(batch_df, batch_id: int):
+        s = batch_df.sparkSession
+        bands_b = _sig_bands(minhash_signatures(batch_df))
+        sh_b = _shingle_digests(batch_df)
+        store_bands = s.read.parquet(*_prior(bands_dir, batch_id))
+        store_sh = s.read.parquet(*_prior(sh_dir, batch_id))
+        h, n = store_bands.alias("h"), bands_b.alias("n")
+        cross = (
+            h.join(
+                n,
+                (F.col("h.band") == F.col("n.band"))
+                & (F.col("h.bucket") == F.col("n.bucket")),
+            )
+            .select(
+                F.least(F.col("h.doc_id"), F.col("n.doc_id")).alias("doc_a"),
+                F.greatest(F.col("h.doc_id"), F.col("n.doc_id")).alias("doc_b"),
+            )
+        )
+        a, b = bands_b.alias("a"), bands_b.alias("b")
+        intra = a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        cand = cross.unionByName(intra).dropDuplicates(["doc_a", "doc_b"])
+        sh_all = store_sh.unionByName(sh_b)
+        pairs = _digest_jaccard_of_pairs(cand, sh_all, sh_all).filter(
+            F.col("jaccard") >= MINHASH_EXACT_TAU
+        )
+        # pairs FIRST (reads only prior store state), appends LAST: a crash
+        # between the two replays the whole batch idempotently
+        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch-{batch_id}")
+        bands_b.write.mode("overwrite").parquet(f"{bands_dir}/batch-{batch_id}")
+        sh_b.write.mode("overwrite").parquet(f"{sh_dir}/batch-{batch_id}")
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(input_dir)
+        .writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(pairs_dir)
+        .orderBy("doc_a", "doc_b")
+    )

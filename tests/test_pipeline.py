@@ -1127,3 +1127,93 @@ class TestImagePhash:
             (dhash64(img) ^ dhash64(var)) & ((1 << 64) - 1)
         ).count("1")
         assert ham <= 6  # near-tie/wrap flips only — stays near-dup-close
+
+
+class TestAnnIndexCompact:
+    def test_compacted_topk_equals_merged_query_path(self, spark, sf_dir):
+        """Compaction is a layout change only: serving top-k from the
+        compacted single-artifact codes must return EXACTLY the rows the
+        N-way merged query path (history ∪ staged appends) returns
+        (r10 VERDICT #3 done-condition)."""
+        from data_transform_spark.io import load_table
+        from data_transform_spark.pipeline.similarity import (
+            ANN_COMPACT_BATCH_MODS,
+            _ivfpq_topk,
+            ivfpq_read_index,
+            ivfpq_stage_appends,
+            ivfpq_stage_compact,
+            ivfpq_stage_hist_index,
+        )
+        import pyspark.sql.functions as F
+
+        compact = ivfpq_stage_compact(spark, sf_dir)
+        appends = ivfpq_stage_appends(spark, sf_dir)
+        hist = ivfpq_stage_hist_index(spark, sf_dir)
+        cent, books, codes_hist = ivfpq_read_index(spark, hist)
+        merged = codes_hist
+        for mod in ANN_COMPACT_BATCH_MODS:
+            merged = merged.unionByName(
+                spark.read.parquet(f"{appends}/batch-{mod}").select(
+                    *codes_hist.columns
+                )
+            )
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        cc = spark.read.parquet(f"{compact}/codes")
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in _ivfpq_topk(e, cent, books, cc).collect()
+        }
+        want = {
+            (r["query_id"], r["neighbor_id"])
+            for r in _ivfpq_topk(e, cent, books, merged).collect()
+        }
+        assert got and got == want
+
+    def test_staleness_trips_on_drifted_appends(self, spark, sf_dir):
+        """The retrain trigger must FIRE when appended vectors drift away
+        from the training distribution: scaling the append slice 4x
+        inflates its coarse residual energy past ANN_RETRAIN_RATIO."""
+        from data_transform_spark.io import load_table
+        from data_transform_spark.pipeline.similarity import (
+            ANN_RETRAIN_RATIO,
+            _nearest_centroid,
+            ivfpq_read_index,
+            ivfpq_stage_hist_index,
+        )
+        import pyspark.sql.functions as F
+
+        hist = ivfpq_stage_hist_index(spark, sf_dir)
+        cent, _books, _codes = ivfpq_read_index(spark, hist)
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        drifted = e.select(
+            "vec_id",
+            F.when(
+                F.col("vec_id") % 10 >= 8,
+                F.transform("emb", lambda x: x * 4.0),
+            )
+            .otherwise(F.col("emb"))
+            .alias("emb"),
+        )
+        assign = _nearest_centroid(drifted, cent, "vec_id", "list_id")
+        cl = cent.select(F.col("c_id").alias("list_id"), "c_emb")
+        rsq = F.aggregate(
+            F.zip_with("emb", "c_emb", lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+        rows = (
+            drifted.join(assign, "vec_id")
+            .join(F.broadcast(cl), "list_id")
+            .select(
+                (F.col("vec_id") % 10 >= 8).alias("is_append"), rsq.alias("r2")
+            )
+            .groupBy("is_append")
+            .agg(F.avg("r2").alias("m"))
+            .collect()
+        )
+        mean = {r["is_append"]: r["m"] for r in rows}
+        assert mean[True] > ANN_RETRAIN_RATIO * mean[False]
