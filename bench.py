@@ -105,6 +105,14 @@ OPTIONAL = [
     # the entire 7-stage curation pipeline in one job — either would eat
     # half the bench wall budget for one row (the graph_pagerank_conv
     # precedent; measured medians recorded in SCALING.md "Round-9").
+    # Round-11 exclusions for the same budget reason (measured medians in
+    # SCALING.md "Round-11"): pipeline_e2e_llm_v3 (~65 s, supersets v2),
+    # dedup_image_phash (~17 s, dominated by per-pixel fixture synthesis
+    # in Python, not operator cost), sim_ann_index_compact (~19 s/fresh
+    # process: serve + content-diff + staleness over staged artifacts;
+    # sim_ann_persist above times the shared warm serve path), and
+    # stream_dedup_incr (~19 s: streaming harness + per-batch store
+    # maintenance; dedup_minhash_incr above times the same store join).
 ]
 
 

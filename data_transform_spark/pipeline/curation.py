@@ -648,6 +648,15 @@ def quality_nb(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("toks")
     )
+    return _nb_scored(d)
+
+
+def _nb_fit(d):
+    """Fit the integer-micronat NB on a (doc_id, toks) frame: returns
+    (lab, tok, w, prior) — weak labels + split flags, the token explode,
+    the per-token micronat weight frame (vocab-sized) and the 1-row prior.
+    Split from quality_nb so pipeline_e2e_llm_v3 can reuse the trained
+    scorer as a funnel stage without refitting code drifting."""
     pos_cnt = F.size(F.filter("toks", lambda x: x.isin(*QNB_POS)))
     neg_cnt = F.size(F.filter("toks", lambda x: x.isin(*QNB_NEG)))
     lab = d.select(
@@ -694,6 +703,62 @@ def quality_nb(spark, sf_dir):
         0,
     ).cast("long")
     prior = doctot.select(pu.alias("pu"))
+    return lab, tok, w, prior
+
+
+NB_GATE_PRECISION = 0.8  # PR-curve operating point for the model gate
+
+
+def _nb_threshold(scored):
+    """The fastText-recipe step after calibration: pick the logit CUTOFF
+    from the held-out PR curve — the deepest decile bucket whose
+    cumulative precision (rounded to 6 dp, both engines) still clears
+    NB_GATE_PRECISION; the threshold is the minimum logit inside that
+    prefix, so gating at it reproduces exactly that keep set. Falls back
+    to the top decile if no bucket qualifies. Returns a 1-row (thr_u)
+    frame in integer micronats — exact to compare, broadcast-sized.
+
+    Same INTENTIONAL single-partition window as quality_pr_curve: ranks
+    run over the held-out md5-split sample only (eval-set-bounded, never
+    the corpus)."""
+    held = scored.filter(~F.col("is_train"))
+    w_rank = Window.orderBy(F.col("logit_u").desc(), "doc_id")
+    ranked = held.select(
+        "label", "logit_u", F.row_number().over(w_rank).alias("rn")
+    )
+    n = ranked.agg(F.count(F.lit(1)).alias("n"))
+    b = ranked.crossJoin(F.broadcast(n)).select(
+        (F.floor((F.col("rn") - 1) * 10 / F.col("n")) + 1).alias("bucket"),
+        "label",
+        "logit_u",
+    )
+    pb = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("label"), 1).otherwise(0)).alias("n_pos"),
+        F.min("logit_u").alias("min_logit"),
+    )
+    wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pb.select(
+        "bucket",
+        F.round(
+            F.sum("n_pos").over(wc) * F.lit(1.0) / F.sum("n_docs").over(wc), 6
+        ).alias("prec"),
+        F.min("min_logit").over(wc).alias("cum_min"),
+    )
+    # deepest qualifying prefix: cum_min is non-increasing in bucket, so
+    # min over qualifying rows IS the largest qualifying bucket's cutoff
+    return cum.agg(
+        F.coalesce(
+            F.min(F.when(F.col("prec") >= NB_GATE_PRECISION, F.col("cum_min"))),
+            F.min(F.when(F.col("bucket") == 1, F.col("cum_min"))),
+        ).alias("thr_u")
+    )
+
+
+def _nb_scored(d):
+    """Score EVERY doc of a (doc_id, toks) frame with the NB fit on its
+    own md5-train split (quality_nb's body)."""
+    lab, tok, w, prior = _nb_fit(d)
     score = (
         tok.join(F.broadcast(w), "tok", "left")
         .groupBy("doc_id")
@@ -766,6 +831,13 @@ def quality_pr_curve(spark, sf_dir):
     corpus-wide curves you'd swap the exact rank for approx_percentile
     thresholds (agg_approx_percentile's machinery)."""
     scored = quality_nb(spark, sf_dir).filter(~F.col("is_train"))
+    # INTENTIONAL single-partition window (WindowExec warns "No Partition
+    # Defined"): the rank runs over the HELD-OUT md5-split sample — a
+    # bounded eval set (~1/2 of fixture docs here; a fixed-size calibration
+    # sample in production), never the corpus. Corpus-wide curves would
+    # swap this exact rank for approx_percentile thresholds (SCALING.md
+    # "Calibration windows"). Plan-pinned: tests assert the window input
+    # is the held-out filter, not the full documents scan.
     w = Window.orderBy(F.col("logit_u").desc(), "doc_id")
     ranked = scored.select(
         "label", F.row_number().over(w).alias("rn")

@@ -308,54 +308,20 @@ def _release_prior_shares() -> None:
             pass
 
 
-@register("pipeline_e2e_llm", oracle=_e2e_llm_oracle())
-def pipeline_e2e_llm(spark, sf_dir):
-    """LLM-curation capstone v2 (r8 VERDICT #4) — the round-8/9 tiers
-    chained the way a real corpus run chains them, in ONE lazy plan:
-
-      substring dedup (Lee et al. spans, corpus-wide first-occurrence
-      wins) → near-dup removal (MinHash-LSH candidates + exact shingle
-      Jaccard >= tau, first-wins survivor policy) → benchmark
-      decontamination (8-gram overlap vs the doc_id%97 benchmark set,
-      benchmark docs themselves excluded) → quality gates on the CLEANED
-      text (length + Gopher dup-word/top-bigram) → temperature sampling
-      (rates derived from the gated source distribution, α=0.7,
-      content-stable keep decisions) → per-shard sequence packing
-      (PACK_BUDGET-token packs) → deterministic md5 sharding.
-
-    The output is the funnel report (the pipeline_funnel idiom): one row,
-    every stage count as a broadcast 1-row aggregate riding in-plan —
-    no driver .count() anywhere — plus tokens_out, pack/shard counts, and
-    an md5 pin of the exact sampled doc_id set (so the hash proves WHICH
-    documents survived, not just how many).
-
-    Stage-policy notes (deliberate, documented):
-    - Near-dup survivor selection here is FIRST-WINS (drop every doc_b of
-      a verified pair — each pair is canonical doc_a < doc_b): one
-      broadcast anti join, fully lazy, replayable in plain SQL. It differs
-      from connected-component min-label survivors (dedup_near_survivors)
-      on chain-shaped clusters where a doc's only earlier duplicate was
-      itself dropped; full CC needs an iterative fixpoint (a driver loop),
-      which would break the one-plan contract — the CC policy remains
-      available as the registered dedup_near_survivors key.
-    - Packing is PER SHARD (shard-keyed window), not global: each shard
-      is an independently-written output file, and the keyed window
-      scales where a global cum-sum window would serialize (the
-      pack_sequences key documents the same trade).
-    - At 100 TB: one corpus scan feeds the substring-dedup fingerprints
-      and token positions; the LSH candidate stage shuffles cleaned docs
-      once by band; bench grams and sampling rates are broadcast-sized;
-      the gates are row-local on the cleaned text; everything after the
-      gated frame is metadata-narrow (doc_id, source, n_tok).
-    """
-    from data_transform_spark.pipeline.curation import NGRAM_N, TEMP_ALPHA, _u01
+def _e2e_prefix(spark, sf_dir):
+    """Funnel stages 1-3 — substring dedup → near-dup removal → benchmark
+    decontamination — shared verbatim by pipeline_e2e_llm and
+    pipeline_e2e_llm_v3 (the two capstones differ only in their quality
+    gate and everything downstream of it). Releases the PREVIOUS
+    invocation's share-point caches, then persists this run's three share
+    frames (cleaned / surv / decon)."""
+    from data_transform_spark.pipeline.curation import NGRAM_N
     from data_transform_spark.pipeline.dedup import (
         MINHASH_EXACT_TAU,
         _exact_jaccard_of_pairs,
         _minhash_candidates,
         substring_clean,
     )
-    from data_transform_spark.pipeline.training import PACK_BUDGET
 
     from data_transform_spark.io import spread
 
@@ -420,6 +386,53 @@ def pipeline_e2e_llm(spark, sf_dir):
             contaminated, "doc_id", "left_anti"
         )
     )
+    return d, cleaned, surv, decon
+
+
+@register("pipeline_e2e_llm", oracle=_e2e_llm_oracle())
+def pipeline_e2e_llm(spark, sf_dir):
+    """LLM-curation capstone v2 (r8 VERDICT #4) — the round-8/9 tiers
+    chained the way a real corpus run chains them, in ONE lazy plan:
+
+      substring dedup (Lee et al. spans, corpus-wide first-occurrence
+      wins) → near-dup removal (MinHash-LSH candidates + exact shingle
+      Jaccard >= tau, first-wins survivor policy) → benchmark
+      decontamination (8-gram overlap vs the doc_id%97 benchmark set,
+      benchmark docs themselves excluded) → quality gates on the CLEANED
+      text (length + Gopher dup-word/top-bigram) → temperature sampling
+      (rates derived from the gated source distribution, α=0.7,
+      content-stable keep decisions) → per-shard sequence packing
+      (PACK_BUDGET-token packs) → deterministic md5 sharding.
+
+    The output is the funnel report (the pipeline_funnel idiom): one row,
+    every stage count as a broadcast 1-row aggregate riding in-plan —
+    no driver .count() anywhere — plus tokens_out, pack/shard counts, and
+    an md5 pin of the exact sampled doc_id set (so the hash proves WHICH
+    documents survived, not just how many).
+
+    Stage-policy notes (deliberate, documented):
+    - Near-dup survivor selection here is FIRST-WINS (drop every doc_b of
+      a verified pair — each pair is canonical doc_a < doc_b): one
+      broadcast anti join, fully lazy, replayable in plain SQL. It differs
+      from connected-component min-label survivors (dedup_near_survivors)
+      on chain-shaped clusters where a doc's only earlier duplicate was
+      itself dropped; full CC needs an iterative fixpoint (a driver loop),
+      which would break the one-plan contract — the CC policy remains
+      available as the registered dedup_near_survivors key.
+    - Packing is PER SHARD (shard-keyed window), not global: each shard
+      is an independently-written output file, and the keyed window
+      scales where a global cum-sum window would serialize (the
+      pack_sequences key documents the same trade).
+    - At 100 TB: one corpus scan feeds the substring-dedup fingerprints
+      and token positions; the LSH candidate stage shuffles cleaned docs
+      once by band; bench grams and sampling rates are broadcast-sized;
+      the gates are row-local on the cleaned text; everything after the
+      gated frame is metadata-narrow (doc_id, source, n_tok).
+    """
+    from data_transform_spark.pipeline.curation import TEMP_ALPHA, _u01
+    from data_transform_spark.pipeline.training import PACK_BUDGET
+
+    d, cleaned, surv, decon = _e2e_prefix(spark, sf_dir)
 
     # 4. gates on the cleaned text: length + Gopher repetition
     base = decon.select(
@@ -530,4 +543,351 @@ def pipeline_e2e_llm(spark, sf_dir):
         .crossJoin(F.broadcast(c3))
         .crossJoin(F.broadcast(c4))
         .crossJoin(F.broadcast(c5))
+    )
+
+
+def _e2e_llm_v3_oracle() -> str:
+    """v3 twin: the v2 funnel prefix (stages 1-3, verbatim CTEs) composed
+    with the quality_nb fit CTEs and the PR-curve threshold pick, gating
+    on the TRAINED model score instead of the Gopher heuristics."""
+    from data_transform_spark.pipeline.curation import (
+        _QNB_CTE_SQL,
+        NB_GATE_PRECISION,
+        NGRAM_N,
+        TEMP_ALPHA,
+    )
+    from data_transform_spark.pipeline.dedup import (
+        MINHASH_EXACT_TAU,
+        SHINGLE_K,
+        SUBSTR_W,
+    )
+    from data_transform_spark.pipeline.training import PACK_BUDGET
+
+    return f"""
+    WITH {_QNB_CTE_SQL},
+    held AS (
+        SELECT doc_id, label, logit_u,
+               row_number() OVER (ORDER BY logit_u DESC, doc_id) AS rn
+        FROM scored WHERE NOT is_train
+    ),
+    nh AS (SELECT count(*) AS n FROM held),
+    bk AS (SELECT ((rn - 1) * 10) // n + 1 AS bucket, label, logit_u
+           FROM held, nh),
+    pbk AS (
+        SELECT bucket, count(*) AS n_docs,
+               sum(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos,
+               min(logit_u) AS min_logit
+        FROM bk GROUP BY bucket
+    ),
+    cumk AS (
+        SELECT bucket,
+               round(sum(n_pos) OVER (ORDER BY bucket) * 1.0
+                     / sum(n_docs) OVER (ORDER BY bucket), 6) AS prec,
+               min(min_logit) OVER (ORDER BY bucket) AS cum_min
+        FROM pbk
+    ),
+    thr AS (
+        SELECT coalesce(
+                   min(CASE WHEN prec >= {NB_GATE_PRECISION} THEN cum_min END),
+                   min(CASE WHEN bucket = 1 THEN cum_min END)) AS thr_u
+        FROM cumk
+    ),
+    toks0 AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    occ AS MATERIALIZED (
+        SELECT doc_id, i - 1 AS pos,
+               md5(array_to_string(t[i:i+{SUBSTR_W - 1}], ' ')) AS g
+        FROM toks0, unnest(generate_series(1, len(t) - {SUBSTR_W} + 1)) AS u(i)
+        WHERE len(t) >= {SUBSTR_W}
+    ),
+    dups AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+            FROM occ) WHERE rn > 1
+    ),
+    covered AS MATERIALIZED (
+        SELECT DISTINCT doc_id, q
+        FROM dups, unnest(generate_series(pos, pos + {SUBSTR_W - 1})) AS u(q)
+    ),
+    tokpos AS MATERIALIZED (
+        SELECT doc_id, i - 1 AS q, t[i] AS token
+        FROM toks0, unnest(generate_series(1, len(t))) AS u(i)
+    ),
+    kept AS MATERIALIZED (
+        SELECT tp.doc_id, tp.q, tp.token
+        FROM tokpos tp ANTI JOIN covered c
+          ON tp.doc_id = c.doc_id AND tp.q = c.q
+    ),
+    cleaned AS MATERIALIZED (
+        SELECT k.doc_id, dd.source, count(*) AS n_tok,
+               string_agg(k.token, ' ' ORDER BY k.q) AS text
+        FROM kept k JOIN documents dd USING (doc_id)
+        GROUP BY k.doc_id, dd.source
+    ),
+    sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               array_to_string(t[i:i+{SHINGLE_K - 1}], ' ') AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM cleaned),
+             unnest(generate_series(1, greatest(len(t) - {SHINGLE_K - 1}, 1))) AS u(i)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shared AS MATERIALIZED (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    victims AS (
+        SELECT DISTINCT s.doc_b AS doc_id
+        FROM shared s
+        JOIN sz sa ON s.doc_a = sa.doc_id
+        JOIN sz sb ON s.doc_b = sb.doc_id
+        WHERE s.c * 1.0 / (sa.n + sb.n - s.c) >= {MINHASH_EXACT_TAU}
+    ),
+    surv AS MATERIALIZED (SELECT * FROM cleaned ANTI JOIN victims USING (doc_id)),
+    bgrams AS (
+        SELECT DISTINCT array_to_string(t[s:s+{NGRAM_N - 1}], ' ') AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS t
+              FROM documents WHERE doc_id % 97 = 0),
+             unnest(generate_series(1, greatest(len(t) - {NGRAM_N - 1}, 0))) AS u(s)
+    ),
+    cgrams AS (
+        SELECT doc_id, array_to_string(t[s:s+{NGRAM_N - 1}], ' ') AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS t
+              FROM surv WHERE doc_id % 97 <> 0),
+             unnest(generate_series(1, greatest(len(t) - {NGRAM_N - 1}, 0))) AS u(s)
+    ),
+    contaminated AS (SELECT DISTINCT doc_id FROM cgrams JOIN bgrams USING (g)),
+    decon AS MATERIALIZED (
+        SELECT * FROM surv
+        WHERE doc_id % 97 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    lgate AS MATERIALIZED (
+        SELECT doc_id, source, n_tok, text FROM decon
+        WHERE n_tok BETWEEN {E2E_MIN_TOK} AND {E2E_MAX_TOK}
+    ),
+    ctok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM lgate),
+    cscore AS (
+        SELECT c.doc_id, CAST(sum(coalesce(w.wu, 0)) AS BIGINT) AS su
+        FROM ctok c LEFT JOIN w USING (tok) GROUP BY c.doc_id
+    ),
+    mgate AS MATERIALIZED (
+        SELECT l.doc_id, l.source, l.n_tok
+        FROM lgate l JOIN cscore cs USING (doc_id), prior p, thr t
+        WHERE cs.su + p.pu >= t.thr_u
+    ),
+    cnt AS (SELECT source, count(*) AS n FROM mgate GROUP BY source),
+    tt AS (SELECT sum(n) AS t FROM cnt),
+    wsrc AS (SELECT source, ROUND(pow(n * 1.0 / t, {TEMP_ALPHA} - 1), 6) AS wr
+             FROM cnt, tt),
+    rates AS (SELECT source, ROUND(wr / (SELECT max(wr) FROM wsrc), 6) AS rate
+              FROM wsrc),
+    sampled AS MATERIALIZED (
+        SELECT g.doc_id, g.source, g.n_tok
+        FROM mgate g JOIN rates r USING (source)
+        WHERE {_E2E_U01} < r.rate
+    ),
+    pshard AS (
+        SELECT doc_id, n_tok,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS BIGINT) % {E2E_SHARDS} AS shard
+        FROM sampled
+    ),
+    packed AS MATERIALIZED (
+        SELECT doc_id, n_tok, shard,
+               CAST(floor(COALESCE(sum(n_tok) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   / {PACK_BUDGET}) AS BIGINT) AS pack_id
+        FROM pshard
+    )
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM cleaned) AS n_substr_clean,
+           (SELECT count(*) FROM surv) AS n_neardup_surv,
+           (SELECT count(*) FROM decon) AS n_decontaminated,
+           (SELECT count(*) FROM lgate) AS n_len_gated,
+           (SELECT count(*) FROM mgate) AS n_model_gated,
+           (SELECT CAST(thr_u AS BIGINT) FROM thr) AS thr_u,
+           (SELECT count(*) FROM packed) AS n_sampled,
+           (SELECT CAST(COALESCE(sum(n_tok), 0) AS BIGINT) FROM packed)
+               AS tokens_out,
+           (SELECT CAST(count(DISTINCT (shard, pack_id)) AS BIGINT) FROM packed)
+               AS n_packs,
+           (SELECT CAST(count(DISTINCT shard) AS BIGINT) FROM packed)
+               AS n_shards,
+           (SELECT md5(COALESCE(string_agg(CAST(doc_id AS VARCHAR), ','
+                                           ORDER BY doc_id), ''))
+            FROM packed) AS sampled_md5
+    """
+
+
+@register("pipeline_e2e_llm_v3", oracle=_e2e_llm_v3_oracle())
+def pipeline_e2e_llm_v3(spark, sf_dir):
+    """LLM-curation capstone v3 (r10 VERDICT #1): the fastText recipe
+    closed end-to-end — the TRAINED quality classifier replaces the
+    heuristic gates. Stages 1-3 are v2's, verbatim (_e2e_prefix:
+    substring dedup → near-dup removal → decontamination); then:
+
+      4. LENGTH gate on the cleaned token counts (row-local, kept from
+         v2 — length is a validity bound, not a quality model), and
+      5. MODEL gate: quality_nb's integer-micronat NB is fit in-plan on
+         the raw corpus (md5 train split, keyword weak label — the
+         quality_nb contract exactly, via the shared _nb_fit), the keep
+         THRESHOLD is picked from the held-out PR curve at the
+         NB_GATE_PRECISION operating point (_nb_threshold — the
+         quality_pr_curve step made operational), and each surviving
+         doc's CLEANED text is scored and gated at that threshold; then
+      6-8. temperature sampling / md5 sharding / per-shard packing, from
+         the MODEL-gated distribution (v2's stages, unchanged shapes).
+
+    The funnel row extends v2's with n_len_gated, n_model_gated AND the
+    picked thr_u itself — the hash pins the calibration decision, both
+    gate counts, and the exact surviving doc_id set (sampled_md5).
+
+    Why both capstones stay registered: v2 is the heuristic-gate pipeline
+    (Gopher repetition rules — zero training, the bootstrap run every
+    corpus does first); v3 is the model-gated pipeline a production
+    curation loop graduates to once a scorer exists. Policy differences
+    and everything they imply for counts are therefore deliberate.
+
+    Scale shape, beyond v2's: the NB fit adds one token-keyed count
+    aggregate over the raw corpus (vocab-sized output, broadcast back);
+    the threshold pick runs on the HELD-OUT sample only (eval-set-sized
+    single-partition window — the quality_pr_curve posture, documented
+    there); corpus scoring is one broadcast-weights join + doc-keyed sum
+    over the already-length-gated survivors. Share points: the weight
+    frame (feeds held-out calibration AND corpus scoring), the 1-row
+    threshold, both gate frames."""
+    from data_transform_spark.pipeline.curation import (
+        TEMP_ALPHA,
+        _nb_fit,
+        _nb_threshold,
+        _u01,
+    )
+    from data_transform_spark.pipeline.training import PACK_BUDGET
+
+    d, cleaned, surv, decon = _e2e_prefix(spark, sf_dir)
+
+    # 5a. fit the NB on the RAW corpus (quality_nb's exact contract)
+    d0 = d.select("doc_id", F.split("text", " ").alias("toks"))
+    lab, tok, w, prior = _nb_fit(d0)
+    # SHARE POINT: w feeds the held-out calibration scoring AND the
+    # cleaned-corpus gate scoring — persist or the fit aggregate runs twice
+    w = _persist_share(w)
+    score = (
+        tok.join(F.broadcast(w), "tok", "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce("wu", F.lit(0))).cast("long").alias("su"))
+    )
+    scored = (
+        lab.join(score, "doc_id")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "doc_id",
+            "is_train",
+            "label",
+            (F.col("su") + F.col("pu")).cast("long").alias("logit_u"),
+        )
+    )
+    # SHARE POINT: the 1-row threshold — its lineage is the whole held-out
+    # scoring pass; persisting collapses that to one execution
+    thr = _persist_share(_nb_threshold(scored))
+
+    # 4. length gate on the cleaned text
+    lgate = _persist_share(
+        decon.filter(F.col("n_tok").between(E2E_MIN_TOK, E2E_MAX_TOK))
+    )
+
+    # 5b. model gate: score the CLEANED text, keep logit >= threshold
+    ctok = lgate.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    cscore = (
+        ctok.join(F.broadcast(w), "tok", "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce("wu", F.lit(0))).cast("long").alias("su"))
+    )
+    mgate = _persist_share(
+        lgate.join(cscore, "doc_id")
+        .crossJoin(F.broadcast(prior))
+        .crossJoin(F.broadcast(thr))
+        .filter(F.col("su") + F.col("pu") >= F.col("thr_u"))
+        .select("doc_id", "source", "n_tok")
+    )
+
+    # 6. temperature sampling from the MODEL-gated source distribution
+    cnt = mgate.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.agg(F.sum("n").alias("t"))
+    wsrc = cnt.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.round(
+            F.pow(F.col("n") / F.col("t"), F.lit(TEMP_ALPHA - 1)), 6
+        ).alias("wr"),
+    )
+    mx = wsrc.agg(F.max("wr").alias("mx"))
+    rates = wsrc.crossJoin(F.broadcast(mx)).select(
+        "source", F.round(F.col("wr") / F.col("mx"), 6).alias("rate")
+    )
+    sampled = (
+        mgate.join(F.broadcast(rates), "source")
+        .filter(_u01(F.col("doc_id"), ":e2e") < F.col("rate"))
+        .select("doc_id", "source", "n_tok")
+    )
+
+    # 7+8. deterministic shard, then PER-SHARD sequence packing
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % E2E_SHARDS
+    )
+    w_pack = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = sampled.select("doc_id", "n_tok", shard.alias("shard")).select(
+        "doc_id",
+        "n_tok",
+        "shard",
+        F.floor(
+            F.coalesce(F.sum("n_tok").over(w_pack), F.lit(0)) / PACK_BUDGET
+        )
+        .cast("long")
+        .alias("pack_id"),
+    )
+
+    c0 = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    c1 = cleaned.agg(F.count(F.lit(1)).alias("n_substr_clean"))
+    c2 = surv.agg(F.count(F.lit(1)).alias("n_neardup_surv"))
+    c3 = decon.agg(F.count(F.lit(1)).alias("n_decontaminated"))
+    c4a = lgate.agg(F.count(F.lit(1)).alias("n_len_gated"))
+    c4b = mgate.agg(F.count(F.lit(1)).alias("n_model_gated"))
+    c5 = packed.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("tokens_out"),
+        F.countDistinct("shard", "pack_id").cast("long").alias("n_packs"),
+        F.countDistinct("shard").cast("long").alias("n_shards"),
+        # fixture-tier verification pin (see pipeline_e2e_llm)
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("sampled_md5"),
+    )
+    return (
+        c0.crossJoin(F.broadcast(c1))
+        .crossJoin(F.broadcast(c2))
+        .crossJoin(F.broadcast(c3))
+        .crossJoin(F.broadcast(c4a))
+        .crossJoin(F.broadcast(c4b))
+        .crossJoin(F.broadcast(thr.select(F.col("thr_u").cast("long").alias("thr_u"))))
+        .crossJoin(F.broadcast(c5))
+        .select(
+            "n_docs", "n_substr_clean", "n_neardup_surv", "n_decontaminated",
+            "n_len_gated", "n_model_gated", "thr_u", "n_sampled",
+            "tokens_out", "n_packs", "n_shards", "sampled_md5",
+        )
     )

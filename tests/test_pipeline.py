@@ -1217,3 +1217,47 @@ class TestAnnIndexCompact:
         )
         mean = {r["is_append"]: r["m"] for r in rows}
         assert mean[True] > ANN_RETRAIN_RATIO * mean[False]
+
+
+class TestE2eLlmV3:
+    def test_funnel_parity_with_v2_and_gate_semantics(self, spark, sf_dir):
+        """v3's funnel must agree with v2 on the shared prefix (stages
+        1-3 are _e2e_prefix, verbatim), stay monotone through its own
+        stages, gate on the exact _nb_threshold value, and actually
+        exercise the model gate (r10 VERDICT #1 done-condition)."""
+        import pyspark.sql.functions as F
+
+        from data_transform_spark.io import load_table
+        from data_transform_spark.pipeline.curation import (
+            _nb_scored,
+            _nb_threshold,
+        )
+
+        v2 = QUERIES["pipeline_e2e_llm"](spark, sf_dir).collect()[0]
+        v3 = QUERIES["pipeline_e2e_llm_v3"](spark, sf_dir).collect()[0]
+        for col in ("n_docs", "n_substr_clean", "n_neardup_surv",
+                    "n_decontaminated"):
+            assert v2[col] == v3[col], col
+        chain = [v3[c] for c in (
+            "n_docs", "n_substr_clean", "n_neardup_surv", "n_decontaminated",
+            "n_len_gated", "n_model_gated", "n_sampled",
+        )]
+        assert chain == sorted(chain, reverse=True), chain
+        # the model gate fires and keeps something
+        assert 0 < v3["n_model_gated"] < v3["n_len_gated"]
+        # the pinned threshold IS the _nb_threshold pick on this corpus
+        d0 = load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.split("text", " ").alias("toks")
+        )
+        thr = _nb_threshold(_nb_scored(d0)).collect()[0]["thr_u"]
+        assert v3["thr_u"] == thr
+
+    def test_v3_plan_no_cartesian_and_jvm_side(self, spark, sf_dir):
+        """Same plan contract as v2: no cartesian anywhere (1-row funnel
+        broadcasts excluded by definition), nothing leaves the JVM — the
+        NB fit, calibration and gate are all Column ops."""
+        from tests.test_plans import plan_of
+
+        p = plan_of(spark, "pipeline_e2e_llm_v3", sf_dir)
+        assert "CartesianProduct" not in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

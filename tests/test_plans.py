@@ -881,3 +881,23 @@ def test_index_append_plan_is_training_free(spark, sf_dir):
     assert "ivfpq_hist_" in p, "append path must scan the staged index"
     assert "md5" not in p.lower(), "training sample leaked into append plan"
     assert "posexplode" not in p.lower(), "Lloyd pass leaked into append plan"
+
+
+def test_pr_curve_rank_window_input_is_held_out_sample(spark, sf_dir):
+    """quality_pr_curve's global rank window is INTENTIONALLY
+    single-partition (WindowExec warns): it must run over the held-out
+    md5-split sample only, never the corpus. Pin that Catalyst pushed the
+    held-out restriction (substring(md5(doc_id),1,1) >= 8) below the rank
+    — it appears as a scan-side Filter condition — so the warned window's
+    input is the bounded eval set by plan, not just by intent (r10
+    VERDICT #8)."""
+    p = plan_of(spark, "quality_pr_curve", sf_dir)
+    assert "row_number()" in p and "Window" in p
+    held_out_filters = [
+        seg
+        for seg in p.split("\n\n")
+        if "Filter" in seg.split("\n")[0]
+        and "substring(md5(" in seg
+        and ">= 8" in seg
+    ]
+    assert held_out_filters, "held-out filter was not pushed below the rank"
