@@ -1735,6 +1735,14 @@ def dedup_minhash_incr(spark, sf_dir):
     batch = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 10 >= 8
     )
+    return minhash_incr_pairs(hist_bands, hist_sh, batch)
+
+
+def minhash_incr_pairs(hist_bands, hist_sh, batch):
+    """dedup_minhash_incr's pair-finding core against an explicit store
+    (band rows + shingle digests) and batch frame — split out so the
+    skew-stress tests/tool can drive it with planted hot-bucket batches
+    (r10 VERDICT #7) without re-staging fixture stores."""
     batch_bands = _sig_bands(minhash_signatures(batch))
     batch_sh = _shingle_digests(batch)
 

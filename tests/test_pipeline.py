@@ -1261,3 +1261,51 @@ class TestE2eLlmV3:
         p = plan_of(spark, "pipeline_e2e_llm_v3", sf_dir)
         assert "CartesianProduct" not in p
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+class TestMinhashStoreSkew:
+    def test_hot_band_bucket_stays_correct(self, spark, sf_dir):
+        """Skew stress (r10 VERDICT #7): a duplicate-heavy batch — 30
+        exact copies of one HISTORY doc's text — concentrates all 24 band
+        buckets into one hot key each. The store join must still produce
+        the exact canonical pair set: every copy-copy pair, every
+        copy-history-source pair (all jaccard 1.0), no duplicates, no
+        misses; every returned pair clears tau."""
+        import pyspark.sql.functions as F
+        from itertools import combinations
+
+        from data_transform_spark.io import load_table
+        from data_transform_spark.pipeline.dedup import (
+            MINHASH_EXACT_TAU,
+            minhash_incr_pairs,
+            minhash_stage_store,
+        )
+
+        staged = minhash_stage_store(spark, sf_dir)
+        hist_bands = spark.read.parquet(f"{staged}/bands")
+        hist_sh = spark.read.parquet(f"{staged}/shingles")
+        src = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 10 < 8)
+            .orderBy("doc_id")
+            .limit(1)
+            .collect()[0]
+        )
+        n_copies = 30
+        base_id = 10_000_000
+        batch = spark.createDataFrame(
+            [(base_id + i, src["text"]) for i in range(n_copies)],
+            "doc_id long, text string",
+        )
+        rows = minhash_incr_pairs(hist_bands, hist_sh, batch).collect()
+        got = {(r["doc_a"], r["doc_b"]) for r in rows}
+        assert len(got) == len(rows), "duplicate pairs under bucket skew"
+        assert all(r["jaccard"] >= MINHASH_EXACT_TAU for r in rows)
+        copies = [base_id + i for i in range(n_copies)]
+        want_intra = set(combinations(copies, 2))
+        want_cross = {(src["doc_id"], c) for c in copies}
+        assert want_intra <= got, "missed copy-copy pairs in the hot bucket"
+        assert want_cross <= got, "missed copy-vs-history pairs"
+        # exact copies score jaccard 1.0 on both sides
+        jac = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+        assert all(jac[p] == 1.0 for p in want_intra | want_cross)
