@@ -362,12 +362,20 @@ def multimodal_frame_sample(spark, sf_dir):
 PHASH_GRID = 8  # dHash grid: 8 rows x 9 sampled cols -> 64 bits
 PHASH_MAX_HAMMING = 3  # near-dup threshold (of 64 bits)
 PHASH_CHUNKS = 4  # pigeonhole: ham<=3 pairs agree on >=1 of 4 16-bit chunks
-PHASH_VARIANT_MOD = 5  # every 5th doc gets a perturbed near-dup variant
+PHASH_VARIANT_MOD = 5  # docs with doc_id % 5 == 4 carry a near-dup variant
 
 
-def noise_image(doc_id: int, w: int, h: int) -> "np.ndarray":
+def _phash_dims(source: int) -> tuple:
+    """(w, h) in 8..31 from md5(f'dim:{source}') — the phash family's own
+    dims rule, keyed on the image's PIXEL SOURCE id (not the carrying
+    doc's text) so a variant image has its source's dims row-locally."""
+    dg = hashlib.md5(f"dim:{source}".encode()).digest()
+    return 8 + dg[0] % 24, 8 + dg[1] % 24
+
+
+def noise_image(source: int, w: int, h: int) -> "np.ndarray":
     """(h, w, 3) uint8 fixture image whose pixel (r, c, k) is byte k of
-    md5(f'img:{doc_id}:{r}:{c}') — per-pixel md5 noise, so (a) dHash bits
+    md5(f'img:{source}:{r}:{c}') — per-pixel md5 noise, so (a) dHash bits
     are balanced fair coins (the banding join stays uniform, unlike the
     gradient synth_image whose monotone rows would concentrate chunk
     buckets) and (b) the DuckDB twin recomputes any SAMPLED position's
@@ -375,7 +383,7 @@ def noise_image(doc_id: int, w: int, h: int) -> "np.ndarray":
     img = np.empty((h, w, 3), dtype=np.uint8)
     for r in range(h):
         for c in range(w):
-            dg = hashlib.md5(f"img:{doc_id}:{r}:{c}".encode()).digest()
+            dg = hashlib.md5(f"img:{source}:{r}:{c}".encode()).digest()
             img[r, c, 0] = dg[0]
             img[r, c, 1] = dg[1]
             img[r, c, 2] = dg[2]
@@ -402,7 +410,7 @@ def _phash_gray_sql(delta: str) -> str:
     """Analytic gray value at sampled grid cell (r, c): the md5-noise rule
     composed with the integer index maps — b0 carries the variant's +delta
     perturbation (mod 256), exactly like the planted pixel array."""
-    key = "'img:' || doc_id || ':' || ((r * h) // 8) || ':' || ((c * w) // 9)"
+    key = "'img:' || s || ':' || ((r * h) // 8) || ':' || ((c * w) // 9)"
     b = [
         f"CAST(('0x' || substring(md5({key}), {1 + 2 * k}, 2)) AS BIGINT)"
         for k in range(3)
@@ -410,20 +418,36 @@ def _phash_gray_sql(delta: str) -> str:
     return f"((({b[0]} + {delta}) % 256 + {b[1]} + {b[2]}) // 3)"
 
 
-@register(
-    "dedup_image_phash",
-    oracle=f"""
-    WITH meta AS ({_BMP_META_SQL}),
+# Image inventory + analytic dHash bits, shared by all three phash oracles.
+# Every doc carries its own noise image (pixel source s = doc_id); docs with
+# doc_id % 5 == 4 ALSO carry a near-dup VARIANT of a DIFFERENT document's
+# image — pixel source s = doc_id - 4, channel 0 shifted +1 mod 256 — so
+# planted pairs are cross-doc (the "two crawled pages embed near-identical
+# images" case), and because doc_id % 10 of a variant carrier is 4 or 9
+# while its source's is 0 or 5, the pairs split deterministically into
+# history-history and batch-vs-history — the incremental tier is exercised
+# for real (a carrier-keyed %5==0 rule would never put a variant in the
+# %10>=8 batch partition; found designing dedup_image_phash_incr).
+_PHASH_FP_SQL = f"""
     imgs AS (
-        SELECT doc_id, doc_id * 2 AS img_id, w, h, 0 AS delta FROM meta
+        SELECT doc_id * 2 AS img_id, doc_id AS s, 0 AS delta FROM documents
         UNION ALL
-        SELECT doc_id, doc_id * 2 + 1, w, h, 1 FROM meta
-        WHERE doc_id % {PHASH_VARIANT_MOD} = 0
+        SELECT doc_id * 2 + 1, doc_id - {PHASH_VARIANT_MOD - 1}, 1
+        FROM documents
+        WHERE doc_id % {PHASH_VARIANT_MOD} = {PHASH_VARIANT_MOD - 1}
+    ),
+    dims AS (
+        SELECT img_id, s, delta,
+               8 + CAST(('0x' || substring(md5('dim:' || s), 1, 2))
+                        AS BIGINT) % 24 AS w,
+               8 + CAST(('0x' || substring(md5('dim:' || s), 3, 2))
+                        AS BIGINT) % 24 AS h
+        FROM imgs
     ),
     cells AS (
         SELECT img_id, r.r AS r, c.c AS c,
                {_phash_gray_sql("delta")} AS gray
-        FROM imgs,
+        FROM dims,
              unnest(generate_series(0, {PHASH_GRID - 1})) AS r(r),
              unnest(generate_series(0, {PHASH_GRID})) AS c(c)
     ),
@@ -438,80 +462,45 @@ def _phash_gray_sql(delta: str) -> str:
         SELECT img_id, string_agg(bit, '' ORDER BY idx) AS f
         FROM bits GROUP BY img_id
     )
-    SELECT a.img_id AS img_a, b.img_id AS img_b,
-           CAST(hamming(a.f, b.f) AS BIGINT) AS hamming,
-           a.img_id // 2 = b.img_id // 2 AS same_doc
-    FROM fp a JOIN fp b ON a.img_id < b.img_id
-    WHERE hamming(a.f, b.f) <= {PHASH_MAX_HAMMING}
-    """,
-)
-def dedup_image_phash(spark, sf_dir):
-    """Perceptual near-dup IMAGE dedup (r10 VERDICT #2) — the one dedup
-    modality the text ladder didn't cover: decode every image payload with
-    the real pure-numpy BMP codec, fingerprint it with a 64-bit dHash
-    (integer gray, 8x9 nearest-neighbor grid, adjacent-column comparisons
-    — the standard perceptual hash), and emit all pairs within hamming
-    <= {PHASH_MAX_HAMMING}, found via the dedup_simhash pigeonhole: pairs
-    that close must agree on >= 1 of 4 16-bit chunks, so candidate
-    generation is a (chunk, value)-keyed equi-join with EXACT recall 1.0
-    (pigeonhole principle, property-tested vs brute force) — never
-    all-pairs.
-
-    Fixture planting: each doc's image is per-pixel md5 noise (dims from
-    the doc's md5, the synth_image rule); every {PHASH_VARIANT_MOD}th doc
-    also contributes a VARIANT copy with channel 0 shifted +1 mod 256 — a
-    perturbation that leaves most dHash comparisons unchanged (both sides
-    of each adjacent-gray comparison shift together) but deterministically
-    flips a few bits at near-tie and wrap cells, yielding planted pairs
-    with hamming 0..{PHASH_MAX_HAMMING} plus deterministic exclusions
-    beyond it. The DuckDB twin replays gray values at the 72 sampled grid
-    positions analytically from the md5 rule (never decoding bytes) and
-    checks ALL pairs, so the hash certifies both the codec-fed dHash and
-    the banding recall.
-
-    Scale shape: fingerprints are one mapInPandas corpus scan (decode +
-    72-cell sample, same pass a thumbnail stage already pays); banding is
-    the dedup_simhash posture — md5-noise grays make the 16-bit chunk
-    buckets uniform, so bucket load is n²/2^16 per chunk (skew-free); at
-    larger corpora you widen chunks / add bits exactly as for simhash,
-    trading the pigeonhole guarantee's threshold against bucket size."""
-    d = load_table(spark, sf_dir, "documents")
-    return phash_pairs(phash_fingerprints(d))
+"""
 
 
 def phash_fingerprints(docs):
-    """(img_id, phash) over the fixture image corpus: base image per doc
-    plus the planted variant every PHASH_VARIANT_MOD-th doc, each round-
-    tripped through the real BMP codec before hashing."""
-    src = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    """(img_id, phash) over the fixture image corpus: each doc's own noise
+    image (img_id = 2*doc_id) plus, for doc_id % 5 == 4 carriers, the
+    planted cross-doc variant (img_id = 2*doc_id + 1, pixel source
+    doc_id - 4, channel 0 shifted +1 mod 256) — each round-tripped
+    through the real BMP codec before hashing. Needs only doc_id from the
+    input frame (pixels are synthesized), so the scan prunes to one
+    column."""
+    src = docs.select("doc_id")
 
     def fingerprint(batches):
         for pdf in batches:
             rows = []
-            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                dg = hashlib.md5(bytes(p)).digest()
-                w, h = 8 + dg[0] % 24, 8 + dg[1] % 24
-                base = noise_image(int(doc_id), w, h)
-                fp = dhash64(decode_bmp(encode_bmp(base)))
-                rows.append((int(doc_id) * 2, fp))
-                if doc_id % PHASH_VARIANT_MOD == 0:
-                    var = base.copy()
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = _phash_dims(doc_id)
+                base = noise_image(doc_id, w, h)
+                rows.append((doc_id * 2, dhash64(decode_bmp(encode_bmp(base)))))
+                if doc_id % PHASH_VARIANT_MOD == PHASH_VARIANT_MOD - 1:
+                    s = doc_id - (PHASH_VARIANT_MOD - 1)
+                    ws, hs = _phash_dims(s)
+                    var = noise_image(s, ws, hs)
                     var[:, :, 0] = (
                         (var[:, :, 0].astype(np.int64) + 1) % 256
                     ).astype(np.uint8)
                     rows.append(
-                        (int(doc_id) * 2 + 1, dhash64(decode_bmp(encode_bmp(var))))
+                        (doc_id * 2 + 1, dhash64(decode_bmp(encode_bmp(var))))
                     )
             yield pd.DataFrame(rows, columns=["img_id", "phash"])
 
     return src.mapInPandas(fingerprint, "img_id long, phash long")
 
 
-def phash_pairs(fp):
-    """All (img_a < img_b) pairs within PHASH_MAX_HAMMING over an
-    (img_id, phash) frame — candidates from the 16-bit-chunk pigeonhole
-    equi-join (exact recall 1.0), verified by bit_count(xor)."""
-    chunks = fp.select(
+def _phash_chunks(fp):
+    """(img_id, phash, chunk, val) — the 16-bit pigeonhole band rows."""
+    return fp.select(
         "img_id",
         "phash",
         F.explode(
@@ -531,6 +520,13 @@ def phash_pairs(fp):
         "img_id", "phash",
         F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val"),
     )
+
+
+def phash_pairs(fp):
+    """All (img_a < img_b) pairs within PHASH_MAX_HAMMING over an
+    (img_id, phash) frame — candidates from the 16-bit-chunk pigeonhole
+    equi-join (exact recall 1.0), verified by bit_count(xor)."""
+    chunks = _phash_chunks(fp)
     a = chunks.alias("a")
     b = chunks.alias("b")
     cand = (
@@ -550,14 +546,219 @@ def phash_pairs(fp):
     )
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("long")
     return (
-        cand.select(
-            "img_a",
-            "img_b",
-            hamming.alias("hamming"),
-            (F.floor(F.col("img_a") / 2) == F.floor(F.col("img_b") / 2)).alias(
-                "same_doc"
-            ),
+        cand.select("img_a", "img_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .orderBy("img_a", "img_b")
+    )
+
+
+@register(
+    "dedup_image_phash",
+    oracle=f"""
+    WITH {_PHASH_FP_SQL}
+    SELECT a.img_id AS img_a, b.img_id AS img_b,
+           CAST(hamming(a.f, b.f) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.img_id < b.img_id
+    WHERE hamming(a.f, b.f) <= {PHASH_MAX_HAMMING}
+    """,
+)
+def dedup_image_phash(spark, sf_dir):
+    """Perceptual near-dup IMAGE dedup (r10 VERDICT #2) — the one dedup
+    modality the text ladder didn't cover: decode every image payload with
+    the real pure-numpy BMP codec, fingerprint it with a 64-bit dHash
+    (integer gray, 8x9 nearest-neighbor grid, adjacent-column comparisons
+    — the standard perceptual hash), and emit all pairs within hamming
+    <= {PHASH_MAX_HAMMING}, found via the dedup_simhash pigeonhole: pairs
+    that close must agree on >= 1 of 4 16-bit chunks, so candidate
+    generation is a (chunk, value)-keyed equi-join with EXACT recall 1.0
+    (pigeonhole principle, property-tested vs brute force) — never
+    all-pairs.
+
+    Fixture planting (see _PHASH_FP_SQL): per-pixel md5-noise images; the
+    planted near-dups are CROSS-DOC — a carrier doc embeds a +1-shifted
+    copy of ANOTHER doc's image — the crawl reality the operator exists
+    for, and a perturbation that leaves most adjacent-gray comparisons
+    unchanged (both sides shift together under the floor-div) while
+    deterministically flipping a few bits at near-tie and wrap cells:
+    planted pairs land at hamming 0..{PHASH_MAX_HAMMING} with
+    deterministic exclusions beyond it. The DuckDB twin replays gray
+    values at the 72 sampled grid positions analytically from the md5
+    rule (never decoding bytes) and checks ALL pairs, so the hash
+    certifies both the codec-fed dHash and the banding recall.
+
+    Scale shape: fingerprints are one mapInPandas corpus scan (decode +
+    72-cell sample, same pass a thumbnail stage already pays); banding is
+    the dedup_simhash posture — md5-noise grays make the 16-bit chunk
+    buckets uniform, so bucket load is n²/2^16 per chunk (skew-free); at
+    larger corpora you widen chunks / add bits exactly as for simhash,
+    trading the pigeonhole guarantee's threshold against bucket size."""
+    d = load_table(spark, sf_dir, "documents")
+    return phash_pairs(phash_fingerprints(d))
+
+
+# --- image-dedup ladder: survivors + incremental tier (round 11) ---------
+
+
+@register(
+    "dedup_image_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_PHASH_FP_SQL},
+    p AS (
+        SELECT a.img_id AS img_a, b.img_id AS img_b
+        FROM fp a JOIN fp b ON a.img_id < b.img_id
+        WHERE hamming(a.f, b.f) <= {PHASH_MAX_HAMMING}
+    ),
+    edges AS (
+        SELECT img_a AS a, img_b AS b FROM p
+        UNION ALL
+        SELECT img_b AS a, img_a AS b FROM p
+    ),
+    reach(node, lbl) AS (
+        SELECT img_id, img_id FROM fp
+        UNION
+        SELECT g.a, r.lbl FROM edges g JOIN reach r ON r.node = g.b
+    ),
+    minlab AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node)
+    SELECT f.img_id, f.img_id % 2 = 1 AS is_variant
+    FROM fp f JOIN minlab m ON f.img_id = m.node
+    WHERE m.lbl = f.img_id
+    """,
+)
+def dedup_image_survivors(spark, sf_dir):
+    """The pick-survivors half of image dedup: collapse each hamming-
+    <= {PHASH_MAX_HAMMING} phash cluster to its min-id canonical image —
+    dedup_near_survivors' connected-component policy applied to the
+    dedup_image_phash pair graph (pairs from the pigeonhole band join,
+    clusters from the shared cc_survivor_ids fixpoint; the DuckDB twin
+    redoes both with an all-pairs join + recursive CTE, the
+    dedup_embed_cosine oracle shape). A planted (source-base, variant)
+    pair keeps the SOURCE's base image (2*(d-4) < 2*d+1), i.e. the
+    original wins over the embedded near-copy — exactly what a multimodal
+    pipeline feeds downstream after near-dup image removal.
+
+    Scale: pairs are the dedup_image_phash plan; survivor selection is
+    the O(diameter) min-label fixpoint (clusters here are pairs/small
+    stars; cc_survivor_ids_star covers web-scale diameters)."""
+    from data_transform_spark.pipeline.dedup import cc_survivor_ids
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = phash_fingerprints(d)
+    pairs = phash_pairs(fp).select(
+        F.col("img_a").alias("doc_a"), F.col("img_b").alias("doc_b")
+    )
+    nodes = fp.select(F.col("img_id").alias("doc_id"))
+    surv = cc_survivor_ids(nodes, pairs).select(F.col("doc_id").alias("img_id"))
+    return surv.select(
+        "img_id", (F.col("img_id") % 2 == 1).alias("is_variant")
+    ).orderBy("img_id")
+
+
+PHASH_STORE_MARKER = "_INDEX"
+
+
+def phash_store_dir(sf_dir: str) -> str:
+    import os
+
+    from data_transform_spark.io import path_of
+    from data_transform_spark.operators.scans import SCRATCH, _path_fingerprint
+
+    src = path_of(sf_dir, "documents")
+    return (
+        f"{SCRATCH}/phash_store_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{_path_fingerprint(src)}"
+    )
+
+
+def phash_stage_store(spark, sf_dir) -> str:
+    """Stage the HISTORY partition's image fingerprints (img_id, phash)
+    once — 8 bytes a picture; the raw pixels are never re-decoded."""
+    import os
+
+    from data_transform_spark.operators.scans import _stage_atomic
+
+    staged = phash_store_dir(sf_dir)
+    if not os.path.exists(os.path.join(staged, PHASH_STORE_MARKER)):
+        hist = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 10 < 8
         )
+        fp = phash_fingerprints(hist)
+
+        def _build(tmp: str) -> None:
+            fp.write.parquet(f"{tmp}/fingerprints")
+            with open(os.path.join(tmp, PHASH_STORE_MARKER), "w") as fh:
+                fh.write("ok")
+
+        _stage_atomic(staged, _build, marker=PHASH_STORE_MARKER)
+    return staged
+
+
+@register(
+    "dedup_image_phash_incr",
+    oracle=f"""
+    WITH {_PHASH_FP_SQL}
+    SELECT a.img_id AS img_a, b.img_id AS img_b,
+           CAST(hamming(a.f, b.f) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.img_id < b.img_id
+    WHERE hamming(a.f, b.f) <= {PHASH_MAX_HAMMING}
+      AND NOT ((a.img_id // 2) % 10 < 8 AND (b.img_id // 2) % 10 < 8)
+    """,
+)
+def dedup_image_phash_incr(spark, sf_dir):
+    """Incremental IMAGE near-dup — the dedup_minhash_incr contract for
+    the multimodal tier, completing the incremental ladder (exact doc /
+    substring / text near-dup / image): history images are staged ONCE
+    as 8-byte fingerprints; a new crawl batch decodes and hashes only
+    its own images, then finds every pair it introduces — batch-vs-store
+    via the pigeonhole chunk join against the staged fingerprints
+    (exercised for real: batch carriers with doc_id % 10 == 9 embed
+    variants of HISTORY docs' images, so genuine store-vs-batch pairs
+    exist by construction), batch-vs-batch via the self-join — with the
+    exact hamming verify. Historical PIXELS are never re-decoded: the
+    store is ~8 B/image (vs KBs-MBs of payload), the increment pays one
+    chunk-keyed join + its own batch's decode scan. The oracle is the
+    full all-pairs answer restricted to pairs with at least one
+    batch-side image, and equality with the self-contained
+    dedup_image_phash under the same restriction is property-tested
+    (phash_fingerprints is shared verbatim)."""
+    staged = phash_stage_store(spark, sf_dir)
+    store_fp = spark.read.parquet(f"{staged}/fingerprints")
+    batch = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 >= 8
+    )
+    batch_fp = phash_fingerprints(batch)
+
+    h = _phash_chunks(store_fp).alias("h")
+    n = _phash_chunks(batch_fp).alias("n")
+    cross = (
+        h.join(
+            n,
+            (F.col("h.chunk") == F.col("n.chunk"))
+            & (F.col("h.val") == F.col("n.val")),
+        )
+        .select(
+            F.least(F.col("h.img_id"), F.col("n.img_id")).alias("img_a"),
+            F.greatest(F.col("h.img_id"), F.col("n.img_id")).alias("img_b"),
+            F.least("h.phash", "n.phash").alias("fp_x"),
+            F.greatest("h.phash", "n.phash").alias("fp_y"),
+        )
+    )
+    a = _phash_chunks(batch_fp).alias("a")
+    b = _phash_chunks(batch_fp).alias("b")
+    intra = a.join(
+        b,
+        (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col("a.val") == F.col("b.val"))
+        & (F.col("a.img_id") < F.col("b.img_id")),
+    ).select(
+        F.col("a.img_id").alias("img_a"),
+        F.col("b.img_id").alias("img_b"),
+        F.least("a.phash", "b.phash").alias("fp_x"),
+        F.greatest("a.phash", "b.phash").alias("fp_y"),
+    )
+    cand = cross.unionByName(intra).dropDuplicates(["img_a", "img_b"])
+    hamming = F.bit_count(F.col("fp_x").bitwiseXOR(F.col("fp_y"))).cast("long")
+    return (
+        cand.select("img_a", "img_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
         .orderBy("img_a", "img_b")
     )

@@ -1309,3 +1309,57 @@ class TestMinhashStoreSkew:
         # exact copies score jaccard 1.0 on both sides
         jac = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
         assert all(jac[p] == 1.0 for p in want_intra | want_cross)
+
+
+class TestImageDedupLadder:
+    def test_survivors_are_min_label_components(self, spark, sf_dir):
+        """dedup_image_survivors == python CC min-label over the key's own
+        pair graph: exactly one survivor per component, and it is the min
+        img_id (so planted (base, variant) pairs keep the base)."""
+        from data_transform_spark.io import load_table
+        from data_transform_spark.pipeline.multimodal import (
+            phash_fingerprints,
+            phash_pairs,
+        )
+
+        d = load_table(spark, sf_dir, "documents")
+        fp = phash_fingerprints(d)
+        nodes = [r["img_id"] for r in fp.select("img_id").collect()]
+        pairs = [
+            (r["img_a"], r["img_b"]) for r in phash_pairs(fp).collect()
+        ]
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {n for n in nodes if find(n) == n}
+        got = {
+            r["img_id"]
+            for r in QUERIES["dedup_image_survivors"](spark, sf_dir).collect()
+        }
+        assert got == want
+        assert pairs, "no planted image pairs"
+
+    def test_incr_pairs_equal_full_restricted(self, spark, sf_dir):
+        """dedup_image_phash_incr == dedup_image_phash restricted to pairs
+        with at least one batch-side image (the dedup_minhash_incr
+        equality contract, image tier)."""
+        full = QUERIES["dedup_image_phash"](spark, sf_dir).collect()
+        want = {
+            (r["img_a"], r["img_b"], r["hamming"])
+            for r in full
+            if not (r["img_a"] // 2 % 10 < 8 and r["img_b"] // 2 % 10 < 8)
+        }
+        got = {
+            (r["img_a"], r["img_b"], r["hamming"])
+            for r in QUERIES["dedup_image_phash_incr"](spark, sf_dir).collect()
+        }
+        assert got == want and got
