@@ -849,13 +849,17 @@ def test_pii_scrub_is_map_only(spark, sf_dir):
 
 
 def test_corpus_manifest_two_aggregates(spark, sf_dir):
-    """The manifest is exactly two keyed aggregates over digest-width rows
-    (per-source + global): 2 exchanges, no Python, no join."""
+    """The manifest composes hierarchically (r10 ADVICE, fixed r11): each
+    branch (per-source + global '*') is a (source, bucket) aggregate THEN a
+    source rollup of the 256 bucket digests — two keyed aggregate levels ×
+    two branches = exactly 4 exchanges over digest-width rows; no Python,
+    no join; no aggregation buffer ever holds more than one bucket's
+    digests."""
     import re
 
     p = plan_of(spark, "corpus_manifest", sf_dir)
     n = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
-    assert n == 2, f"expected 2 exchanges, saw {n}"
+    assert n == 4, f"expected 4 exchanges (2 levels x 2 branches), saw {n}"
     assert "EvalPython" not in p
 
 
@@ -901,3 +905,16 @@ def test_pr_curve_rank_window_input_is_held_out_sample(spark, sf_dir):
         and ">= 8" in seg
     ]
     assert held_out_filters, "held-out filter was not pushed below the rank"
+
+
+def test_image_phash_scan_prunes_to_doc_id_and_no_cartesian(spark, sf_dir):
+    """dedup_image_phash needs only doc_id (pixels are synthesized): both
+    fingerprint scans must prune the documents read schema to that single
+    column, and the candidate stage must be the (chunk, val) equi-join —
+    no cartesian anywhere."""
+    import re
+
+    p = plan_of(spark, "dedup_image_phash", sf_dir)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert schemas and all(s == "doc_id:bigint" for s in schemas), schemas
+    assert "CartesianProduct" not in p
