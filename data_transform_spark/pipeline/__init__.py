@@ -6,6 +6,7 @@ from data_transform_spark.pipeline import (  # noqa: F401
     dedup,
     e2e,
     multimodal,
+    retrieval,
     similarity,
     text,
     training,

@@ -1,0 +1,316 @@
+"""Retrieval surface — lexical BM25 ranking and hybrid lexical+vector
+fusion (Reciprocal Rank Fusion), the RAG-era query path over a curated
+corpus: BM25 for exact-term recall, embedding cosine for semantic recall,
+RRF to merge the two rankings without score calibration (Cormack et al.,
+SIGIR'09 — the fusion every production hybrid search ships first).
+
+Determinism discipline: every ranking orders by (round(score, 6) DESC,
+id) so sub-ulp float divergence between engines can never flip a rank;
+RRF terms are 1/(K+rank) of INTEGER ranks — IEEE division of integers is
+correctly rounded identically on both engines — summed in a fixed order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_transform_spark.io import load_table
+from data_transform_spark.registry import register
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+BM25_QUERY = ("hash", "order", "window", "table", "big")  # fixed query terms
+_BM25_Q_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+RRF_K = 60  # the standard RRF constant
+RRF_N_QUERIES = 20  # query docs: id < 20 (the N_QUERIES convention)
+RRF_SYS_TOPK = 50  # depth of each system's ranking fed into the fusion
+RRF_TOPK = 10  # fused results returned per query
+
+
+def _bm25_scored_sql() -> str:
+    """Per-doc BM25 vs the fixed query — shared CTE chain (documents)."""
+    return f"""
+    d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+    stats AS (
+        SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+        WHERE tok IN ({_BM25_Q_SQL})
+        GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    scored AS (
+        SELECT tf.doc_id,
+               round(sum(
+                   ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * ({BM25_K1} + 1)
+                   / (tf.tf + {BM25_K1}
+                      * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl))
+               ), 6) AS score
+        FROM tf
+        JOIN df USING (tok)
+        JOIN dl USING (doc_id), stats s
+        GROUP BY tf.doc_id
+    )"""
+
+
+@register(
+    "text_bm25",
+    oracle=f"""
+    WITH {_bm25_scored_sql()}
+    SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+               AS rank,
+           doc_id, score
+    FROM scored
+    QUALIFY rank <= {BM25_TOPK}
+    """,
+)
+def text_bm25(spark, sf_dir):
+    """BM25 ranking (Robertson/Sparck-Jones, the lexical-retrieval
+    standard) of the corpus against a fixed {len(BM25_QUERY)}-term query:
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (the Lucene non-negative
+    form), tf saturation k1={BM25_K1}, length normalization b={BM25_B}
+    against the corpus mean doc length, top-{BM25_TOPK} by
+    (rounded score, doc_id).
+
+    Plan: one token explode FILTERED to the query terms before the
+    (doc, term) count (Catalyst pushes the IN filter below the
+    aggregation, so the shuffle carries only query-term hits — at 100 TB
+    that is |terms| postings, not the corpus token stream); df and the
+    N/avgdl stats are broadcast 1-row/|terms|-row frames; one doc-keyed
+    sum; one top-k window. The same shape serves ad-hoc queries by
+    swapping the literal list for a broadcast term frame."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    dl = d.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(*BM25_QUERY))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term = idf * F.col("tf") * (BM25_K1 + 1) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term), 6).alias("score"))
+    )
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select("rank", "doc_id", "score")
+    )
+
+
+def _rrf_oracle() -> str:
+    from data_transform_spark.pipeline.similarity import _sql_cos
+
+    cos = _sql_cos("q.emb", "c.emb")
+    return f"""
+    WITH corpus AS (
+        SELECT d.doc_id AS id, string_split(d.text, ' ') AS toks,
+               CAST(e.embedding AS DOUBLE[]) AS emb
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ),
+    dl AS (SELECT id, len(toks) AS dl FROM corpus),
+    stats AS (
+        SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM dl
+    ),
+    queries AS (SELECT * FROM corpus WHERE id < {RRF_N_QUERIES}),
+    qterms AS (
+        SELECT DISTINCT id AS qid, unnest(toks) AS tok FROM queries
+    ),
+    ctok AS (
+        SELECT id, tok, count(*) AS tf
+        FROM (SELECT id, unnest(toks) AS tok FROM corpus)
+        GROUP BY id, tok
+    ),
+    df AS (
+        SELECT tok, count(*) AS df FROM ctok
+        WHERE tok IN (SELECT tok FROM qterms)
+        GROUP BY tok
+    ),
+    lex_scored AS (
+        SELECT q.qid, c.id,
+               round(sum(
+                   ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                   * c.tf * ({BM25_K1} + 1)
+                   / (c.tf + {BM25_K1}
+                      * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl))
+               ), 6) AS score
+        FROM qterms q
+        JOIN ctok c USING (tok)
+        JOIN df USING (tok)
+        JOIN dl ON dl.id = c.id, stats s
+        WHERE c.id <> q.qid
+        GROUP BY q.qid, c.id
+    ),
+    lex_rank AS (
+        SELECT qid, id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, id) AS r
+        FROM lex_scored QUALIFY r <= {RRF_SYS_TOPK}
+    ),
+    vec_scored AS (
+        SELECT q.id AS qid, c.id, round({cos}, 6) AS score
+        FROM queries q JOIN corpus c ON c.id <> q.id
+    ),
+    vec_rank AS (
+        SELECT qid, id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, id) AS r
+        FROM vec_scored QUALIFY r <= {RRF_SYS_TOPK}
+    ),
+    fused AS (
+        SELECT COALESCE(l.qid, v.qid) AS query_id,
+               COALESCE(l.id, v.id) AS id,
+               round(COALESCE(1.0 / ({RRF_K} + l.r), 0)
+                     + COALESCE(1.0 / ({RRF_K} + v.r), 0), 9) AS rrf_score,
+               CAST(COALESCE(l.r, 0) AS BIGINT) AS lex_rank,
+               CAST(COALESCE(v.r, 0) AS BIGINT) AS vec_rank
+        FROM lex_rank l FULL OUTER JOIN vec_rank v
+          ON l.qid = v.qid AND l.id = v.id
+    )
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, id) AS BIGINT)
+               AS rank,
+           id, rrf_score, lex_rank, vec_rank
+    FROM fused
+    QUALIFY rank <= {RRF_TOPK}
+    """
+
+
+@register("search_hybrid_rrf", oracle=_rrf_oracle())
+def search_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval with Reciprocal Rank Fusion: for each query doc
+    (id < {RRF_N_QUERIES}, over the documents ⋈ embeddings corpus — docs
+    that carry an embedding), rank the corpus TWICE — lexically (BM25 of
+    the query doc's distinct terms, self excluded) and semantically
+    (embedding cosine) — keep each system's top {RRF_SYS_TOPK}, and fuse
+    with RRF: score(d) = Σ_sys 1/({RRF_K} + rank_sys(d)), absent docs
+    contributing 0. Output: top {RRF_TOPK} fused per query with both
+    source ranks (0 = not retrieved by that system) — the
+    rank-not-score fusion that needs no calibration between BM25's
+    unbounded scores and cosine's [-1, 1].
+
+    Scale shape: the lexical side joins the corpus postings to a
+    broadcast (query, term) frame — |queries|·|terms| is the RAG-query
+    working set, corpus-sized work is the one posting aggregate; the
+    vector side is the broadcast-query cosine scan (sim_topk_bruteforce's
+    plan; at 100 TB swap in the staged IVF-PQ serve path — same
+    (qid, id, rank) contract, which is the point of fusing on RANKS).
+    Rankings use (round(score, 6) DESC, id) so cross-engine sub-ulp float
+    noise cannot reorder; RRF terms divide integers (IEEE-identical both
+    engines) and sum in fixed order."""
+    from data_transform_spark.pipeline.similarity import _cos
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    corpus = d.join(e, "doc_id").select(
+        F.col("doc_id").alias("id"), "toks", "emb"
+    )
+    dl = corpus.select("id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    )
+    queries = corpus.filter(F.col("id") < RRF_N_QUERIES)
+    qterms = (
+        queries.select(F.col("id").alias("qid"), F.explode("toks").alias("tok"))
+        .distinct()
+    )
+    ctok = (
+        corpus.select("id", F.explode("toks").alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = ctok.join(F.broadcast(qterms.select("tok").distinct()), "tok").groupBy(
+        "tok"
+    ).agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    term = idf * F.col("tf") * (BM25_K1 + 1) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    lex_scored = (
+        F.broadcast(qterms)
+        .join(ctok, "tok")
+        .filter(F.col("id") != F.col("qid"))
+        .join(F.broadcast(df), "tok")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("qid", "id")
+        .agg(F.round(F.sum(term), 6).alias("score"))
+    )
+    w_sys = Window.partitionBy("qid").orderBy(F.col("score").desc(), "id")
+    lex_rank = (
+        lex_scored.withColumn("r", F.row_number().over(w_sys))
+        .filter(F.col("r") <= RRF_SYS_TOPK)
+        .select("qid", "id", "r")
+    )
+    q_emb = queries.select(F.col("id").alias("qid"), F.col("emb").alias("q_emb"))
+    vec_scored = (
+        F.broadcast(q_emb)
+        .join(corpus.select("id", "emb"), F.col("id") != F.col("qid"))
+        .select(
+            "qid", "id", F.round(_cos(F.col("q_emb"), F.col("emb")), 6).alias("score")
+        )
+    )
+    vec_rank = (
+        vec_scored.withColumn("r", F.row_number().over(w_sys))
+        .filter(F.col("r") <= RRF_SYS_TOPK)
+        .select("qid", "id", "r")
+    )
+    l = lex_rank.alias("l")
+    v = vec_rank.alias("v")
+    fused = (
+        l.join(
+            v,
+            (F.col("l.qid") == F.col("v.qid")) & (F.col("l.id") == F.col("v.id")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("l.qid"), F.col("v.qid")).alias("query_id"),
+            F.coalesce(F.col("l.id"), F.col("v.id")).alias("id"),
+            F.round(
+                F.coalesce(1.0 / (RRF_K + F.col("l.r")), F.lit(0.0))
+                + F.coalesce(1.0 / (RRF_K + F.col("v.r")), F.lit(0.0)),
+                9,
+            ).alias("rrf_score"),
+            F.coalesce(F.col("l.r"), F.lit(0)).cast("long").alias("lex_rank"),
+            F.coalesce(F.col("v.r"), F.lit(0)).cast("long").alias("vec_rank"),
+        )
+    )
+    w_f = Window.partitionBy("query_id").orderBy(F.col("rrf_score").desc(), "id")
+    return (
+        fused.withColumn("rank", F.row_number().over(w_f).cast("long"))
+        .filter(F.col("rank") <= RRF_TOPK)
+        .select("query_id", "rank", "id", "rrf_score", "lex_rank", "vec_rank")
+    )

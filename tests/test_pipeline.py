@@ -1363,3 +1363,73 @@ class TestImageDedupLadder:
             for r in QUERIES["dedup_image_phash_incr"](spark, sf_dir).collect()
         }
         assert got == want and got
+
+
+class TestHybridRetrieval:
+    def test_rrf_score_consistent_with_source_ranks(self, spark, sf_dir):
+        """Every fused row's rrf_score must equal the RRF formula applied
+        to its own emitted source ranks (0 = absent contributes nothing),
+        each query returns exactly RRF_TOPK rows, and the fusion is real:
+        some rows come from one system only, some from both."""
+        from data_transform_spark.pipeline.retrieval import (
+            RRF_K,
+            RRF_N_QUERIES,
+            RRF_TOPK,
+        )
+
+        rows = QUERIES["search_hybrid_rrf"](spark, sf_dir).collect()
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r["query_id"], []).append(r)
+            want = round(
+                (1.0 / (RRF_K + r["lex_rank"]) if r["lex_rank"] else 0.0)
+                + (1.0 / (RRF_K + r["vec_rank"]) if r["vec_rank"] else 0.0),
+                9,
+            )
+            assert abs(r["rrf_score"] - want) < 1e-12, r
+        assert len(per_q) == RRF_N_QUERIES
+        assert all(len(v) == RRF_TOPK for v in per_q.values())
+        assert any(r["lex_rank"] == 0 for r in rows)
+        assert any(r["vec_rank"] == 0 for r in rows)
+        assert any(r["lex_rank"] > 0 and r["vec_rank"] > 0 for r in rows)
+
+    def test_bm25_scores_match_reference_formula(self, spark, sf_dir):
+        """text_bm25's top rows equal a from-the-formula python BM25 over
+        the collected corpus (same idf form, k1, b, rounding)."""
+        import math
+
+        from data_transform_spark.io import load_table
+        from data_transform_spark.pipeline.retrieval import (
+            BM25_B,
+            BM25_K1,
+            BM25_QUERY,
+            BM25_TOPK,
+        )
+
+        docs = {
+            r["doc_id"]: r["text"].split(" ")
+            for r in load_table(spark, sf_dir, "documents").collect()
+        }
+        n = len(docs)
+        avgdl = sum(len(t) for t in docs.values()) / n
+        df = {
+            q: sum(1 for t in docs.values() if q in t) for q in BM25_QUERY
+        }
+        scores = {}
+        for did, toks in docs.items():
+            s = 0.0
+            for q in BM25_QUERY:
+                tf = toks.count(q)
+                if tf:
+                    idf = math.log(1 + (n - df[q] + 0.5) / (df[q] + 0.5))
+                    s += idf * tf * (BM25_K1 + 1) / (
+                        tf + BM25_K1 * (1 - BM25_B + BM25_B * len(toks) / avgdl)
+                    )
+            if s:
+                scores[did] = round(s, 6)
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:BM25_TOPK]
+        got = [
+            (r["doc_id"], r["score"])
+            for r in QUERIES["text_bm25"](spark, sf_dir).collect()
+        ]
+        assert got == want
