@@ -868,3 +868,132 @@ def quality_pr_curve(spark, sf_dir):
             F.sum("n_pos").over(wc) * F.lit(1.0) / F.col("npos"), 6
         ).alias("recall_at"),
     )
+
+
+# --- DSIR: hashed-ngram importance weighting (Xie et al., NeurIPS'23) ----
+
+DSIR_BUCKETS = 1024  # hashed unigram feature space
+
+
+@register(
+    "quality_dsir",
+    oracle=f"""
+    WITH lab AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(list_filter(string_split(text, ' '),
+                               x -> x IN ({_QNB_POS_SQL})))
+             > len(list_filter(string_split(text, ' '),
+                               x -> x IN ({_QNB_NEG_SQL}))) AS is_target
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, is_target,
+               CAST(('0x' || substring(md5(tok), 1, 3)) AS BIGINT)
+                   % {DSIR_BUCKETS} AS b
+        FROM (SELECT doc_id, is_target, unnest(toks) AS tok FROM lab)
+    ),
+    raw AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS cr FROM tok GROUP BY b
+    ),
+    tgt AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS ct FROM tok
+        WHERE is_target GROUP BY b
+    ),
+    tot AS (
+        SELECT CAST(sum(cr) AS BIGINT) AS nr,
+               CAST((SELECT sum(ct) FROM tgt) AS BIGINT) AS nt
+        FROM raw
+    ),
+    w AS (
+        SELECT raw.b,
+               CAST(round((ln(CAST(COALESCE(tgt.ct, 0) + 1 AS DOUBLE))
+                           - ln(CAST(nt + {DSIR_BUCKETS} AS DOUBLE))
+                           - ln(CAST(raw.cr + 1 AS DOUBLE))
+                           + ln(CAST(nr + {DSIR_BUCKETS} AS DOUBLE)))
+                          * 1000000, 0) AS BIGINT) AS wu
+        FROM raw LEFT JOIN tgt USING (b), tot
+    ),
+    scored AS (
+        SELECT t.doc_id, any_value(t.is_target) AS is_target,
+               CAST(sum(w.wu) AS BIGINT) AS score_u
+        FROM tok t JOIN w USING (b)
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, is_target, score_u, score_u >= 0 AS kept
+    FROM scored
+    """,
+)
+def quality_dsir(spark, sf_dir):
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    NeurIPS'23) — the hashed-feature importance weighting used to select
+    pretraining data that looks like a target domain, fit IN-PLAN: tokens
+    hash into {DSIR_BUCKETS} buckets (first 3 hex chars of md5, both
+    engines); bucket log-probabilities are fit with Laplace smoothing on
+    the TARGET exemplar set and the RAW corpus; each doc's importance is
+    its tokens' summed log-likelihood ratio. Weights are quantized to
+    INTEGER MICRONATS at derivation (the quality_nb discipline), so
+    scores and the keep decision (score_u >= 0: more target-like than
+    raw) are exact integer arithmetic in any aggregation order.
+
+    Target domain: the keyword weak-label exemplars (quality-marker words
+    outnumber junk markers — the quality_nb label), which is a REAL
+    distributional difference in this fixture; a source-keyed target
+    (e.g. one src as the "wiki" exemplar) degenerates here because every
+    source draws from the same multinomial, so smoothing tilt would
+    reject everything — found while validating the keep rate.
+
+    Scale shape: one token explode -> bucket-keyed count (the only
+    corpus shuffle, {DSIR_BUCKETS} groups); the weight table is
+    BUCKETS-sized and broadcasts; scoring is one doc-keyed sum. The keep
+    rule is row-local — no global rank, so after the fit the selection
+    is a map-only streaming pass, exactly how DSIR covers 100 TB."""
+    lab = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        (
+            F.size(F.filter(F.split("text", " "), lambda x: x.isin(*QNB_POS)))
+            > F.size(F.filter(F.split("text", " "), lambda x: x.isin(*QNB_NEG)))
+        ).alias("is_target"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 3), 16, 10).cast("long")
+        % DSIR_BUCKETS
+    )
+    tok = lab.select(
+        "doc_id", "is_target", F.explode("toks").alias("tok")
+    ).select("doc_id", "is_target", bucket.alias("b"))
+    raw = tok.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cr"))
+    tgt = (
+        tok.filter("is_target")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    )
+    tot = raw.agg(F.sum("cr").cast("long").alias("nr")).crossJoin(
+        F.broadcast(tgt.agg(F.sum("ct").cast("long").alias("nt")))
+    )
+    wu = F.round(
+        (
+            F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double"))
+            - F.log((F.col("nt") + DSIR_BUCKETS).cast("double"))
+            - F.log((F.col("cr") + 1).cast("double"))
+            + F.log((F.col("nr") + DSIR_BUCKETS).cast("double"))
+        )
+        * 1000000,
+        0,
+    ).cast("long")
+    w = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("b", wu.alias("wu"))
+    )
+    scored = (
+        tok.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("is_target").alias("is_target"),
+            F.sum("wu").cast("long").alias("score_u"),
+        )
+    )
+    return scored.select(
+        "doc_id", "is_target", "score_u", (F.col("score_u") >= 0).alias("kept")
+    )

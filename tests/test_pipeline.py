@@ -1433,3 +1433,21 @@ class TestHybridRetrieval:
             for r in QUERIES["text_bm25"](spark, sf_dir).collect()
         ]
         assert got == want
+
+
+class TestDsir:
+    def test_importance_weights_separate_target_distribution(self, spark, sf_dir):
+        """DSIR's log-likelihood-ratio scores must rank the target
+        distribution above the rest (mean target score > mean non-target
+        score), and the keep rule must select a non-empty,
+        perfectly-precise subset (kept docs are all target-like) on this
+        fixture — the selection story, not just the arithmetic."""
+        rows = QUERIES["quality_dsir"](spark, sf_dir).collect()
+        tgt = [r["score_u"] for r in rows if r["is_target"]]
+        non = [r["score_u"] for r in rows if not r["is_target"]]
+        assert tgt and non
+        assert sum(tgt) / len(tgt) > sum(non) / len(non)
+        kept = [r for r in rows if r["kept"]]
+        assert kept, "keep rule selected nothing"
+        assert all(r["is_target"] for r in kept)
+        assert all((r["score_u"] >= 0) == r["kept"] for r in rows)
