@@ -105,6 +105,11 @@ OPTIONAL = [
     # the entire 7-stage curation pipeline in one job — either would eat
     # half the bench wall budget for one row (the graph_pagerank_conv
     # precedent; measured medians recorded in SCALING.md "Round-9").
+    # round-11: retrieval surface + DSIR selection + MMR diversity
+    "text_bm25",
+    "search_hybrid_rrf",
+    "quality_dsir",
+    "sim_mmr_diversify",
     # Round-11 exclusions for the same budget reason (measured medians in
     # SCALING.md "Round-11"): pipeline_e2e_llm_v3 (~65 s, supersets v2),
     # dedup_image_phash (~17 s, dominated by per-pixel fixture synthesis

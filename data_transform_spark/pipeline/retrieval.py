@@ -314,3 +314,175 @@ def search_hybrid_rrf(spark, sf_dir):
         .filter(F.col("rank") <= RRF_TOPK)
         .select("query_id", "rank", "id", "rrf_score", "lex_rank", "vec_rank")
     )
+
+
+# --- MMR diversity re-ranking (Carbonell & Goldstein, SIGIR'98) -----------
+
+MMR_K = 10  # diversified results per query
+MMR_CAND = 20  # relevance shortlist fed into the greedy selection
+MMR_N_QUERIES = 20  # query vectors: vec_id < 20 (the N_QUERIES convention)
+# lambda = 0.7 carried as the EXACT integer split 7/3 (x10 scale): the
+# greedy argmax compares 7*rel_u - 3*max_sim_u — pure integer arithmetic
+# over the 6dp-quantized cosines, so the selection cascade can never
+# diverge across engines on a rounding mode
+
+
+def _mmr_oracle() -> str:
+    from data_transform_spark.pipeline.similarity import _sql_cos
+
+    relc = _sql_cos("q.q_emb", "c.emb")
+    simc = _sql_cos("ea.emb", "eb.emb")
+    return f"""
+    WITH RECURSIVE e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, emb AS q_emb FROM e
+          WHERE vec_id < {MMR_N_QUERIES}),
+    rel0 AS (
+        SELECT q.qid, c.vec_id AS id, round({relc}, 6) AS rel
+        FROM q JOIN e c ON c.vec_id <> q.qid
+    ),
+    cand AS (
+        SELECT qid, id, rel,
+               CAST(round(rel * 1000000) AS BIGINT) AS rel_u
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                           ORDER BY rel DESC, id) AS rn
+              FROM rel0)
+        WHERE rn <= {MMR_CAND}
+    ),
+    sims AS (
+        SELECT a.qid, a.id AS ia, b.id AS ib,
+               CAST(round(round({simc}, 6) * 1000000) AS BIGINT) AS sim_u
+        FROM cand a JOIN cand b ON a.qid = b.qid AND a.id <> b.id
+        JOIN e ea ON ea.vec_id = a.id
+        JOIN e eb ON eb.vec_id = b.id
+    ),
+    seed AS (
+        SELECT qid, [arg_max(id, rel_u * 1000000000 - id)] AS sel
+        FROM cand GROUP BY qid
+    ),
+    mmr(it, qid, sel) AS (
+        SELECT 1, qid, sel FROM seed
+        UNION ALL
+        SELECT m.it + 1, m.qid,
+               list_append(m.sel, arg_max(c.id,
+                   (7 * c.rel_u - 3 * (
+                       SELECT max(s.sim_u) FROM sims s
+                       WHERE s.qid = m.qid AND s.ia = c.id
+                         AND list_contains(m.sel, s.ib)
+                   )) * 1000000000 - c.id))
+        FROM mmr m JOIN cand c
+          ON c.qid = m.qid AND NOT list_contains(m.sel, c.id)
+        WHERE m.it < {MMR_K}
+        GROUP BY m.it, m.qid, m.sel
+    ),
+    final AS (
+        SELECT qid, sel FROM mmr
+        QUALIFY row_number() OVER (PARTITION BY qid ORDER BY it DESC) = 1
+    )
+    SELECT f.qid AS query_id, CAST(u.i AS BIGINT) AS rank,
+           f.sel[u.i] AS id
+    FROM final f,
+         unnest(generate_series(1, len(f.sel))) AS u(i)
+    """
+
+
+@register("sim_mmr_diversify", oracle=_mmr_oracle())
+def sim_mmr_diversify(spark, sf_dir):
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98) — the diversity stage after retrieval: from each query's
+    cosine top-{MMR_CAND} shortlist, greedily select {MMR_K} results, each
+    maximizing lambda*relevance - (1-lambda)*max-similarity-to-already-
+    selected (lambda = 0.7) — so near-duplicate hits can't crowd the
+    result page, the de-redundancy knob every RAG retriever ships.
+
+    Determinism across engines: cosines quantize to 6 dp ONCE, then the
+    entire greedy cascade runs in INTEGER arithmetic — the argmax key is
+    (7*rel_u - 3*max_sim_u)*1e9 - id, exact in BIGINT — because a greedy
+    selection amplifies any divergence (one flipped pick reorders the
+    rest), float comparisons anywhere in the loop would be a cross-engine
+    hash hazard. The DuckDB twin replays the same cascade as a recursive
+    CTE carrying the selected list.
+
+    Scale shape: the corpus-sized work is the relevance scan (broadcast
+    queries — or the staged ANN serve path at 100 TB, same shortlist
+    contract); the pairwise-sims join and the greedy loop run on
+    shortlist-sized frames (|Q| x {MMR_CAND}²), computed per query INSIDE
+    a cogrouped applyInPandas — the sequential selection never touches
+    the driver and parallelizes across queries."""
+    from data_transform_spark.pipeline.similarity import _cos
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") < MMR_N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("q_emb")
+    )
+    rel0 = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("id"),
+            F.round(_cos(F.col("q_emb"), F.col("emb")), 6).alias("rel"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("rel").desc(), "id")
+    cand = (
+        rel0.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MMR_CAND)
+        .select(
+            "qid", "id", "rel",
+            F.round(F.col("rel") * 1000000).cast("long").alias("rel_u"),
+        )
+    )
+    # fresh column objects for the self-join (failAmbiguousSelfJoin trap)
+    a = cand.select(F.col("qid").alias("qa"), F.col("id").alias("ia")).select(
+        F.col("qa").alias("qid"), "ia"
+    )
+    b = cand.select(F.col("qid").alias("qb"), F.col("id").alias("ib"))
+    sims = (
+        a.join(b, (F.col("qid") == F.col("qb")) & (F.col("ia") != F.col("ib")))
+        .join(e.select(F.col("vec_id").alias("ia"), F.col("emb").alias("ea")), "ia")
+        .join(e.select(F.col("vec_id").alias("ib"), F.col("emb").alias("eb")), "ib")
+        .select(
+            "qid", "ia", "ib",
+            F.round(F.round(_cos(F.col("ea"), F.col("eb")), 6) * 1000000)
+            .cast("long")
+            .alias("sim_u"),
+        )
+    )
+
+    def greedy(key, crel, csim):
+        import pandas as _pd
+
+        qid = int(key[0])
+        rel_u = dict(zip(crel["id"].astype(int), crel["rel_u"].astype(int)))
+        sim = {
+            (int(x), int(y)): int(s)
+            for x, y, s in zip(csim["ia"], csim["ib"], csim["sim_u"])
+        }
+        remaining = set(rel_u)
+        first = max(remaining, key=lambda i: (rel_u[i], -i))
+        sel = [first]
+        remaining.discard(first)
+        while len(sel) < MMR_K and remaining:
+            nxt = max(
+                remaining,
+                key=lambda i: (
+                    7 * rel_u[i] - 3 * max(sim[(i, j)] for j in sel),
+                    -i,
+                ),
+            )
+            sel.append(nxt)
+            remaining.discard(nxt)
+        return _pd.DataFrame(
+            [(qid, r + 1, i) for r, i in enumerate(sel)],
+            columns=["query_id", "rank", "id"],
+        )
+
+    return (
+        cand.groupBy("qid")
+        .cogroup(sims.groupBy("qid"))
+        .applyInPandas(greedy, "query_id long, rank long, id long")
+    )

@@ -1451,3 +1451,83 @@ class TestDsir:
         assert kept, "keep rule selected nothing"
         assert all(r["is_target"] for r in kept)
         assert all((r["score_u"] >= 0) == r["kept"] for r in rows)
+
+
+class TestMmrDiversify:
+    def test_mmr_selection_matches_python_greedy_and_diversifies(self, spark, sf_dir):
+        """The cogrouped greedy must equal a from-scratch python MMR over
+        the same integer-quantized inputs, rank 1 must be the pure
+        relevance top hit, and diversification must be REAL: for at least
+        one query the MMR order differs from pure relevance order."""
+        import pyspark.sql.functions as F
+
+        from data_transform_spark.io import load_table
+        from data_transform_spark.pipeline.retrieval import (
+            MMR_CAND,
+            MMR_K,
+            MMR_N_QUERIES,
+        )
+        from data_transform_spark.pipeline.similarity import _cos
+
+        e = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        q = e.filter(F.col("vec_id") < MMR_N_QUERIES).select(
+            F.col("vec_id").alias("qid"), F.col("emb").alias("q_emb")
+        )
+        rel_rows = (
+            F.broadcast(q)
+            .join(e, F.col("vec_id") != F.col("qid"))
+            .select(
+                "qid",
+                F.col("vec_id").alias("id"),
+                F.round(F.round(_cos(F.col("q_emb"), F.col("emb")), 6) * 1e6)
+                .cast("long")
+                .alias("rel_u"),
+            )
+            .collect()
+        )
+        per_q = {}
+        for r in rel_rows:
+            per_q.setdefault(r["qid"], []).append((r["id"], r["rel_u"]))
+        emb = {r["vec_id"]: r["emb"] for r in e.collect()}
+
+        def cos_u(a, b):
+            dot = sq_a = sq_b = 0.0
+            for x, y in zip(a, b):
+                dot += x * y
+                sq_a += x * x
+                sq_b += y * y
+            return round(round(dot / (sq_a**0.5 * sq_b**0.5), 6) * 1e6)
+
+        want = {}
+        for qid, rows in per_q.items():
+            cand = sorted(rows, key=lambda t: (-t[1], t[0]))[:MMR_CAND]
+            rel_u = dict(cand)
+            remaining = set(rel_u)
+            first = max(remaining, key=lambda i: (rel_u[i], -i))
+            sel = [first]
+            remaining.discard(first)
+            while len(sel) < MMR_K and remaining:
+                nxt = max(
+                    remaining,
+                    key=lambda i: (
+                        7 * rel_u[i]
+                        - 3 * max(cos_u(emb[i], emb[j]) for j in sel),
+                        -i,
+                    ),
+                )
+                sel.append(nxt)
+                remaining.discard(nxt)
+            want[qid] = sel
+        got = {}
+        for r in QUERIES["sim_mmr_diversify"](spark, sf_dir).collect():
+            got.setdefault(r["query_id"], {})[r["rank"]] = r["id"]
+        got = {k: [v[i] for i in sorted(v)] for k, v in got.items()}
+        assert got == want
+        # diversification actually reorders at least one query's ranking
+        pure = {
+            qid: [i for i, _ in sorted(rows, key=lambda t: (-t[1], t[0]))][:MMR_K]
+            for qid, rows in per_q.items()
+        }
+        assert any(got[qid] != pure[qid] for qid in got)
