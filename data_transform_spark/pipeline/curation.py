@@ -997,3 +997,154 @@ def quality_dsir(spark, sf_dir):
     return scored.select(
         "doc_id", "is_target", "score_u", (F.col("score_u") >= 0).alias("kept")
     )
+
+
+# Gopher quality-filter thresholds (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", table A1).
+# The dup-unigram bound is ADAPTED to this fixture's tiny vocabulary (the
+# paper bounds duplicate n-gram CHARACTER fractions; word-salad text from a
+# ~40-word vocab has structurally high unigram repetition, so the faithful
+# 0.3-ish bounds would reject everything — threshold chosen at the observed
+# median so the rule splits the corpus).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL = 3.0
+GOPHER_MAX_MWL = 10.0
+GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_MAX_DUP_UNIGRAM = 0.55  # adapted (see above)
+GOPHER_MAX_TOP_BIGRAM = 0.18  # paper's top-2-gram fraction bound
+
+_GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+
+
+@register(
+    "quality_gopher",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, toks[s] || ' ' || toks[s + 1] AS g
+        FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(s)
+    ),
+    topbg AS (
+        SELECT doc_id, max(c) AS top_cnt
+        FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g)
+        GROUP BY doc_id
+    ),
+    m AS (
+        SELECT t.doc_id,
+               len(toks) AS n_words,
+               ROUND((length(text) - len(toks) + 1) * 1.0 / len(toks), 6)
+                   AS mean_word_len,
+               len(list_filter(toks, x -> x IN ({_GOPHER_STOP_SQL})))
+                   AS stop_hits,
+               ROUND((len(toks) - len(list_distinct(toks))) * 1.0
+                     / len(toks), 6) AS dup_unigram_frac,
+               CASE WHEN len(toks) >= 2
+                    THEN ROUND(COALESCE(topbg.top_cnt, 0) * 1.0
+                               / (len(toks) - 1), 6)
+                    ELSE 1.0 END AS top_bigram_frac
+        FROM t LEFT JOIN topbg USING (doc_id)
+    )
+    SELECT doc_id, n_words, mean_word_len, stop_hits, dup_unigram_frac,
+           top_bigram_frac,
+           n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+               AS r_word_count,
+           mean_word_len BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL}
+               AS r_mean_word_len,
+           stop_hits >= {GOPHER_MIN_STOP_HITS} AS r_stopwords,
+           dup_unigram_frac <= {GOPHER_MAX_DUP_UNIGRAM} AS r_dup_unigram,
+           top_bigram_frac <= {GOPHER_MAX_TOP_BIGRAM} AS r_top_bigram,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+           AND (mean_word_len BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL})
+           AND stop_hits >= {GOPHER_MIN_STOP_HITS}
+           AND dup_unigram_frac <= {GOPHER_MAX_DUP_UNIGRAM}
+           AND top_bigram_frac <= {GOPHER_MAX_TOP_BIGRAM} AS kept
+    FROM m
+    """,
+)
+def quality_gopher(spark, sf_dir):
+    """Gopher rule-based quality filter (Rae et al. 2021, appendix A1):
+    the industry-standard heuristic gate a pretraining pipeline runs
+    BEFORE any learned scorer — word-count bounds, mean-word-length
+    bounds, minimum stopword hits, duplicate-unigram bound (threshold
+    adapted to this fixture, see GOPHER_MAX_DUP_UNIGRAM), and the paper's
+    top-bigram-fraction bound (0.18). Emits every metric, every per-rule
+    verdict, and the conjunction — the audit trail a curation run keeps
+    so rejected docs are attributable to a rule, not a black box.
+
+    Scale shape: MAP-ONLY — zero shuffles. Every metric is doc-local
+    Column arithmetic; even the top-bigram count avoids an explode +
+    two keyed aggregations by sorting the doc's bigram array and taking
+    the max run length with one F.aggregate fold (equal bigrams are
+    adjacent after the sort), so the whole filter streams through a
+    single scan at any corpus size. Per-doc cost is O(L log L) in doc
+    length from the array_sort. The oracle computes the same count via
+    unnest+GROUP BY — engine-idiomatic plans, identical results.
+
+    Float discipline: all three fractional metrics are single divisions
+    of exactly-representable integers, rounded to 6 dp identically in
+    both engines before any threshold comparison."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_words = F.size(toks)
+    mwl = F.round((F.length("text") - n_words + 1) * 1.0 / n_words, 6)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*GOPHER_STOPWORDS)))
+    dup_frac = F.round(
+        (n_words - F.size(F.array_distinct(toks))) * 1.0 / n_words, 6
+    )
+    # max run length over the SORTED bigram array: one doc-local fold.
+    bigrams = F.array_sort(
+        F.when(
+            n_words >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n_words - 1),
+                lambda s: F.concat(
+                    F.element_at(toks, s), F.lit(" "), F.element_at(toks, s + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    fold = F.aggregate(
+        bigrams,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    top_frac = F.when(
+        n_words >= 2, F.round(fold.best * 1.0 / (n_words - 1), 6)
+    ).otherwise(F.lit(1.0))
+    m = d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mwl.alias("mean_word_len"),
+        stop_hits.cast("long").alias("stop_hits"),
+        dup_frac.alias("dup_unigram_frac"),
+        top_frac.alias("top_bigram_frac"),
+    )
+    r_wc = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    r_mwl = F.col("mean_word_len").between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
+    r_stop = F.col("stop_hits") >= GOPHER_MIN_STOP_HITS
+    r_dup = F.col("dup_unigram_frac") <= GOPHER_MAX_DUP_UNIGRAM
+    r_bg = F.col("top_bigram_frac") <= GOPHER_MAX_TOP_BIGRAM
+    return m.select(
+        "*",
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_stop.alias("r_stopwords"),
+        r_dup.alias("r_dup_unigram"),
+        r_bg.alias("r_top_bigram"),
+        (r_wc & r_mwl & r_stop & r_dup & r_bg).alias("kept"),
+    )

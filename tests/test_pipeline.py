@@ -1531,3 +1531,70 @@ class TestMmrDiversify:
             for qid, rows in per_q.items()
         }
         assert any(got[qid] != pure[qid] for qid in got)
+
+
+class TestGopher:
+    def test_metrics_match_python_and_rules_split_corpus(self, spark, sf_dir):
+        """Every metric must equal a from-scratch python computation, each
+        rule flag must follow its threshold, and the gate must be REAL on
+        this fixture: both kept and rejected docs exist, and at least two
+        DIFFERENT rules are responsible for rejections (a gate where one
+        rule does all the work is a disguised single filter)."""
+        from collections import Counter
+
+        from data_transform_spark.io import load_table
+        from data_transform_spark.pipeline.curation import (
+            GOPHER_MAX_DUP_UNIGRAM,
+            GOPHER_MAX_TOP_BIGRAM,
+            GOPHER_MIN_STOP_HITS,
+            GOPHER_MIN_WORDS,
+            GOPHER_STOPWORDS,
+        )
+
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in load_table(spark, sf_dir, "documents").collect()
+        }
+        got = {r["doc_id"]: r for r in QUERIES["quality_gopher"](spark, sf_dir).collect()}
+        assert set(got) == set(texts)
+        rejected_by = set()
+        n_kept = 0
+        for did, text in texts.items():
+            toks = text.split(" ")
+            n = len(toks)
+            r = got[did]
+            assert r["n_words"] == n
+            assert r["mean_word_len"] == round((len(text) - n + 1) / n, 6)
+            assert r["stop_hits"] == sum(t in GOPHER_STOPWORDS for t in toks)
+            assert r["dup_unigram_frac"] == round((n - len(set(toks))) / n, 6)
+            bg = Counter(zip(toks, toks[1:]))
+            top = round(max(bg.values()) / (n - 1), 6) if n >= 2 else 1.0
+            assert r["top_bigram_frac"] == top
+            assert r["r_word_count"] == (GOPHER_MIN_WORDS <= n <= 100_000)
+            assert r["r_stopwords"] == (r["stop_hits"] >= GOPHER_MIN_STOP_HITS)
+            assert r["r_dup_unigram"] == (
+                r["dup_unigram_frac"] <= GOPHER_MAX_DUP_UNIGRAM
+            )
+            assert r["r_top_bigram"] == (top <= GOPHER_MAX_TOP_BIGRAM)
+            all_rules = (
+                r["r_word_count"]
+                and r["r_mean_word_len"]
+                and r["r_stopwords"]
+                and r["r_dup_unigram"]
+                and r["r_top_bigram"]
+            )
+            assert r["kept"] == all_rules
+            if r["kept"]:
+                n_kept += 1
+            else:
+                for rule in (
+                    "r_word_count",
+                    "r_mean_word_len",
+                    "r_stopwords",
+                    "r_dup_unigram",
+                    "r_top_bigram",
+                ):
+                    if not r[rule]:
+                        rejected_by.add(rule)
+        assert 0 < n_kept < len(texts)
+        assert len(rejected_by) >= 2
