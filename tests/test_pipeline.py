@@ -1598,3 +1598,61 @@ class TestGopher:
                         rejected_by.add(rule)
         assert 0 < n_kept < len(texts)
         assert len(rejected_by) >= 2
+
+
+class TestTripletMine:
+    def test_triplets_match_python_argmax_and_verdicts(self, spark, sf_dir):
+        """Every anchor's positive/negative pick must equal a from-scratch
+        python argmax over 4dp-rounded cosines (ties to the lower id), the
+        margin/hard/semi_hard columns must follow their definitions, and
+        the mined set must contain hard, semi-hard AND easy triplets (a
+        miner that only ever emits one class is a constant flag)."""
+        import pyspark.sql.functions as F
+
+        from data_transform_spark.io import load_table
+        from data_transform_spark.pipeline.similarity import TRIPLET_ALPHA
+
+        rows = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+        ).collect()
+        vecs = {r["vec_id"]: (r["label"], r["emb"]) for r in rows}
+
+        def cos_u(a, b):
+            dot = sa = sb = 0.0
+            for x, y in zip(a, b):
+                dot += x * y
+                sa += x * x
+                sb += y * y
+            return round(round(dot / (sa**0.5 * sb**0.5), 4) * 1e4)
+
+        got = {
+            r["anchor_id"]: r
+            for r in QUERIES["train_triplet_mine"](spark, sf_dir).collect()
+        }
+        n_hard = n_semi = n_easy = 0
+        for aid, (alab, aemb) in vecs.items():
+            same, diff = [], []
+            for cid, (clab, cemb) in vecs.items():
+                if cid == aid:
+                    continue
+                su = cos_u(aemb, cemb)
+                (same if clab == alab else diff).append((-su, cid))
+            if not same or not diff:
+                assert aid not in got
+                continue
+            pos = min(same)
+            neg = min(diff)
+            r = got[aid]
+            assert (r["pos_id"], round(r["pos_score"] * 1e4)) == (pos[1], -pos[0])
+            assert (r["neg_id"], round(r["neg_score"] * 1e4)) == (neg[1], -neg[0])
+            margin_u = -pos[0] - -neg[0]
+            assert round(r["margin"] * 1e4) == margin_u
+            assert r["hard"] == (-neg[0] >= -pos[0])
+            assert r["semi_hard"] == (
+                -neg[0] < -pos[0] and r["margin"] < TRIPLET_ALPHA
+            )
+            n_hard += r["hard"]
+            n_semi += r["semi_hard"]
+            n_easy += not r["hard"] and not r["semi_hard"]
+        assert set(got) == {a for a in vecs}  # every anchor has both classes here
+        assert n_hard > 0 and n_semi > 0 and n_easy > 0
