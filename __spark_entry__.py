@@ -128,6 +128,10 @@ _CHANGED_IN_ROUND = {
     # bucket digests -> published md5) per r10 ADVICE — corpus_md5 values
     # change; counts unchanged
     "corpus_manifest": 11,
+    # round 11: domain switched source -> lang (source is perfectly
+    # uniform in the fixture, so every rate was 1.0 and the op was a
+    # no-op on its own fixture); output column source -> lang
+    "sample_temperature": 11,
 }
 
 

@@ -147,15 +147,15 @@ TEMP_ALPHA = 0.7  # sampling temperature (mT5/XLM-R use 0.3-0.7)
 @register(
     "sample_temperature",
     oracle=f"""
-    WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
     tot AS (SELECT sum(n) AS t FROM cnt),
-    w AS (SELECT source, ROUND(pow(n * 1.0 / t, {TEMP_ALPHA} - 1), 6) AS wr
+    w AS (SELECT lang, ROUND(pow(n * 1.0 / t, {TEMP_ALPHA} - 1), 6) AS wr
           FROM cnt, tot),
-    rates AS (SELECT source,
+    rates AS (SELECT lang,
                      ROUND(wr / (SELECT max(wr) FROM w), 6) AS rate
               FROM w)
-    SELECT d.doc_id, d.source, r.rate
-    FROM documents d JOIN rates r USING (source)
+    SELECT d.doc_id, d.lang, r.rate
+    FROM documents d JOIN rates r USING (lang)
     WHERE {_U01_SQL.format(salt=':temp')} < r.rate
     """,
 )
@@ -168,7 +168,11 @@ def sample_temperature(spark, sf_dir):
     (downsample-only — upsampling needs replication, a different op);
     unlike mix_domains' HAND-SPECIFIED rates, the rates here are
     DERIVED from the observed distribution, so the op adapts as the
-    corpus shifts.
+    corpus shifts. Domain = LANG since round 11: the fixture's source
+    column is perfectly uniform (25 docs/src at every SF), which made
+    every rate 1.0 and the op a no-op on its own fixture; lang is skewed
+    (en ≈ 40%) so the head language is genuinely downsampled
+    (rate ≈ 0.73 at sf0.01) while the rarest keeps 1.0.
 
     Plan: one tiny shuffle for the per-domain counts, total and max as
     broadcast 1-row aggregates riding in-plan, a broadcast rate join
@@ -183,22 +187,22 @@ def sample_temperature(spark, sf_dir):
     exponent has no DECIMAL-exact path, so a fixture whose domain share
     puts pow() exactly on a 0.5e-6 boundary could still diverge."""
     d = load_table(spark, sf_dir, "documents")
-    cnt = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    cnt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     tot = cnt.agg(F.sum("n").alias("t"))
     w = cnt.crossJoin(F.broadcast(tot)).select(
-        "source",
+        "lang",
         F.round(
             F.pow(F.col("n") / F.col("t"), F.lit(TEMP_ALPHA - 1)), 6
         ).alias("wr"),
     )
     mx = w.agg(F.max("wr").alias("mx"))
     rates = w.crossJoin(F.broadcast(mx)).select(
-        "source", F.round(F.col("wr") / F.col("mx"), 6).alias("rate")
+        "lang", F.round(F.col("wr") / F.col("mx"), 6).alias("rate")
     )
     return (
-        d.join(F.broadcast(rates), "source")
+        d.join(F.broadcast(rates), "lang")
         .filter(_u01(F.col("doc_id"), ":temp") < F.col("rate"))
-        .select("doc_id", "source", "rate")
+        .select("doc_id", "lang", "rate")
     )
 
 
@@ -1147,4 +1151,80 @@ def quality_gopher(spark, sf_dir):
         r_dup.alias("r_dup_unigram"),
         r_bg.alias("r_top_bigram"),
         (r_wc & r_mwl & r_stop & r_dup & r_bg).alias("kept"),
+    )
+
+
+@register(
+    "mix_epochs_upsample",
+    oracle=f"""
+    WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    mx AS (SELECT max(n) AS nmax FROM cnt),
+    rates AS (
+        SELECT lang,
+               ROUND(pow(n * 1.0 / nmax, {TEMP_ALPHA} - 1), 6) AS epochs
+        FROM cnt, mx
+    ),
+    planned AS (
+        SELECT d.doc_id, d.lang, r.epochs,
+               CAST(floor(r.epochs) AS BIGINT)
+               + CASE WHEN {_U01_SQL.format(salt=':ep')}
+                           < r.epochs - floor(r.epochs)
+                      THEN 1 ELSE 0 END AS n_copies
+        FROM documents d JOIN rates r USING (lang)
+    )
+    SELECT doc_id, lang, epochs, CAST(u.copy AS BIGINT) AS copy
+    FROM planned, unnest(generate_series(1, n_copies)) AS u(copy)
+    """,
+)
+def mix_epochs_upsample(spark, sf_dir):
+    """Fractional-epoch domain UPSAMPLING — the replication complement of
+    sample_temperature's downsample-only rates (its docstring defers
+    exactly this op): target epochs e_d ∝ p_d^(α-1) are normalized so the
+    HEAD domain trains one epoch and every rarer domain trains
+    e_d = (n_d/n_max)^(α-1) ≥ 1 epochs; each doc emits floor(e_d) full
+    copies plus one more with probability frac(e_d), decided by the same
+    content-stable u(0,1) as every sampling stage (distinct salt ':ep',
+    so stages compose). The output's (doc_id, copy) rows are what a
+    training-data packer consumes for multi-epoch mixes ('books ×2.3,
+    web ×1' recipes). Domain = LANG (the mT5/XLM-R low-resource-language
+    use case): this fixture's source column is perfectly uniform (25
+    docs/src at every SF — rates would all be 1.0 and the op would
+    degenerate to a copy), while lang is skewed (en ≈ 40%), so en trains
+    1 epoch and the tail languages ~1.3-1.4 — real fractional
+    replication, property-tested.
+
+    Plan: one tiny domain-count shuffle, the max as a broadcast 1-row
+    aggregate riding in-plan, a broadcast rate join, then MAP-ONLY
+    replication via explode(sequence(1, n_copies)) — no shuffle touches
+    the replicated volume, so at 100 TB the blow-up streams straight to
+    the sink. Same pow()-rounding discipline (and residual boundary risk)
+    as sample_temperature: epochs round to 6 dp in both engines before
+    floor/frac decisions."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    mx = cnt.agg(F.max("n").alias("nmax"))
+    rates = cnt.crossJoin(F.broadcast(mx)).select(
+        "lang",
+        F.round(
+            F.pow(F.col("n") / F.col("nmax"), F.lit(TEMP_ALPHA - 1)), 6
+        ).alias("epochs"),
+    )
+    n_copies = (
+        F.floor("epochs")
+        + F.when(
+            _u01(F.col("doc_id"), ":ep") < F.col("epochs") - F.floor("epochs"),
+            1,
+        ).otherwise(0)
+    ).cast("long")
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .select("doc_id", "lang", "epochs", n_copies.alias("n_copies"))
+        .select(
+            "doc_id",
+            "lang",
+            "epochs",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies"))).alias(
+                "copy"
+            ),
+        )
     )

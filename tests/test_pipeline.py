@@ -1656,3 +1656,44 @@ class TestTripletMine:
             n_easy += not r["hard"] and not r["semi_hard"]
         assert set(got) == {a for a in vecs}  # every anchor has both classes here
         assert n_hard > 0 and n_semi > 0 and n_easy > 0
+
+
+class TestMixEpochsUpsample:
+    def test_replication_matches_rates_and_is_upsample_only(self, spark, sf_dir):
+        """Epoch rates must be >= 1 with the head domain exactly 1.0, every
+        doc must appear floor(e) or ceil(e) times with copy = 1..n dense,
+        per-domain realized copies/docs must sit between floor and ceil of
+        the rate, and at least one domain must actually replicate
+        fractionally (realized factor strictly between 1 and 2)."""
+        from collections import Counter
+
+        rows = QUERIES["mix_epochs_upsample"](spark, sf_dir).collect()
+        by_doc = Counter(r["doc_id"] for r in rows)
+        rate = {}
+        copies = Counter()
+        docs = {}
+        for r in rows:
+            rate[r["lang"]] = r["epochs"]
+            copies[r["lang"]] += 1
+            docs.setdefault(r["lang"], set()).add(r["doc_id"])
+        assert min(rate.values()) == 1.0
+        assert all(e >= 1.0 for e in rate.values())
+        import math
+
+        for r in rows:
+            e = rate[r["lang"]]
+            n = by_doc[r["doc_id"]]
+            assert n in (math.floor(e), math.ceil(e))
+            assert 1 <= r["copy"] <= n
+        # copy indices dense per doc
+        seen = {}
+        for r in rows:
+            seen.setdefault(r["doc_id"], set()).add(r["copy"])
+        assert all(s == set(range(1, len(s) + 1)) for s in seen.values())
+        fractional = 0
+        for src, e in rate.items():
+            realized = copies[src] / len(docs[src])
+            assert math.floor(e) <= realized <= math.ceil(e)
+            if 1.0 < realized < 2.0:
+                fractional += 1
+        assert fractional >= 1
