@@ -571,3 +571,44 @@ def sql_select_except(spark, sf_dir):
     return spark.sql(
         "SELECT * EXCEPT (n_regionkey) FROM nation"
     )
+
+
+@register(
+    "sql_pipe",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           ROUND(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    HAVING count(*) > 1000
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def sql_pipe(spark, sf_dir):
+    """SQL pipe syntax (Spark 4's ``|>`` operators, from Google's
+    'Pipe Syntax in SQL' VLDB'24 design): the same filtered revenue
+    rollup expressed as a linear FROM → WHERE → EXTEND → AGGREGATE →
+    WHERE → ORDER BY pipeline instead of inside-out ANSI clauses. The
+    post-AGGREGATE WHERE is pipe-flavored HAVING; EXTEND is a projection
+    that keeps all input columns. DuckDB has no pipe syntax, so the
+    oracle is the ANSI desugaring — proving the pipe form denotes the
+    same relation. Catalyst parses pipes into the identical logical plan
+    as the ANSI twin (scan with pushed shipdate filter + partial/final
+    hash aggregate), so the surface costs nothing at 100 TB."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_items,
+                     ROUND(CAST(sum(CAST(disc_price AS DECIMAL(18,6)))
+                                AS DOUBLE), 2) AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n_items > 1000
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )

@@ -918,3 +918,27 @@ def test_image_phash_scan_prunes_to_doc_id_and_no_cartesian(spark, sf_dir):
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
     assert schemas and all(s == "doc_id:bigint" for s in schemas), schemas
     assert "CartesianProduct" not in p
+
+
+def test_sql_pipe_desugars_to_pushed_scan_and_hash_agg(spark, sf_dir):
+    """The pipe-syntax surface must cost nothing: the shipdate filter
+    reaches the parquet scan as a pushed filter, the rollup is an
+    ordinary partial/final HashAggregate, and the read schema is pruned
+    to the five referenced lineitem columns."""
+    import re
+
+    p = plan_of(spark, "sql_pipe", sf_dir)
+    assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters", 1)[1].split("\n")[0]
+    assert "HashAggregate" in p
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert schemas and all(
+        set(s.split(",")[i].split(":")[0] for i in range(len(s.split(","))))
+        <= {
+            "l_returnflag",
+            "l_linestatus",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        }
+        for s in schemas
+    ), schemas
