@@ -1697,3 +1697,59 @@ class TestMixEpochsUpsample:
             if 1.0 < realized < 2.0:
                 fractional += 1
         assert fractional >= 1
+
+
+class TestSemDeDup:
+    def test_cluster_scoped_removals_are_sound_vs_exact_pairs(self, spark, sf_dir):
+        """SemDeDup's verdicts must be SOUND relative to the exact
+        geometry: every recorded neighbor is an earlier same-cluster
+        vector whose recomputed cosine matches sim_u exactly; every
+        removal clears τ; removals are a SUBSET of the vectors that have
+        some exact global τ-pair (cluster scoping can only lose recall,
+        never invent duplicates); and on this fixture the removal set is
+        non-empty while pair volume shrinks vs the all-pairs join."""
+        import pyspark.sql.functions as F
+
+        from data_transform_spark.io import load_table
+        from data_transform_spark.pipeline.similarity import SEM_TAU_U
+
+        rows = QUERIES["dedup_semdedup"](spark, sf_dir).collect()
+        emb = {
+            r["vec_id"]: r["emb"]
+            for r in load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+            .collect()
+        }
+        assert {r["vec_id"] for r in rows} == set(emb)
+        c_of = {r["vec_id"]: r["c_id"] for r in rows}
+
+        def sim_u(a, b):
+            dot = sa = sb = 0.0
+            for x, y in zip(a, b):
+                dot += x * y
+                sa += x * x
+                sb += y * y
+            return round(round(dot / (sa**0.5 * sb**0.5), 6) * 1e6)
+
+        n_removed = 0
+        for r in rows:
+            if r["nn_earlier"] is not None:
+                assert r["nn_earlier"] < r["vec_id"]
+                assert c_of[r["nn_earlier"]] == r["c_id"]
+                assert sim_u(emb[r["vec_id"]], emb[r["nn_earlier"]]) == r["sim_u"]
+                assert r["removed"] == (r["sim_u"] >= SEM_TAU_U)
+            else:
+                assert not r["removed"]
+            n_removed += r["removed"]
+        assert n_removed > 0
+        # soundness vs the exact global pair set: a removed vector must
+        # have at least one exact τ-pair with ANY earlier vector
+        ids = sorted(emb)
+        has_global = set()
+        for i, b in enumerate(ids):
+            for a in ids[:i]:
+                if sim_u(emb[a], emb[b]) >= SEM_TAU_U:
+                    has_global.add(b)
+                    break
+        removed = {r["vec_id"] for r in rows if r["removed"]}
+        assert removed <= has_global
