@@ -1970,11 +1970,12 @@ def _sem_sqd(a: str, b: str) -> str:
     )
 
 
-def _semdedup_oracle() -> str:
-    """DuckDB replay of the FULL pipeline: md5-seeded k-means
-    (DECIMAL-exact means, so centroids are bit-identical to Spark's in
-    any aggregation order), full-corpus assignment, within-cluster
-    earlier-neighbor max-similarity, keep-first removal rule."""
+def _sem_cluster_ctes() -> list:
+    """The shared DuckDB replay of the deterministic k-means: md5-rank
+    train sample + seeds, SEM_ITERS DECIMAL-exact Lloyd passes
+    (bit-identical centroids to Spark's in any aggregation order), and
+    the full-corpus `assign` CTE. Used by dedup_semdedup and
+    sim_ann_recall_curve."""
     ctes = [
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb"
         " FROM embeddings)",
@@ -2018,6 +2019,14 @@ def _semdedup_oracle() -> str:
                        ORDER BY {_sem_sqd("v.emb", "c.c_emb")}, c.c_id) AS rn
             FROM e v CROSS JOIN {prev} c) WHERE rn = 1)"""
     )
+    return ctes
+
+
+def _semdedup_oracle() -> str:
+    """DuckDB replay of the FULL pipeline: shared k-means CTEs +
+    within-cluster earlier-neighbor max-similarity + keep-first
+    removal rule."""
+    ctes = _sem_cluster_ctes()
     ctes.append(
         f"""nn AS (
         SELECT * FROM (
@@ -2070,27 +2079,7 @@ def dedup_semdedup(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    train = _train_sample(e)
-    cent = _md5_seeds(train, SEM_K).select("c_id", F.col("emb").alias("c_emb"))
-    for _ in range(SEM_ITERS):
-        assign = _nearest_centroid(
-            train.select("vec_id", "emb"), cent, "vec_id", "c_id",
-            keep_cols=("emb",),
-        )
-        cent = (
-            assign.select("c_id", F.posexplode("emb").alias("pos", "v"))
-            .groupBy("c_id", "pos")
-            .agg(
-                (
-                    F.sum(F.round("v", 12).cast("decimal(27,12)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("cv")
-            )
-            .groupBy("c_id")
-            .agg(F.sort_array(F.collect_list(F.struct("pos", "cv"))).alias("pc"))
-            .select("c_id", F.col("pc.cv").alias("c_emb"))
-        )
-    assign = _nearest_centroid(e, cent, "vec_id", "c_id", keep_cols=("emb",))
+    cent, assign = _sem_kmeans(e)
     a = assign.select(
         F.col("vec_id").alias("nn_earlier"),
         F.col("c_id").alias("a_cid"),
@@ -2122,5 +2111,211 @@ def dedup_semdedup(spark, sf_dir):
             F.coalesce(F.col("sim_u") >= SEM_TAU_U, F.lit(False)).alias(
                 "removed"
             ),
+        )
+    )
+
+
+def _sem_kmeans(e):
+    """The DECIMAL-exact deterministic k-means shared by dedup_semdedup
+    and sim_ann_recall_curve: md5-rank train sample + seeds, SEM_ITERS
+    Lloyd passes with round(v,12)-as-DECIMAL(27,12) means (bit-identical
+    centroids cross-engine in any aggregation order), then full-corpus
+    assignment. Returns (centroids, assignment-with-emb)."""
+    train = _train_sample(e)
+    cent = _md5_seeds(train, SEM_K).select("c_id", F.col("emb").alias("c_emb"))
+    for _ in range(SEM_ITERS):
+        assign = _nearest_centroid(
+            train.select("vec_id", "emb"), cent, "vec_id", "c_id",
+            keep_cols=("emb",),
+        )
+        cent = (
+            assign.select("c_id", F.posexplode("emb").alias("pos", "v"))
+            .groupBy("c_id", "pos")
+            .agg(
+                (
+                    F.sum(F.round("v", 12).cast("decimal(27,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("cv")
+            )
+            .groupBy("c_id")
+            .agg(F.sort_array(F.collect_list(F.struct("pos", "cv"))).alias("pc"))
+            .select("c_id", F.col("pc.cv").alias("c_emb"))
+        )
+    assign = _nearest_centroid(e, cent, "vec_id", "c_id", keep_cols=("emb",))
+    return cent, assign
+
+
+RECALL_LEVELS = (1, 2, 4, 8)  # probes settings swept by the recall curve
+
+
+def _recall_curve_oracle() -> str:
+    ctes = _sem_cluster_ctes()
+    simu = f"CAST(round(round({_sql_cos('q.q_emb', 'a.emb')}, 6) * 1e6, 0) AS BIGINT)"
+    ctes.append(
+        f"""q AS (
+        SELECT vec_id AS query_id, emb AS q_emb FROM e
+        WHERE vec_id < {N_QUERIES})"""
+    )
+    ctes.append(
+        f"""pr AS (
+        SELECT query_id, q_emb, c_id AS list_id, rn AS probe_rank FROM (
+            SELECT q.query_id, q.q_emb, c.c_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_sem_sqd("q.q_emb", "c.c_emb")}, c.c_id) AS rn
+            FROM q CROSS JOIN cent{SEM_ITERS} c)
+        WHERE rn <= {max(RECALL_LEVELS)})"""
+    )
+    ctes.append(
+        f"""cand AS (
+        SELECT pr.query_id, pr.probe_rank, a.vec_id AS neighbor_id,
+               CAST(round(round({_sql_cos('pr.q_emb', 'a.emb')}, 6) * 1e6, 0)
+                    AS BIGINT) AS sim_u
+        FROM pr JOIN assign a ON a.c_id = pr.list_id
+        WHERE a.vec_id <> pr.query_id)"""
+    )
+    ctes.append(
+        "levels AS (SELECT * FROM (VALUES "
+        + ", ".join(f"({v})" for v in RECALL_LEVELS)
+        + ") AS t(probes))"
+    )
+    ctes.append(
+        f"""ann AS (
+        SELECT probes, query_id, neighbor_id FROM (
+            SELECT l.probes, c.query_id, c.neighbor_id, c.sim_u,
+                   row_number() OVER (
+                       PARTITION BY l.probes, c.query_id
+                       ORDER BY c.sim_u DESC, c.neighbor_id) AS rn
+            FROM cand c JOIN levels l ON c.probe_rank <= l.probes)
+        WHERE rn <= {TOPK})"""
+    )
+    ctes.append(
+        f"""exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, a.vec_id AS neighbor_id,
+                   {simu} AS sim_u,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {simu} DESC, a.vec_id) AS rn
+            FROM q JOIN e a ON a.vec_id <> q.query_id)
+        WHERE rn <= {TOPK})"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT l.probes,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_results,
+           CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST(count(x.neighbor_id) AS BIGINT) AS n_hit,
+           CAST(round(count(x.neighbor_id) * 1e6
+                      / (SELECT count(*) FROM exact), 0) AS BIGINT)
+               AS recall_u
+    FROM levels l
+    LEFT JOIN ann a ON a.probes = l.probes
+    LEFT JOIN exact x
+           ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+    GROUP BY l.probes"""
+    )
+
+
+@register("sim_ann_recall_curve", oracle=_recall_curve_oracle())
+def sim_ann_recall_curve(spark, sf_dir):
+    """The ANN tuning curve: recall@{TOPK} of the IVF coarse quantizer at
+    probes ∈ {RECALL_LEVELS}, against the exact cosine top-k — the table
+    an operator reads to pick the recall/latency point before a 100 TB
+    similarity run (probes is THE runtime knob; the index is
+    probe-agnostic). Unlike the bound-checked sim_ann_* keys, every cell
+    here is EXACTLY hash-compared: the DECIMAL-exact k-means
+    (_sem_kmeans) makes centroids bit-identical cross-engine, so the
+    oracle replays the full fit, the probed search at every level, and
+    the exact top-k, and the recall counts must match to the integer.
+
+    Plan economy: candidates are scored ONCE with their probe_rank (the
+    rank of their list in the query's centroid ordering); each sweep
+    level is then just `probe_rank <= L` — a 4-row broadcast join and
+    ONE window over (probes, query) — instead of re-running the search
+    per level. Scale: candidate volume is |Q|·(N/K)·max_probes rows and
+    the exact side |Q|·N — both linear in the corpus for a fixed query
+    panel, shuffled once each."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cent, assign = _sem_kmeans(e)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    sqd = F.aggregate(
+        F.zip_with("q_emb", "c_emb", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    wq = Window.partitionBy("query_id").orderBy("qdist", "c_id")
+    pr = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "q_emb", "c_id", sqd.alias("qdist"))
+        .withColumn("probe_rank", F.row_number().over(wq))
+        .filter(F.col("probe_rank") <= max(RECALL_LEVELS))
+        .select("query_id", "q_emb", F.col("c_id").alias("list_id"), "probe_rank")
+    )
+    sim_u = (
+        F.round(F.round(_cos(F.col("q_emb"), F.col("emb")), 6) * 1e6, 0)
+        .cast("long")
+    )
+    cand = (
+        F.broadcast(pr)
+        .join(assign, F.col("list_id") == F.col("c_id"))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "probe_rank",
+            F.col("vec_id").alias("neighbor_id"),
+            sim_u.alias("sim_u"),
+        )
+    )
+    levels = spark.range(1).select(
+        F.explode(F.array(*[F.lit(v) for v in RECALL_LEVELS])).alias("probes")
+    )
+    wl = Window.partitionBy("probes", "query_id").orderBy(
+        F.col("sim_u").desc(), "neighbor_id"
+    )
+    ann = (
+        cand.join(F.broadcast(levels), F.col("probe_rank") <= F.col("probes"))
+        .withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") <= TOPK)
+        .select("probes", "query_id", "neighbor_id")
+    )
+    we = Window.partitionBy("query_id").orderBy(F.col("sim_u").desc(), "neighbor_id")
+    exact = (
+        F.broadcast(q)
+        .join(e, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            sim_u.alias("sim_u"),
+        )
+        .withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    hit = ann.join(exact, ["query_id", "neighbor_id"]).groupBy("probes").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    per = ann.groupBy("probes").agg(F.count(F.lit(1)).alias("n_results"))
+    return (
+        levels.join(per, "probes", "left")
+        .join(hit, "probes", "left")
+        .crossJoin(F.broadcast(n_exact))
+        .select(
+            "probes",
+            F.coalesce(F.col("n_results"), F.lit(0)).cast("long").alias("n_results"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) * 1e6 / F.col("n_exact"), 0
+            )
+            .cast("long")
+            .alias("recall_u"),
         )
     )

@@ -1753,3 +1753,28 @@ class TestSemDeDup:
                     break
         removed = {r["vec_id"] for r in rows if r["removed"]}
         assert removed <= has_global
+
+
+class TestAnnRecallCurve:
+    def test_curve_is_monotone_and_internally_consistent(self, spark, sf_dir):
+        """Recall must be non-decreasing in probes (more lists can only
+        add candidates), every level's arithmetic must be internally
+        consistent (hits <= results <= exact, recall_u = the exact
+        integer ratio), and the widest sweep must beat the narrowest by
+        a real margin on this fixture — a flat curve means the probes
+        knob does nothing."""
+        rows = {
+            r["probes"]: r
+            for r in QUERIES["sim_ann_recall_curve"](spark, sf_dir).collect()
+        }
+        from data_transform_spark.pipeline.similarity import RECALL_LEVELS
+
+        assert set(rows) == set(RECALL_LEVELS)
+        prev = -1
+        for lv in sorted(rows):
+            r = rows[lv]
+            assert 0 <= r["n_hit"] <= r["n_results"] <= r["n_exact"]
+            assert r["recall_u"] == round(r["n_hit"] * 1e6 / r["n_exact"])
+            assert r["n_hit"] >= prev
+            prev = r["n_hit"]
+        assert rows[max(RECALL_LEVELS)]["n_hit"] > rows[min(RECALL_LEVELS)]["n_hit"]
