@@ -114,6 +114,7 @@ OPTIONAL = [
     "train_triplet_mine",
     "dedup_semdedup",
     "sim_ann_recall_curve",
+    "ts_holt_linear",
     # Round-11 exclusions for the same budget reason (measured medians in
     # SCALING.md "Round-11"): pipeline_e2e_llm_v3 (~65 s, supersets v2),
     # dedup_image_phash (~17 s, dominated by per-pixel fixture synthesis

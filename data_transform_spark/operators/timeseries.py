@@ -456,3 +456,104 @@ def ts_yoy(spark, sf_dir):
             F.round(F.col("rev") - F.col("rev_prev_year"), 2).alias("yoy_delta"),
         )
     )
+
+
+# Holt's linear (double exponential) smoothing — integer micro-unit form.
+# alpha = 3/10, beta = 1/10; every update is round-half-up integer
+# arithmetic: floor((num + 5) / 10) with all terms in BIGINT micro-units.
+HOLT_ALPHA_NUM = 3  # alpha = HOLT_ALPHA_NUM / 10
+HOLT_BETA_NUM = 1  # beta = HOLT_BETA_NUM / 10
+
+
+@register(
+    "ts_holt_linear",
+    oracle=f"""
+    WITH RECURSIVE counts AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT event_type, day_ts, n,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY day_ts) AS t
+        FROM counts
+    ),
+    rec(event_type, t, day_ts, n, l, b) AS (
+        SELECT event_type, t, day_ts, n,
+               n * 1000000, CAST(0 AS BIGINT)
+        FROM series WHERE t = 1
+        UNION ALL
+        SELECT s.event_type, s.t, s.day_ts, s.n,
+               CAST(floor(({HOLT_ALPHA_NUM} * s.n * 1000000
+                           + {10 - HOLT_ALPHA_NUM} * (r.l + r.b) + 5)
+                          / 10) AS BIGINT),
+               CAST(floor((({HOLT_BETA_NUM}) *
+                           (CAST(floor(({HOLT_ALPHA_NUM} * s.n * 1000000
+                                        + {10 - HOLT_ALPHA_NUM} * (r.l + r.b)
+                                        + 5) / 10) AS BIGINT) - r.l)
+                           + {10 - HOLT_BETA_NUM} * r.b + 5)
+                          / 10) AS BIGINT)
+        FROM rec r
+        JOIN series s ON s.event_type = r.event_type AND s.t = r.t + 1
+    )
+    SELECT event_type, day_ts, n, l AS level_u, b AS trend_u,
+           l + b AS forecast_next_u
+    FROM rec
+    """,
+)
+def ts_holt_linear(spark, sf_dir):
+    """Holt's linear-trend (double exponential) smoothing over the daily
+    event-count series of each event_type, plus the one-step-ahead
+    forecast l_t + b_t — the classic workload-forecasting primitive one
+    level up from ts_ewma (which has level but no trend and sidesteps
+    recursion by truncation; Holt's trend term genuinely needs the full
+    recursion).
+
+    Exact-recursion discipline (the sim_mmr_diversify pattern): state
+    lives in INTEGER MICRO-UNITS and every update is round-half-up
+    integer arithmetic — l_t = ⌊(3·x_t·1e6 + 7·(l+b) + 5)/10⌋,
+    b_t = ⌊(1·(l_t−l_{{t-1}}) + 9·b + 5)/10⌋ (α=0.3, β=0.1, l_1=x_1·1e6,
+    b_1=0) — so a float rounding anywhere cannot fork the two engines'
+    state trajectories. Spark runs the recursion per event_type in ONE
+    applyInPandas pass (series are day-length-bounded; groups are
+    independent — the scale axis is the number of series, not their
+    length); DuckDB replays it as a recursive CTE that CARRIES
+    (day_ts, n) through the recursion instead of re-joining the source
+    CTE (the re-join pattern trips a DuckDB internal assertion — the
+    MMR lesson)."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day_ts")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day_ts").reset_index(drop=True)
+        an, bn = HOLT_ALPHA_NUM, HOLT_BETA_NUM
+        ls, bs = [], []
+        l = b = 0
+        for i, x in enumerate(int(v) for v in pdf["n"]):
+            if i == 0:
+                l, b = x * 1_000_000, 0
+            else:
+                l_new = (an * x * 1_000_000 + (10 - an) * (l + b) + 5) // 10
+                b = (bn * (l_new - l) + (10 - bn) * b + 5) // 10
+                l = l_new
+            ls.append(l)
+            bs.append(b)
+        pdf["level_u"] = ls
+        pdf["trend_u"] = bs
+        pdf["forecast_next_u"] = [x + y for x, y in zip(ls, bs)]
+        return pdf
+
+    return counts.groupBy("event_type").applyInPandas(
+        holt,
+        "event_type string, day_ts timestamp, n long, "
+        "level_u long, trend_u long, forecast_next_u long",
+    )

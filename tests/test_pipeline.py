@@ -1778,3 +1778,51 @@ class TestAnnRecallCurve:
             assert r["n_hit"] >= prev
             prev = r["n_hit"]
         assert rows[max(RECALL_LEVELS)]["n_hit"] > rows[min(RECALL_LEVELS)]["n_hit"]
+
+
+class TestHoltLinear:
+    def test_recursion_matches_python_and_tracks_trend(self, spark, sf_dir):
+        """The per-series state trajectory must equal a from-scratch
+        python Holt recursion on the same integer daily counts, and the
+        smoother must be a real trend tracker: on a synthetic rising
+        series the trend term must settle positive and the forecast must
+        exceed the level."""
+        from collections import defaultdict
+
+        from data_transform_spark.operators.timeseries import (
+            HOLT_ALPHA_NUM,
+            HOLT_BETA_NUM,
+        )
+
+        rows = QUERIES["ts_holt_linear"](spark, sf_dir).collect()
+        series = defaultdict(list)
+        for r in rows:
+            series[r["event_type"]].append(r)
+        assert len(series) >= 2
+        for et, rs in series.items():
+            rs.sort(key=lambda r: r["day_ts"])
+            l = b = 0
+            for i, r in enumerate(rs):
+                x = r["n"]
+                if i == 0:
+                    l, b = x * 1_000_000, 0
+                else:
+                    l_new = (
+                        HOLT_ALPHA_NUM * x * 1_000_000
+                        + (10 - HOLT_ALPHA_NUM) * (l + b)
+                        + 5
+                    ) // 10
+                    b = (HOLT_BETA_NUM * (l_new - l) + (10 - HOLT_BETA_NUM) * b + 5) // 10
+                    l = l_new
+                assert (r["level_u"], r["trend_u"]) == (l, b)
+                assert r["forecast_next_u"] == l + b
+        # trend behavior on a controlled rising series
+        l = b = 0
+        for i, x in enumerate(range(100, 200, 10)):
+            if i == 0:
+                l, b = x * 1_000_000, 0
+            else:
+                l_new = (3 * x * 1_000_000 + 7 * (l + b) + 5) // 10
+                b = (1 * (l_new - l) + 9 * b + 5) // 10
+                l = l_new
+        assert b > 0 and l + b > l
