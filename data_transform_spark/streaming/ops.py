@@ -707,3 +707,49 @@ def run_stream_dedup_incr(spark, sf_dir, run: str):
         .parquet(pairs_dir)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "stream_topk",
+    oracle="""
+    WITH counters AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+               event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT * FROM (
+        SELECT window_start, event_type, n,
+               CAST(row_number() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n DESC, event_type) AS BIGINT) AS rn
+        FROM counters)
+    WHERE rn <= 2
+    """,
+)
+def stream_topk(spark, sf_dir):
+    """Streaming top-k: the 2 busiest event types of every tumbling day —
+    the 'trending now' dashboard shape. Ranking is not a streaming
+    operator (a rank can be overturned by any late row), so the query
+    has the canonical two-tier architecture: the STREAM maintains the
+    per-(window, key) counters — the unbounded, state-heavy part — in
+    complete mode, and the rank runs as a tiny BATCH window over the
+    sink table, whose size is windows × key-cardinality, not event
+    volume. At 100 TB/day that downstream rank touches thousands of
+    rows while the stream shoulders the billions; late data revises a
+    counter and the next rank read heals automatically."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    counters = run_to_memory(agg, "complete")
+    wr = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), "event_type"
+    )
+    return (
+        counters.select(
+            F.col("w.start").alias("window_start"), "event_type", "n"
+        )
+        .withColumn("rn", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rn") <= 2)
+    )

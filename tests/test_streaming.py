@@ -293,3 +293,35 @@ class TestStreamDedupIncr:
 
         batch_dirs = [d for d in os.listdir(f"{run}/bands") if d.startswith("batch-")]
         assert len(batch_dirs) >= 2, batch_dirs
+
+
+def test_stream_topk_ranks_streamed_counters(spark, sf_dir, state_provider):
+    """stream_topk's two-tier shape: counters from the stream, rank as a
+    batch window over the sink. The result must equal ranking a pure
+    batch aggregation (k=2 per day, count desc, type tiebreak), every
+    day must emit exactly 2 rows, and rank-1 count >= rank-2 count."""
+    from collections import Counter, defaultdict
+
+    import pyspark.sql.functions as F
+
+    from data_transform_spark.io import load_table
+
+    got = QUERIES["stream_topk"](spark, sf_dir).collect()
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(F.date_trunc("day", "ts").alias("d"), "event_type")
+        .collect()
+    )
+    counts = Counter((r["d"], r["event_type"]) for r in ev)
+    per_day = defaultdict(list)
+    for (d, et), n in counts.items():
+        per_day[d].append((-n, et))
+    want = set()
+    for d, lst in per_day.items():
+        for rn, (negn, et) in enumerate(sorted(lst)[:2], start=1):
+            want.add((d, et, -negn, rn))
+    assert {(r["window_start"], r["event_type"], r["n"], r["rn"]) for r in got} == want
+    by_day = defaultdict(dict)
+    for r in got:
+        by_day[r["window_start"]][r["rn"]] = r["n"]
+    assert all(set(v) == {1, 2} and v[1] >= v[2] for v in by_day.values())
