@@ -115,6 +115,7 @@ OPTIONAL = [
     "dedup_semdedup",
     "sim_ann_recall_curve",
     "ts_holt_linear",
+    "sim_dim_truncation_curve",
     # Round-11 exclusions for the same budget reason (measured medians in
     # SCALING.md "Round-11"): pipeline_e2e_llm_v3 (~65 s, supersets v2),
     # dedup_image_phash (~17 s, dominated by per-pixel fixture synthesis

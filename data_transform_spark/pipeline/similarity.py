@@ -2319,3 +2319,140 @@ def sim_ann_recall_curve(spark, sf_dir):
             .alias("recall_u"),
         )
     )
+
+
+MRL_DIMS = (8, 16, 32, 64)  # truncation levels swept (full dim = 64)
+
+
+def _dim_curve_oracle() -> str:
+    def cos_pref(d: int) -> str:
+        a, b = f"q.q_emb[1:{d}]", f"a.emb[1:{d}]"
+        return (
+            f"CAST(round(round({_sql_cos(a, b)}, 6) * 1e6, 0) AS BIGINT)"
+        )
+
+    full = (
+        f"CAST(round(round({_sql_cos('q.q_emb', 'a.emb')}, 6) * 1e6, 0)"
+        " AS BIGINT)"
+    )
+    per_level = []
+    for d in MRL_DIMS:
+        per_level.append(
+            f"""ann{d} AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, a.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {cos_pref(d)} DESC, a.vec_id) AS rn
+            FROM q JOIN e a ON a.vec_id <> q.query_id)
+        WHERE rn <= {TOPK})"""
+        )
+    unions = "\n        UNION ALL\n        ".join(
+        f"SELECT {d} AS dims, query_id, neighbor_id FROM ann{d}"
+        for d in MRL_DIMS
+    )
+    level_ctes = ",\n    ".join(per_level)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e
+          WHERE vec_id < {N_QUERIES}),
+    {level_ctes},
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, a.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {full} DESC, a.vec_id) AS rn
+            FROM q JOIN e a ON a.vec_id <> q.query_id)
+        WHERE rn <= {TOPK}),
+    lv AS ({unions})
+    SELECT l.dims,
+           CAST(count(*) AS BIGINT) AS n_results,
+           CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST(count(x.neighbor_id) AS BIGINT) AS n_hit,
+           CAST(round(count(x.neighbor_id) * 1e6
+                      / (SELECT count(*) FROM exact), 0) AS BIGINT)
+               AS recall_u
+    FROM lv l
+    LEFT JOIN exact x
+           ON x.query_id = l.query_id AND x.neighbor_id = l.neighbor_id
+    GROUP BY l.dims"""
+
+
+@register("sim_dim_truncation_curve", oracle=_dim_curve_oracle())
+def sim_dim_truncation_curve(spark, sf_dir):
+    """Matryoshka-style dimension-truncation curve (Kusupati et al.
+    NeurIPS'22): recall@{TOPK} of cosine top-k computed on the first
+    d ∈ {MRL_DIMS} embedding dimensions against the full-dimension
+    ranking — the table that tells an operator how many dims the
+    first-stage retriever can drop (and how much index memory/bandwidth
+    that buys: d/64 of full) before recall pays. The memory-accuracy
+    knob is complementary to sim_ann_recall_curve's probes knob and
+    embed_quantize's precision knob.
+
+    Every cell is exactly hash-compared: prefix slicing, the 6dp-integer
+    cosine fold, ranking tie-breaks and the hit counts are identical
+    expressions on both engines (no training stage at all, unlike the
+    IVF curve). Plan: ONE scored pass per level over the broadcast query
+    panel — each level prunes its own column read down to the prefix it
+    needs; at 100 TB each level is a linear scan and the levels union is
+    embarrassingly parallel."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+
+    def topk_at(d: int | None):
+        qe = F.col("q_emb") if d is None else F.slice("q_emb", 1, d)
+        ae = F.col("emb") if d is None else F.slice("emb", 1, d)
+        sim_u = (
+            F.round(F.round(_cos(qe, ae), 6) * 1e6, 0).cast("long")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("sim_u").desc(), "neighbor_id"
+        )
+        return (
+            F.broadcast(q)
+            .join(e, F.col("query_id") != F.col("vec_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                sim_u.alias("sim_u"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOPK)
+            .select("query_id", "neighbor_id")
+        )
+
+    exact = topk_at(None)
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    levels = None
+    for d in MRL_DIMS:
+        lv = topk_at(d).select(
+            F.lit(d).alias("dims"), "query_id", "neighbor_id"
+        )
+        levels = lv if levels is None else levels.unionByName(lv)
+    hit = (
+        levels.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("dims")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    per = levels.groupBy("dims").agg(F.count(F.lit(1)).alias("n_results"))
+    return (
+        per.join(hit, "dims", "left")
+        .crossJoin(F.broadcast(n_exact))
+        .select(
+            "dims",
+            F.col("n_results").cast("long").alias("n_results"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) * 1e6 / F.col("n_exact"), 0
+            )
+            .cast("long")
+            .alias("recall_u"),
+        )
+    )

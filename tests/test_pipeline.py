@@ -1826,3 +1826,28 @@ class TestHoltLinear:
                 b = (1 * (l_new - l) + 9 * b + 5) // 10
                 l = l_new
         assert b > 0 and l + b > l
+
+
+class TestDimTruncationCurve:
+    def test_curve_is_monotone_and_full_dim_is_exact(self, spark, sf_dir):
+        """Recall must be non-decreasing in dims, internally consistent,
+        and the full-dimension level must reproduce the exact ranking
+        identically (recall exactly 1.0) — the curve's built-in
+        self-check that the truncated scorer equals the exact scorer
+        when nothing is truncated."""
+        from data_transform_spark.pipeline.similarity import MRL_DIMS
+
+        rows = {
+            r["dims"]: r
+            for r in QUERIES["sim_dim_truncation_curve"](spark, sf_dir).collect()
+        }
+        assert set(rows) == set(MRL_DIMS)
+        prev = -1
+        for d in sorted(rows):
+            r = rows[d]
+            assert 0 <= r["n_hit"] <= r["n_results"] <= r["n_exact"]
+            assert r["recall_u"] == round(r["n_hit"] * 1e6 / r["n_exact"])
+            assert r["n_hit"] >= prev
+            prev = r["n_hit"]
+        full = rows[max(MRL_DIMS)]
+        assert full["n_hit"] == full["n_exact"] and full["recall_u"] == 1_000_000
