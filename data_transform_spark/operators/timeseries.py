@@ -557,3 +557,135 @@ def ts_holt_linear(spark, sf_dir):
         "event_type string, day_ts timestamp, n long, "
         "level_u long, trend_u long, forecast_next_u long",
     )
+
+
+# CUSUM changepoint detection — σ-normalized integer micro-units.
+CUSUM_WARMUP = 7  # reference window (days) fixing μ and σ
+CUSUM_K_U = 500_000  # slack: 0.5σ in micro-sigma units
+CUSUM_H_U = 4_000_000  # alarm threshold: 4σ
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle=f"""
+    WITH RECURSIVE counts AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT event_type, day_ts, n,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY day_ts) AS t
+        FROM counts
+    ),
+    ref AS (
+        SELECT event_type,
+               CAST(floor((2 * sum(n) * 1000000 + {CUSUM_WARMUP})
+                          / (2.0 * {CUSUM_WARMUP})) AS BIGINT) AS mu_u
+        FROM series WHERE t <= {CUSUM_WARMUP} GROUP BY event_type
+    ),
+    base AS (
+        SELECT s.event_type, s.t, s.day_ts, s.n, r.mu_u,
+               CAST(floor(sqrt(r.mu_u * 1000000.0)) AS BIGINT) AS sig_u
+        FROM series s JOIN ref r USING (event_type)
+    ),
+    rec(event_type, t, day_ts, n, mu_u, sig_u, z_u, sp, sn) AS (
+        SELECT event_type, t, day_ts, n, mu_u, sig_u,
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM base WHERE t = 1
+        UNION ALL
+        SELECT b.event_type, b.t, b.day_ts, b.n, b.mu_u, b.sig_u,
+               CASE WHEN b.t <= {CUSUM_WARMUP} THEN CAST(0 AS BIGINT)
+                    ELSE CAST(floor((2 * ((b.n * 1000000 - b.mu_u) * 1000000)
+                                     + b.sig_u) / (2.0 * b.sig_u))
+                              AS BIGINT) END,
+               CASE WHEN b.t <= {CUSUM_WARMUP} THEN CAST(0 AS BIGINT)
+                    ELSE greatest(CAST(0 AS BIGINT),
+                         r.sp + CAST(floor((2 * ((b.n * 1000000 - b.mu_u)
+                                                 * 1000000) + b.sig_u)
+                                           / (2.0 * b.sig_u)) AS BIGINT)
+                              - {CUSUM_K_U}) END,
+               CASE WHEN b.t <= {CUSUM_WARMUP} THEN CAST(0 AS BIGINT)
+                    ELSE greatest(CAST(0 AS BIGINT),
+                         r.sn - CAST(floor((2 * ((b.n * 1000000 - b.mu_u)
+                                                 * 1000000) + b.sig_u)
+                                           / (2.0 * b.sig_u)) AS BIGINT)
+                              - {CUSUM_K_U}) END
+        FROM rec r
+        JOIN base b ON b.event_type = r.event_type AND b.t = r.t + 1
+    )
+    SELECT event_type, day_ts, n, z_u, sp AS s_pos_u, sn AS s_neg_u,
+           t <= {CUSUM_WARMUP} AS warmup,
+           sp > {CUSUM_H_U} AS alarm_up,
+           sn > {CUSUM_H_U} AS alarm_down
+    FROM rec
+    """,
+)
+def events_cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint detection (Page 1954) on each event_type's daily
+    volume: the first {CUSUM_WARMUP} days fix the reference rate μ and a
+    Poisson σ=√μ; after warm-up, the classic one-sided sums
+    s⁺ = max(0, s⁺ + z − k), s⁻ = max(0, s⁻ − z − k) accumulate
+    σ-normalized drift and alarm past h — the sequential drift detector
+    that catches slow rate shifts a row-local z-score
+    (events_anomaly_zscore) misses, because CUSUM integrates evidence
+    across days. k=0.5σ, h=4σ (the textbook ARL operating point);
+    σ-normalization is what keeps the detector scale-free — a fixed
+    percent-of-μ slack goes blind exactly as volume grows (relative
+    noise ~1/√n; verified: the percent variant alarms only at sf0.001).
+
+    Exactness: all state in integer micro-sigma units; z quantizes via
+    the SAME IEEE double division + floor on both engines
+    (⌊(2·num+σ)/(2σ)⌋, numerators < 2^53); σ = ⌊sqrt(μ_u·1e6)⌋ is safe
+    because correctly-rounded sqrt cannot cross an integer at these
+    magnitudes (m < 2^26 ⇒ gap 1/(2m) ≫ ulp). Spark: one applyInPandas
+    per series (scale axis = #series); DuckDB: recursive CTE carrying
+    ALL columns through the recursion (the MMR re-join-trap lesson)."""
+    import math
+
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day_ts")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def cusum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day_ts").reset_index(drop=True)
+        xs = [int(v) for v in pdf["n"]]
+        w = CUSUM_WARMUP
+        mu = (2 * sum(xs[:w]) * 1_000_000 + w) // (2 * w)
+        sig = math.floor(math.sqrt(mu * 1_000_000.0))
+        zs, sps, sns, warm = [], [], [], []
+        sp = sn = 0
+        for t, x in enumerate(xs, start=1):
+            if t <= w:
+                z, sp, sn = 0, 0, 0
+            else:
+                num = (x * 1_000_000 - mu) * 1_000_000
+                z = math.floor((2 * num + sig) / (2.0 * sig))
+                sp = max(0, sp + z - CUSUM_K_U)
+                sn = max(0, sn - z - CUSUM_K_U)
+            zs.append(z)
+            sps.append(sp)
+            sns.append(sn)
+            warm.append(t <= w)
+        pdf["z_u"] = zs
+        pdf["s_pos_u"] = sps
+        pdf["s_neg_u"] = sns
+        pdf["warmup"] = warm
+        pdf["alarm_up"] = [v > CUSUM_H_U for v in sps]
+        pdf["alarm_down"] = [v > CUSUM_H_U for v in sns]
+        return pdf
+
+    return counts.groupBy("event_type").applyInPandas(
+        cusum,
+        "event_type string, day_ts timestamp, n long, z_u long, "
+        "s_pos_u long, s_neg_u long, warmup boolean, "
+        "alarm_up boolean, alarm_down boolean",
+    )

@@ -1851,3 +1851,47 @@ class TestDimTruncationCurve:
             prev = r["n_hit"]
         full = rows[max(MRL_DIMS)]
         assert full["n_hit"] == full["n_exact"] and full["recall_u"] == 1_000_000
+
+
+class TestCusum:
+    def test_state_matches_python_and_alarms_fire(self, spark, sf_dir):
+        """Every series' CUSUM trajectory must equal a from-scratch python
+        replay (same integer micro-sigma arithmetic), warm-up rows carry
+        zero state, and on this fixture at least one alarm fires in at
+        least one direction (the detector is live, not a constant)."""
+        import math
+        from collections import defaultdict
+
+        from data_transform_spark.operators.timeseries import (
+            CUSUM_H_U,
+            CUSUM_K_U,
+            CUSUM_WARMUP,
+        )
+
+        rows = QUERIES["events_cusum_changepoint"](spark, sf_dir).collect()
+        series = defaultdict(list)
+        for r in rows:
+            series[r["event_type"]].append(r)
+        n_alarms = 0
+        for et, rs in series.items():
+            rs.sort(key=lambda r: r["day_ts"])
+            xs = [r["n"] for r in rs]
+            w = CUSUM_WARMUP
+            mu = (2 * sum(xs[:w]) * 1_000_000 + w) // (2 * w)
+            sig = math.floor(math.sqrt(mu * 1_000_000.0))
+            sp = sn = 0
+            for t, r in enumerate(rs, start=1):
+                if t <= w:
+                    z, sp, sn = 0, 0, 0
+                    assert r["warmup"] and not r["alarm_up"] and not r["alarm_down"]
+                else:
+                    num = (r["n"] * 1_000_000 - mu) * 1_000_000
+                    z = math.floor((2 * num + sig) / (2.0 * sig))
+                    sp = max(0, sp + z - CUSUM_K_U)
+                    sn = max(0, sn - z - CUSUM_K_U)
+                    assert not r["warmup"]
+                assert (r["z_u"], r["s_pos_u"], r["s_neg_u"]) == (z, sp, sn)
+                assert r["alarm_up"] == (sp > CUSUM_H_U)
+                assert r["alarm_down"] == (sn > CUSUM_H_U)
+                n_alarms += r["alarm_up"] + r["alarm_down"]
+        assert n_alarms > 0
