@@ -762,3 +762,152 @@ def dedup_image_phash_incr(spark, sf_dir):
         .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
         .orderBy("img_a", "img_b")
     )
+
+
+# --- pure-numpy WAV (RIFF PCM16) codec — the audio rung of the modality
+# ladder (images got the real-codec treatment in round 10) ----------------
+
+WAV_HEADER_BYTES = 44  # RIFF(12) + fmt chunk(24) + data chunk header(8)
+WAV_RATE = 8000  # fixture sample rate (Hz), mono 16-bit PCM
+
+
+def synth_audio(digest: bytes) -> "np.ndarray":
+    """Deterministic fixture clip from an md5 digest: length 256..767
+    samples from digest bytes 3-4, sample(i) = ((17i + 29·seed) % 65536)
+    − 32768 with seed = digest[5] — an analytic sawtooth-ish signal the
+    DuckDB oracle can re-aggregate without decoding bytes."""
+    n = 256 + ((digest[3] << 8 | digest[4]) % 512)
+    seed = digest[5]
+    i = np.arange(n, dtype=np.int64)
+    return ((i * 17 + seed * 29) % 65536 - 32768).astype(np.int16)
+
+
+def encode_wav(samples: "np.ndarray", rate: int = WAV_RATE) -> bytes:
+    """Encode mono int16 PCM as a REAL RIFF/WAVE file: RIFF size field,
+    canonical 16-byte fmt chunk (PCM=1, channels=1, byte rate, block
+    align, 16 bits), data chunk header, little-endian payload."""
+    data = samples.astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(blob: bytes):
+    """Decode a mono PCM16 RIFF/WAVE blob back to (samples, rate) with
+    real validation: magic tags, PCM format, channel count, bit depth,
+    and the data-chunk length must all be consistent."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    (fmt_tag, fmt_len, audio_fmt, n_ch, rate, _brate, _align, bits) = (
+        struct.unpack("<4sIHHIIHH", blob[12:36])
+    )
+    if fmt_tag != b"fmt " or fmt_len != 16 or audio_fmt != 1:
+        raise ValueError("unsupported WAV format chunk")
+    if n_ch != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV layout (ch={n_ch}, bits={bits})")
+    data_tag, data_len = struct.unpack("<4sI", blob[36:44])
+    if data_tag != b"data" or data_len != len(blob) - WAV_HEADER_BYTES:
+        raise ValueError("corrupt WAV data chunk")
+    return np.frombuffer(blob, dtype="<i2", offset=WAV_HEADER_BYTES), rate
+
+
+_WAV_META_SQL = """
+        SELECT doc_id,
+               256 + ((CAST(('0x' || substring(md5(text), 7, 2)) AS BIGINT) * 256
+                       + CAST(('0x' || substring(md5(text), 9, 2)) AS BIGINT))
+                      % 512) AS n,
+               CAST(('0x' || substring(md5(text), 11, 2)) AS BIGINT) AS seed
+        FROM documents
+"""
+
+
+@register(
+    "multimodal_audio_stats",
+    oracle=f"""
+    WITH meta AS ({_WAV_META_SQL}),
+    smp AS (
+        SELECT doc_id,
+               (i.i * 17 + seed * 29) % 65536 - 32768 AS v,
+               lead((i.i * 17 + seed * 29) % 65536 - 32768)
+                   OVER (PARTITION BY doc_id ORDER BY i.i) AS nxt
+        FROM meta, unnest(generate_series(0, n - 1)) AS i(i)
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(sum(v) AS BIGINT) AS amp_sum,
+               CAST(sum(v * v) AS BIGINT) AS energy,
+               CAST(max(abs(v)) AS BIGINT) AS peak,
+               CAST(sum(CASE WHEN nxt IS NOT NULL
+                              AND ((v < 0) <> (nxt < 0)) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS zero_crossings
+        FROM smp GROUP BY doc_id
+    )
+    SELECT m.doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST({WAV_RATE} AS BIGINT) AS sample_rate,
+           CAST(n * 1000000 / {WAV_RATE} AS BIGINT) AS duration_us,
+           CAST({WAV_HEADER_BYTES} + 2 * n AS BIGINT) AS byte_len,
+           amp_sum, energy, peak, zero_crossings
+    FROM meta m JOIN agg USING (doc_id)
+    """,
+)
+def multimodal_audio_stats(spark, sf_dir):
+    """REAL audio decode via Arrow-batched mapInPandas — the audio rung of
+    the modality ladder (multimodal_features is the image rung): each
+    doc's payload becomes a valid mono PCM16 RIFF/WAVE clip (synthesized
+    deterministically from its md5 — the fixture prep), the pure-numpy
+    WAV codec decodes it back with full header validation, and the
+    emitted features are computed from the DECODED samples: count, rate,
+    duration, exact byte length, amplitude sum, energy (Σv²), peak and
+    zero-crossing count — the standard cheap audio-quality gates. The
+    DuckDB twin re-aggregates everything analytically from the generator
+    rule, so any codec bug — endianness, header offset, chunk-length
+    mismatch, sign handling — breaks the value hash. Same 100 TB shape
+    as the image keys: binary in → metadata columns out, one Python pass
+    per Arrow batch, decode cost = the corpus scan."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    src = d.select("doc_id", payload.alias("payload"))
+
+    def extract(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                blob = encode_wav(
+                    synth_audio(hashlib.md5(bytes(p)).digest())
+                )
+                samples, rate = decode_wav(blob)
+                v = samples.astype(np.int64)
+                neg = v < 0
+                rows.append(
+                    (
+                        doc_id,
+                        len(v),
+                        rate,
+                        len(v) * 1_000_000 // rate,
+                        len(blob),
+                        int(v.sum()),
+                        int((v * v).sum()),
+                        int(np.abs(v).max()),
+                        int((neg[:-1] != neg[1:]).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "sample_rate", "duration_us",
+                    "byte_len", "amp_sum", "energy", "peak",
+                    "zero_crossings",
+                ],
+            )
+
+    return src.mapInPandas(
+        extract,
+        "doc_id long, n_samples long, sample_rate long, duration_us long, "
+        "byte_len long, amp_sum long, energy long, peak long, "
+        "zero_crossings long",
+    )

@@ -1895,3 +1895,77 @@ class TestCusum:
                 assert r["alarm_down"] == (sn > CUSUM_H_U)
                 n_alarms += r["alarm_up"] + r["alarm_down"]
         assert n_alarms > 0
+
+
+class TestWavCodec:
+    def test_roundtrip_and_validation(self, spark):
+        """encode->decode must be the identity on samples and rate; the
+        decoder must REJECT corrupted magic, a truncated data chunk, and
+        a stereo/8-bit layout claim — validation is what makes it a
+        codec rather than a byte-slicer."""
+        import struct
+
+        import numpy as np
+        import pytest as _pytest
+
+        from data_transform_spark.pipeline.multimodal import (
+            WAV_RATE,
+            decode_wav,
+            encode_wav,
+            synth_audio,
+        )
+
+        clip = synth_audio(bytes(range(16)))
+        blob = encode_wav(clip)
+        out, rate = decode_wav(blob)
+        assert rate == WAV_RATE and np.array_equal(out, clip)
+        with _pytest.raises(ValueError):
+            decode_wav(b"RIFX" + blob[4:])
+        with _pytest.raises(ValueError):
+            decode_wav(blob[:-2])
+        bad = bytearray(blob)
+        bad[22:24] = struct.pack("<H", 2)  # claim stereo
+        with _pytest.raises(ValueError):
+            decode_wav(bytes(bad))
+
+    def test_stats_match_decoded_samples(self, spark, sf_dir):
+        """Spot-check a handful of docs: the registered key's stats must
+        equal numpy stats over the decoded samples of the synthesized
+        payload (independent re-derivation, not the oracle path)."""
+        import hashlib
+
+        import numpy as np
+        import pyspark.sql.functions as F
+
+        from data_transform_spark.io import load_table
+        from data_transform_spark.pipeline.multimodal import (
+            decode_wav,
+            encode_wav,
+            synth_audio,
+        )
+
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in load_table(spark, sf_dir, "documents")
+            .orderBy("doc_id")
+            .limit(10)
+            .collect()
+        }
+        got = {
+            r["doc_id"]: r
+            for r in QUERIES["multimodal_audio_stats"](spark, sf_dir)
+            .filter(F.col("doc_id").isin(*texts))
+            .collect()
+        }
+        for did, text in texts.items():
+            v, rate = decode_wav(
+                encode_wav(synth_audio(hashlib.md5(text.encode()).digest()))
+            )
+            v = v.astype(np.int64)
+            r = got[did]
+            neg = v < 0
+            assert r["n_samples"] == len(v)
+            assert r["amp_sum"] == int(v.sum())
+            assert r["energy"] == int((v * v).sum())
+            assert r["peak"] == int(np.abs(v).max())
+            assert r["zero_crossings"] == int((neg[:-1] != neg[1:]).sum())
