@@ -689,3 +689,134 @@ def events_cusum_changepoint(spark, sf_dir):
         "s_pos_u long, s_neg_u long, warmup boolean, "
         "alarm_up boolean, alarm_down boolean",
     )
+
+
+@register(
+    "events_forecast_backtest",
+    oracle=f"""
+    WITH RECURSIVE counts AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT event_type, day_ts, n,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY day_ts) AS t
+        FROM counts
+    ),
+    rec(event_type, t, n, l, b) AS (
+        SELECT event_type, t, n, n * 1000000, CAST(0 AS BIGINT)
+        FROM series WHERE t = 1
+        UNION ALL
+        SELECT s.event_type, s.t, s.n,
+               CAST(floor(({HOLT_ALPHA_NUM} * s.n * 1000000
+                           + {10 - HOLT_ALPHA_NUM} * (r.l + r.b) + 5)
+                          / 10) AS BIGINT),
+               CAST(floor((({HOLT_BETA_NUM}) *
+                           (CAST(floor(({HOLT_ALPHA_NUM} * s.n * 1000000
+                                        + {10 - HOLT_ALPHA_NUM} * (r.l + r.b)
+                                        + 5) / 10) AS BIGINT) - r.l)
+                           + {10 - HOLT_BETA_NUM} * r.b + 5)
+                          / 10) AS BIGINT)
+        FROM rec r
+        JOIN series s ON s.event_type = r.event_type AND s.t = r.t + 1
+    ),
+    evals AS (
+        SELECT event_type, t, n,
+               lag(l + b) OVER (PARTITION BY event_type ORDER BY t)
+                   AS fcst_u,
+               lag(n * 1000000) OVER (PARTITION BY event_type ORDER BY t)
+                   AS naive_u
+        FROM rec
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_evals,
+               CAST(sum(abs(n * 1000000 - fcst_u)) AS BIGINT) AS ae_holt,
+               CAST(sum(abs(n * 1000000 - naive_u)) AS BIGINT) AS ae_naive,
+               CAST(sum(n * 1000000 - fcst_u) AS BIGINT) AS err_sum
+        FROM evals WHERE fcst_u IS NOT NULL
+        GROUP BY event_type
+    )
+    SELECT event_type, n_evals,
+           CAST(floor((2 * ae_holt + n_evals) / (2.0 * n_evals))
+                AS BIGINT) AS mae_holt_u,
+           CAST(floor((2 * ae_naive + n_evals) / (2.0 * n_evals))
+                AS BIGINT) AS mae_naive_u,
+           CAST(floor((2 * err_sum + n_evals) / (2.0 * n_evals))
+                AS BIGINT) AS bias_u,
+           ae_holt < ae_naive AS beats_naive
+    FROM agg
+    """,
+)
+def events_forecast_backtest(spark, sf_dir):
+    """Rolling-origin backtest of the ts_holt_linear forecaster: replay
+    the identical integer Holt recursion over each event_type's daily
+    series, score every one-step-ahead forecast l+b against the next
+    day's actual, and report MAE, signed bias, and — the part that makes
+    it a backtest rather than a scoreboard — whether the model beats the
+    PERSISTENCE baseline (naive forecast = yesterday's count) on total
+    absolute error. The measure-before-you-trust rung of the forecasting
+    family, exactly like sim_ann_recall_curve is for the ANN family.
+
+    Identical exactness story as ts_holt_linear (shared constants, same
+    ⌊(num+5)/10⌋ updates) plus round-half-up integer means via
+    ⌊(2·sum+n)/(2n)⌋ with the SAME IEEE double floor-division on both
+    engines. Spark: one applyInPandas per series emitting ONE summary
+    row each (the backtest aggregate rides inside the same pass that
+    runs the recursion — no second scan); DuckDB: the Holt recursive CTE
+    + a lag window over its result."""
+    import math
+
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day_ts")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def backtest(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day_ts").reset_index(drop=True)
+        xs = [int(v) for v in pdf["n"]]
+        an, bn = HOLT_ALPHA_NUM, HOLT_BETA_NUM
+        l = b = 0
+        ae_h = ae_n = err_sum = n_evals = 0
+        prev_x = None
+        for i, x in enumerate(xs):
+            if i > 0:
+                fcst = l + b
+                naive = prev_x * 1_000_000
+                actual = x * 1_000_000
+                ae_h += abs(actual - fcst)
+                ae_n += abs(actual - naive)
+                err_sum += actual - fcst
+                n_evals += 1
+            if i == 0:
+                l, b = x * 1_000_000, 0
+            else:
+                l_new = (an * x * 1_000_000 + (10 - an) * (l + b) + 5) // 10
+                b = (bn * (l_new - l) + (10 - bn) * b + 5) // 10
+                l = l_new
+            prev_x = x
+        et = pdf["event_type"].iloc[0]
+        return pd.DataFrame(
+            {
+                "event_type": [et],
+                "n_evals": [n_evals],
+                "mae_holt_u": [math.floor((2 * ae_h + n_evals) / (2.0 * n_evals))],
+                "mae_naive_u": [math.floor((2 * ae_n + n_evals) / (2.0 * n_evals))],
+                "bias_u": [math.floor((2 * err_sum + n_evals) / (2.0 * n_evals))],
+                "beats_naive": [ae_h < ae_n],
+            }
+        )
+
+    return counts.groupBy("event_type").applyInPandas(
+        backtest,
+        "event_type string, n_evals long, mae_holt_u long, "
+        "mae_naive_u long, bias_u long, beats_naive boolean",
+    )

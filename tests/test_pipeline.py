@@ -1969,3 +1969,55 @@ class TestWavCodec:
             assert r["energy"] == int((v * v).sum())
             assert r["peak"] == int(np.abs(v).max())
             assert r["zero_crossings"] == int((neg[:-1] != neg[1:]).sum())
+
+
+class TestForecastBacktest:
+    def test_backtest_matches_python_replay(self, spark, sf_dir):
+        """Summary rows must equal a from-scratch python replay of the
+        Holt recursion + one-step scoring, n_evals must be series length
+        minus one, and the smoother must beat persistence on at least
+        one series of this fixture (it beats it on all five at sf0.01 —
+        assert >= 1 to stay robust across SFs)."""
+        import math
+        from collections import defaultdict
+
+        from data_transform_spark.operators.timeseries import (
+            HOLT_ALPHA_NUM,
+            HOLT_BETA_NUM,
+        )
+
+        daily = defaultdict(list)
+        for r in QUERIES["ts_holt_linear"](spark, sf_dir).collect():
+            daily[r["event_type"]].append((r["day_ts"], r["n"]))
+        got = {
+            r["event_type"]: r
+            for r in QUERIES["events_forecast_backtest"](spark, sf_dir).collect()
+        }
+        assert set(got) == set(daily)
+        wins = 0
+        for et, pts in daily.items():
+            xs = [n for _, n in sorted(pts)]
+            l = b = 0
+            ae_h = ae_n = err = ne = 0
+            for i, x in enumerate(xs):
+                if i > 0:
+                    ae_h += abs(x * 1_000_000 - (l + b))
+                    ae_n += abs((x - xs[i - 1]) * 1_000_000)
+                    err += x * 1_000_000 - (l + b)
+                    ne += 1
+                if i == 0:
+                    l, b = x * 1_000_000, 0
+                else:
+                    l2 = (HOLT_ALPHA_NUM * x * 1_000_000
+                          + (10 - HOLT_ALPHA_NUM) * (l + b) + 5) // 10
+                    b = (HOLT_BETA_NUM * (l2 - l)
+                         + (10 - HOLT_BETA_NUM) * b + 5) // 10
+                    l = l2
+            r = got[et]
+            assert r["n_evals"] == ne == len(xs) - 1
+            assert r["mae_holt_u"] == math.floor((2 * ae_h + ne) / (2.0 * ne))
+            assert r["mae_naive_u"] == math.floor((2 * ae_n + ne) / (2.0 * ne))
+            assert r["bias_u"] == math.floor((2 * err + ne) / (2.0 * ne))
+            assert r["beats_naive"] == (ae_h < ae_n)
+            wins += r["beats_naive"]
+        assert wins >= 1
