@@ -1228,3 +1228,75 @@ def mix_epochs_upsample(spark, sf_dir):
             ),
         )
     )
+
+
+def _ensemble_oracle() -> str:
+    """Composed at call-time from the three member oracles (each wrapped
+    as a parenthesized WITH-subquery, which DuckDB scopes cleanly)."""
+    from data_transform_spark.registry import ORACLES
+
+    return f"""
+    WITH g AS (SELECT doc_id, kept AS gopher_keep
+               FROM ({ORACLES["quality_gopher"]}) _g),
+    nb AS (SELECT doc_id, pred AS nb_keep
+           FROM ({ORACLES["quality_nb"]}) _nb),
+    ds AS (SELECT doc_id, kept AS dsir_keep
+           FROM ({ORACLES["quality_dsir"]}) _ds)
+    SELECT g.doc_id, g.gopher_keep, nb.nb_keep, ds.dsir_keep,
+           CAST((CASE WHEN g.gopher_keep THEN 1 ELSE 0 END
+                 + CASE WHEN nb.nb_keep THEN 1 ELSE 0 END
+                 + CASE WHEN ds.dsir_keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_votes,
+           (CASE WHEN g.gopher_keep THEN 1 ELSE 0 END
+            + CASE WHEN nb.nb_keep THEN 1 ELSE 0 END
+            + CASE WHEN ds.dsir_keep THEN 1 ELSE 0 END) >= 2
+               AS keep_majority,
+           g.gopher_keep AND nb.nb_keep AND ds.dsir_keep AS keep_strict
+    FROM g JOIN nb USING (doc_id) JOIN ds USING (doc_id)
+    """
+
+
+@register("quality_ensemble", oracle=_ensemble_oracle())
+def quality_ensemble(spark, sf_dir):
+    """The curation committee: three INDEPENDENT quality signals — the
+    Gopher rule gate (hand-built heuristics), the trained NB classifier
+    (supervised weak labels) and DSIR importance weighting (target-
+    distribution match) — joined per doc with the vote count, the
+    majority verdict, and the strict conjunction. Production pipelines
+    gate on agreement precisely because the three signal FAMILIES fail
+    differently: rules miss fluent junk, classifiers inherit label
+    noise, importance weights chase surface statistics; requiring 2-of-3
+    suppresses each family's false positives. Each member key stays
+    independently auditable (this op adds no new scoring logic — reuse,
+    not re-derivation; the joins are three doc_id-keyed hash joins over
+    the member outputs)."""
+    g = quality_gopher(spark, sf_dir).select(
+        "doc_id", F.col("kept").alias("gopher_keep")
+    )
+    nb = quality_nb(spark, sf_dir).select(
+        "doc_id", F.col("pred").alias("nb_keep")
+    )
+    ds = quality_dsir(spark, sf_dir).select(
+        "doc_id", F.col("kept").alias("dsir_keep")
+    )
+    votes = (
+        F.when(F.col("gopher_keep"), 1).otherwise(0)
+        + F.when(F.col("nb_keep"), 1).otherwise(0)
+        + F.when(F.col("dsir_keep"), 1).otherwise(0)
+    )
+    return (
+        g.join(nb, "doc_id")
+        .join(ds, "doc_id")
+        .select(
+            "doc_id",
+            "gopher_keep",
+            "nb_keep",
+            "dsir_keep",
+            votes.cast("long").alias("n_votes"),
+            (votes >= 2).alias("keep_majority"),
+            (F.col("gopher_keep") & F.col("nb_keep") & F.col("dsir_keep")).alias(
+                "keep_strict"
+            ),
+        )
+    )
+

@@ -2021,3 +2021,35 @@ class TestForecastBacktest:
             assert r["beats_naive"] == (ae_h < ae_n)
             wins += r["beats_naive"]
         assert wins >= 1
+
+
+class TestQualityEnsemble:
+    def test_votes_match_members_and_committee_is_live(self, spark, sf_dir):
+        """Per-doc flags must equal the member keys' own verdicts, the
+        vote arithmetic must be exact, and the committee must be LIVE on
+        this fixture: majority and strict verdicts differ for at least
+        one doc (otherwise 2-of-3 degenerates to AND), and no single
+        member equals the majority verdict everywhere (otherwise the
+        ensemble is that member in disguise)."""
+        g = {r["doc_id"]: r["kept"] for r in QUERIES["quality_gopher"](spark, sf_dir).collect()}
+        nb = {r["doc_id"]: r["pred"] for r in QUERIES["quality_nb"](spark, sf_dir).collect()}
+        ds = {r["doc_id"]: r["kept"] for r in QUERIES["quality_dsir"](spark, sf_dir).collect()}
+        rows = QUERIES["quality_ensemble"](spark, sf_dir).collect()
+        assert {r["doc_id"] for r in rows} == set(g)
+        diverge = 0
+        member_eq = {"g": 0, "nb": 0, "ds": 0}
+        for r in rows:
+            did = r["doc_id"]
+            assert (r["gopher_keep"], r["nb_keep"], r["dsir_keep"]) == (
+                g[did], nb[did], ds[did]
+            )
+            votes = int(g[did]) + int(nb[did]) + int(ds[did])
+            assert r["n_votes"] == votes
+            assert r["keep_majority"] == (votes >= 2)
+            assert r["keep_strict"] == (votes == 3)
+            diverge += r["keep_majority"] != r["keep_strict"]
+            member_eq["g"] += g[did] == r["keep_majority"]
+            member_eq["nb"] += nb[did] == r["keep_majority"]
+            member_eq["ds"] += ds[did] == r["keep_majority"]
+        assert diverge > 0
+        assert all(v < len(rows) for v in member_eq.values())
