@@ -211,3 +211,108 @@ def ann_ivfpq_serve(spark, sf_dir: str) -> DataFrame:
     from data_transform_spark.pipeline.similarity import sim_ann_ivfpq_serve_topk
 
     return sim_ann_ivfpq_serve_topk(spark, sf_dir)
+
+
+def gopher_quality_flags(docs: DataFrame) -> DataFrame:
+    """Gopher rule-based quality gate over any (doc_id, text) frame:
+    per-doc metrics, per-rule verdicts and the conjunction. Map-only —
+    see pipeline.curation.quality_gopher (thresholds documented there)."""
+    from data_transform_spark.pipeline import curation as _c
+
+    toks = F.split("text", " ")
+    n_words = F.size(toks)
+    mwl = F.round((F.length("text") - n_words + 1) * 1.0 / n_words, 6)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*_c.GOPHER_STOPWORDS)))
+    dup_frac = F.round(
+        (n_words - F.size(F.array_distinct(toks))) * 1.0 / n_words, 6
+    )
+    r_wc = n_words.between(_c.GOPHER_MIN_WORDS, _c.GOPHER_MAX_WORDS)
+    r_mwl = mwl.between(_c.GOPHER_MIN_MWL, _c.GOPHER_MAX_MWL)
+    r_stop = stop_hits >= _c.GOPHER_MIN_STOP_HITS
+    r_dup = dup_frac <= _c.GOPHER_MAX_DUP_UNIGRAM
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mwl.alias("mean_word_len"),
+        stop_hits.cast("long").alias("stop_hits"),
+        dup_frac.alias("dup_unigram_frac"),
+        (r_wc & r_mwl & r_stop & r_dup).alias("kept"),
+    )
+
+
+def mine_triplets(spark, sf_dir: str) -> DataFrame:
+    """Hard-negative triplet mining over the embeddings table: per anchor,
+    hardest same-label positive + hardest different-label negative with
+    margin and hard/semi-hard verdicts (blocked BLAS gemm, partial
+    argmax per Arrow batch). See pipeline.similarity.train_triplet_mine."""
+    from data_transform_spark.pipeline.similarity import train_triplet_mine
+
+    return train_triplet_mine(spark, sf_dir)
+
+
+def semantic_dedup(spark, sf_dir: str) -> DataFrame:
+    """SemDeDup cluster-scoped semantic dedup over the embeddings table:
+    deterministic k-means, within-cluster keep-first removal at τ.
+    See pipeline.similarity.dedup_semdedup."""
+    from data_transform_spark.pipeline.similarity import dedup_semdedup
+
+    return dedup_semdedup(spark, sf_dir)
+
+
+def ann_tuning_curves(spark, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The two ANN operating-point tables: (recall vs probes, recall vs
+    prefix dims). Read these BEFORE committing a large similarity job."""
+    from data_transform_spark.pipeline.similarity import (
+        sim_ann_recall_curve,
+        sim_dim_truncation_curve,
+    )
+
+    return (
+        sim_ann_recall_curve(spark, sf_dir),
+        sim_dim_truncation_curve(spark, sf_dir),
+    )
+
+
+def holt_forecast(series: DataFrame, key: str = "event_type",
+                  ts: str = "day_ts", value: str = "n") -> DataFrame:
+    """Holt linear-trend smoothing + one-step forecast over any
+    (key, ts, integer value) frame — integer micro-unit recursion, one
+    applyInPandas per series. See operators.timeseries.ts_holt_linear."""
+    import pandas as pd
+
+    from data_transform_spark.operators.timeseries import (
+        HOLT_ALPHA_NUM,
+        HOLT_BETA_NUM,
+    )
+
+    src = series.select(
+        F.col(key).alias("k"), F.col(ts).alias("t"), F.col(value).alias("x")
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t").reset_index(drop=True)
+        l = b = 0
+        ls, bs = [], []
+        for i, x in enumerate(int(v) for v in pdf["x"]):
+            if i == 0:
+                l, b = x * 1_000_000, 0
+            else:
+                l2 = (
+                    HOLT_ALPHA_NUM * x * 1_000_000
+                    + (10 - HOLT_ALPHA_NUM) * (l + b)
+                    + 5
+                ) // 10
+                b = (HOLT_BETA_NUM * (l2 - l) + (10 - HOLT_BETA_NUM) * b + 5) // 10
+                l = l2
+            ls.append(l)
+            bs.append(b)
+        pdf["level_u"] = ls
+        pdf["trend_u"] = bs
+        pdf["forecast_next_u"] = [a + c for a, c in zip(ls, bs)]
+        return pdf
+
+    return src.groupBy("k").applyInPandas(
+        holt,
+        "k string, t timestamp, x long, level_u long, trend_u long, "
+        "forecast_next_u long",
+    )

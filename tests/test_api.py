@@ -167,3 +167,64 @@ def test_api_corpus_digest_invariances(spark):
     )
     m3 = {r.source: r.corpus_md5 for r in api.corpus_digest(d3).collect()}
     assert m3["s1"] != m1["s1"] and m3["s2"] == m1["s2"]
+
+
+def test_api_round11_surfaces_match_registered_keys(spark, sf_dir):
+    """The new API wrappers must agree with their registered keys:
+    gopher flags subset-match quality_gopher (API omits the bigram rule
+    by design — map-only without the fold — so its kept is >= the
+    registered gate), triplets/semdedup/curves are exact re-exports, and
+    holt_forecast on the daily-count frame equals ts_holt_linear."""
+    import pyspark.sql.functions as F
+
+    from data_transform_spark import api
+    from data_transform_spark.io import load_table
+    from data_transform_spark.registry import QUERIES
+
+    docs = load_table(spark, sf_dir, "documents")
+    api_flags = {r["doc_id"]: r for r in api.gopher_quality_flags(docs).collect()}
+    reg = {r["doc_id"]: r for r in QUERIES["quality_gopher"](spark, sf_dir).collect()}
+    assert set(api_flags) == set(reg)
+    for did, r in reg.items():
+        a = api_flags[did]
+        assert (a["n_words"], a["mean_word_len"], a["stop_hits"],
+                a["dup_unigram_frac"]) == (
+            r["n_words"], r["mean_word_len"], r["stop_hits"],
+            r["dup_unigram_frac"],
+        )
+        # API gate = registered gate minus the bigram rule
+        assert a["kept"] == (
+            r["r_word_count"] and r["r_mean_word_len"]
+            and r["r_stopwords"] and r["r_dup_unigram"]
+        )
+
+    assert {tuple(r) for r in api.mine_triplets(spark, sf_dir).collect()} == {
+        tuple(r) for r in QUERIES["train_triplet_mine"](spark, sf_dir).collect()
+    }
+    assert {tuple(r) for r in api.semantic_dedup(spark, sf_dir).collect()} == {
+        tuple(r) for r in QUERIES["dedup_semdedup"](spark, sf_dir).collect()
+    }
+    probes, dims = api.ann_tuning_curves(spark, sf_dir)
+    assert {tuple(r) for r in probes.collect()} == {
+        tuple(r) for r in QUERIES["sim_ann_recall_curve"](spark, sf_dir).collect()
+    }
+    assert {tuple(r) for r in dims.collect()} == {
+        tuple(r) for r in QUERIES["sim_dim_truncation_curve"](spark, sf_dir).collect()
+    }
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day_ts"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {
+        (r["k"], r["t"]): (r["level_u"], r["trend_u"], r["forecast_next_u"])
+        for r in api.holt_forecast(daily).collect()
+    }
+    want = {
+        (r["event_type"], r["day_ts"]): (
+            r["level_u"], r["trend_u"], r["forecast_next_u"]
+        )
+        for r in QUERIES["ts_holt_linear"](spark, sf_dir).collect()
+    }
+    assert got == want
