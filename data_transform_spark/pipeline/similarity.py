@@ -2080,17 +2080,30 @@ def dedup_semdedup(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     cent, assign = _sem_kmeans(e)
-    a = assign.select(
+    # per-row norm computed ONCE (2 folds/row) so each pair pays a single
+    # dot fold instead of _cos's three — ~3× less interpreted-lambda work
+    # on the quadratic stage; sqrt(dot(v,v)) is the same IEEE value either
+    # way, so sim_u (and the hash) are bit-identical to the 3-fold form.
+    assign_n = assign.withColumn("nrm", F.sqrt(_dot("emb", "emb")))
+    a = assign_n.select(
         F.col("vec_id").alias("nn_earlier"),
         F.col("c_id").alias("a_cid"),
         F.col("emb").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
     )
     sim_u = (
-        F.round(F.round(_cos(F.col("a_emb"), F.col("emb")), 6) * 1e6, 0)
-        .cast("long")
+        F.round(
+            F.round(
+                _dot(F.col("a_emb"), F.col("emb"))
+                / (F.col("a_nrm") * F.col("nrm")),
+                6,
+            )
+            * 1e6,
+            0,
+        ).cast("long")
     )
     pairs = a.join(
-        assign,
+        assign_n,
         (F.col("a_cid") == F.col("c_id"))
         & (F.col("nn_earlier") < F.col("vec_id")),
     ).select("vec_id", "nn_earlier", sim_u.alias("sim_u"))
@@ -2242,8 +2255,15 @@ def sim_ann_recall_curve(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     cent, assign = _sem_kmeans(e)
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    # single-fold pair scoring (the dedup_semdedup norm trick): per-row
+    # norms once, one dot fold per pair; sqrt(dot(v,v)) is the same IEEE
+    # value either way, so sim_u and the hash are unchanged.
+    e_n = e.withColumn("nrm", F.sqrt(_dot("emb", "emb")))
+    assign_n = assign.withColumn("nrm", F.sqrt(_dot("emb", "emb")))
+    q = e_n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     sqd = F.aggregate(
         F.zip_with("q_emb", "c_emb", lambda x, c: (x - c) * (x - c)),
@@ -2253,18 +2273,28 @@ def sim_ann_recall_curve(spark, sf_dir):
     wq = Window.partitionBy("query_id").orderBy("qdist", "c_id")
     pr = (
         q.crossJoin(F.broadcast(cent))
-        .select("query_id", "q_emb", "c_id", sqd.alias("qdist"))
+        .select("query_id", "q_emb", "q_nrm", "c_id", sqd.alias("qdist"))
         .withColumn("probe_rank", F.row_number().over(wq))
         .filter(F.col("probe_rank") <= max(RECALL_LEVELS))
-        .select("query_id", "q_emb", F.col("c_id").alias("list_id"), "probe_rank")
+        .select(
+            "query_id", "q_emb", "q_nrm",
+            F.col("c_id").alias("list_id"), "probe_rank",
+        )
     )
     sim_u = (
-        F.round(F.round(_cos(F.col("q_emb"), F.col("emb")), 6) * 1e6, 0)
-        .cast("long")
+        F.round(
+            F.round(
+                _dot(F.col("q_emb"), F.col("emb"))
+                / (F.col("q_nrm") * F.col("nrm")),
+                6,
+            )
+            * 1e6,
+            0,
+        ).cast("long")
     )
     cand = (
         F.broadcast(pr)
-        .join(assign, F.col("list_id") == F.col("c_id"))
+        .join(assign_n, F.col("list_id") == F.col("c_id"))
         .filter(F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
@@ -2288,7 +2318,7 @@ def sim_ann_recall_curve(spark, sf_dir):
     we = Window.partitionBy("query_id").orderBy(F.col("sim_u").desc(), "neighbor_id")
     exact = (
         F.broadcast(q)
-        .join(e, F.col("query_id") != F.col("vec_id"))
+        .join(e_n, F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
