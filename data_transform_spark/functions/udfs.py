@@ -289,3 +289,56 @@ def udf_pandas_window(spark, sf_dir):
         "o_orderpriority",
         F.round(p_mean("o_totalprice").over(w), 4).alias("roll_avg"),
     )
+
+
+@register(
+    "udtf_analyze",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents WHERE doc_id < 50)
+    SELECT doc_id,
+           CAST(p.p AS BIGINT) AS pos,
+           toks[p.p + 1] AS w1, toks[p.p + 2] AS w2, toks[p.p + 3] AS w3,
+           toks[p.p + 1] || ' ' || toks[p.p + 2] || ' ' || toks[p.p + 3]
+               AS gram
+    FROM t, unnest(generate_series(0, len(toks) - 3)) AS p(p)
+    """,
+)
+def udtf_analyze(spark, sf_dir):
+    """POLYMORPHIC Python UDTF (Spark 4's static analyze()): the output
+    schema is derived at ANALYSIS TIME from the constant `n` argument —
+    ngrams_udtf(text, 3) emits (pos, w1, w2, w3, gram); called with 2 it
+    would emit (pos, w1, w2, gram). This is the UDTF surface static
+    returnType (udtf_tokenize) cannot express: one registration serving
+    a family of schemas, resolved by Catalyst before any data moves. The
+    oracle replays the n=3 instantiation; the n-polymorphism itself is
+    pinned in pytest (same registration, different column sets)."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class Ngrams:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if not n.isConstantExpression:
+                raise ValueError("n must be a constant")
+            fields = [StructField("pos", LongType())]
+            for i in range(int(n.value)):
+                fields.append(StructField(f"w{i + 1}", StringType()))
+            fields.append(StructField("gram", StringType()))
+            return AnalyzeResult(StructType(fields))
+
+        def eval(self, text: str, n: int):
+            toks = text.split(" ")
+            for p in range(len(toks) - n + 1):
+                win = toks[p : p + n]
+                yield (p, *win, " ".join(win))
+
+    spark.udtf.register("ngrams_udtf", Ngrams)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("docs_for_ngrams")
+    return spark.sql(
+        "SELECT d.doc_id, t.* FROM docs_for_ngrams d, "
+        "LATERAL ngrams_udtf(d.text, 3) t"
+    )

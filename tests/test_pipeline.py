@@ -2053,3 +2053,27 @@ class TestQualityEnsemble:
             member_eq["ds"] += ds[did] == r["keep_majority"]
         assert diverge > 0
         assert all(v < len(rows) for v in member_eq.values())
+
+
+class TestPolymorphicUdtf:
+    def test_schema_follows_constant_argument(self, spark, sf_dir):
+        """The SAME registration must resolve different output schemas for
+        different constant n (the analyze() contract), and reject a
+        non-constant n at analysis time."""
+        import pytest as _pytest
+
+        QUERIES["udtf_analyze"](spark, sf_dir).count()  # registers the UDTF
+        two = spark.sql("SELECT * FROM ngrams_udtf('a b c d', 2)")
+        three = spark.sql("SELECT * FROM ngrams_udtf('a b c d', 3)")
+        assert two.columns == ["pos", "w1", "w2", "gram"]
+        assert three.columns == ["pos", "w1", "w2", "w3", "gram"]
+        assert [tuple(r) for r in two.orderBy("pos").collect()] == [
+            (0, "a", "b", "a b"), (1, "b", "c", "b c"), (2, "c", "d", "c d"),
+        ]
+        from pyspark.errors import AnalysisException
+
+        with _pytest.raises(AnalysisException):
+            spark.sql(
+                "SELECT * FROM docs_for_ngrams d, "
+                "LATERAL ngrams_udtf(d.text, CAST(d.doc_id AS INT)) t"
+            ).collect()
