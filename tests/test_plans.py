@@ -942,3 +942,20 @@ def test_sql_pipe_desugars_to_pushed_scan_and_hash_agg(spark, sf_dir):
         }
         for s in schemas
     ), schemas
+
+
+def test_semdedup_pairs_are_cluster_equijoin_no_cartesian(spark, sf_dir):
+    """dedup_semdedup's quadratic stage must be the c_id EQUI-join —
+    SortMergeJoin/ShuffledHashJoin keyed on the cluster, never a
+    CartesianProduct/BroadcastNestedLoop over the corpus — and the
+    embeddings read schema must carry only vec_id + embedding."""
+    import re
+
+    p = plan_of(spark, "dedup_semdedup", sf_dir)
+    assert "CartesianProduct" not in p
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert schemas and all(
+        set(f.split(":")[0] for f in s.split(",") if f)
+        <= {"vec_id", "embedding"}
+        for s in schemas
+    ), schemas

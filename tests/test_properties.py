@@ -1039,3 +1039,76 @@ class TestMinhashIncremental:
         assert sorted(bands.columns) == ["band", "bucket", "doc_id"]
         assert sorted(sh.columns) == ["doc_id", "sh"]
         assert sh.filter("length(sh) != 32").count() == 0
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=64
+    )
+)
+@settings(**PROP_SETTINGS)
+def test_wav_codec_roundtrip_any_samples(samples):
+    """encode_wav → decode_wav must be the identity for ANY mono int16
+    clip (including extremes ±32767/-32768 and length-1 clips), and the
+    byte length must be exactly 44 + 2n — the property the fixture-pinned
+    audio oracle can't cover for arbitrary signals."""
+    import numpy as np
+
+    from data_transform_spark.pipeline.multimodal import (
+        WAV_HEADER_BYTES,
+        WAV_RATE,
+        decode_wav,
+        encode_wav,
+    )
+
+    clip = np.array(samples, dtype=np.int16)
+    blob = encode_wav(clip)
+    assert len(blob) == WAV_HEADER_BYTES + 2 * len(clip)
+    out, rate = decode_wav(blob)
+    assert rate == WAV_RATE
+    assert np.array_equal(out, clip)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),  # daily count
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(**PROP_SETTINGS)
+def test_holt_integer_recursion_is_translation_equivariant(xs):
+    """Adding a constant C to every observation must shift Holt's level
+    by exactly C·1e6 and leave the trend unchanged — in EXACT integer
+    arithmetic, because the update is affine with integer coefficients
+    and round-half-up commutes with the +C·1e6 translation (the property
+    a float implementation would violate in the last ulp)."""
+    from data_transform_spark.operators.timeseries import (
+        HOLT_ALPHA_NUM,
+        HOLT_BETA_NUM,
+    )
+
+    def run(series):
+        l = b = 0
+        out = []
+        for i, x in enumerate(series):
+            if i == 0:
+                l, b = x * 1_000_000, 0
+            else:
+                l2 = (
+                    HOLT_ALPHA_NUM * x * 1_000_000
+                    + (10 - HOLT_ALPHA_NUM) * (l + b)
+                    + 5
+                ) // 10
+                b = (HOLT_BETA_NUM * (l2 - l) + (10 - HOLT_BETA_NUM) * b + 5) // 10
+                l = l2
+            out.append((l, b))
+        return out
+
+    base = [x for (x,) in xs]
+    shifted = [x + 37 for x in base]
+    for (l0, b0), (l1, b1) in zip(run(base), run(shifted)):
+        assert l1 == l0 + 37_000_000
+        assert b1 == b0
