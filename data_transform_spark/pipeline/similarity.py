@@ -2486,3 +2486,86 @@ def sim_dim_truncation_curve(spark, sf_dir):
             .alias("recall_u"),
         )
     )
+
+
+DECON_SEM_TAU_U = 400_000  # semantic-contamination threshold (6dp cosine units)
+
+
+@register(
+    "decontaminate_semantic",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               sqrt({_SQL_DOT.format(a="CAST(embedding AS DOUBLE[])",
+                                     b="CAST(embedding AS DOUBLE[])")}) AS nrm
+        FROM embeddings
+    ),
+    bench AS (SELECT * FROM e WHERE vec_id % 97 = 0),
+    train AS (SELECT * FROM e WHERE vec_id % 97 <> 0),
+    scored AS (
+        SELECT t.vec_id,
+               b.vec_id AS eval_id,
+               CAST(round(round({_SQL_DOT.format(a="t.emb", b="b.emb")}
+                                / (t.nrm * b.nrm), 6) * 1e6, 0) AS BIGINT)
+                   AS sim_u
+        FROM train t CROSS JOIN bench b
+    ),
+    best AS (
+        SELECT * FROM scored
+        QUALIFY row_number() OVER (
+            PARTITION BY vec_id ORDER BY sim_u DESC, eval_id) = 1
+    )
+    SELECT vec_id, eval_id AS nearest_eval_id, sim_u AS max_sim_u,
+           sim_u >= {DECON_SEM_TAU_U} AS contaminated
+    FROM best
+    """,
+)
+def decontaminate_semantic(spark, sf_dir):
+    """SEMANTIC benchmark decontamination — the embedding-space rung of
+    the decontamination family (decontaminate_ngram catches verbatim
+    8-gram overlap, decontaminate_fuzzy catches near-verbatim edits;
+    this catches PARAPHRASES, which share no n-grams at all): every
+    training vector is scored against the full benchmark set (vec_id %
+    97 == 0, the family's standing eval split) and flagged when its max
+    cosine reaches τ. Emits the nearest eval item per training doc so a
+    flagged doc is attributable to the benchmark row that caught it.
+
+    Plan: the benchmark side is ~1% of the corpus and BROADCASTS; the
+    train side streams through one scan, each row paying |bench| single
+    dot folds (per-row norms precomputed — the single-fold discipline),
+    one windowed argmax on integer 6dp units. At 100 TB this is the
+    linear-scan shape: no self-join, no shuffle of the corpus beyond the
+    argmax's vec_id partition, benchmark always in memory."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).withColumn("nrm", F.sqrt(_dot("emb", "emb")))
+    bench = e.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("emb").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    train = e.filter(F.col("vec_id") % 97 != 0)
+    sim_u = (
+        F.round(
+            F.round(
+                _dot(F.col("emb"), F.col("b_emb"))
+                / (F.col("nrm") * F.col("b_nrm")),
+                6,
+            )
+            * 1e6,
+            0,
+        ).cast("long")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim_u").desc(), "eval_id")
+    return (
+        train.crossJoin(F.broadcast(bench))
+        .select("vec_id", "eval_id", sim_u.alias("sim_u"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("eval_id").alias("nearest_eval_id"),
+            F.col("sim_u").alias("max_sim_u"),
+            (F.col("sim_u") >= DECON_SEM_TAU_U).alias("contaminated"),
+        )
+    )

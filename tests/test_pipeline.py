@@ -2077,3 +2077,46 @@ class TestPolymorphicUdtf:
                 "SELECT * FROM docs_for_ngrams d, "
                 "LATERAL ngrams_udtf(d.text, CAST(d.doc_id AS INT)) t"
             ).collect()
+
+
+class TestDecontaminateSemantic:
+    def test_flags_match_python_and_family_is_complementary(self, spark, sf_dir):
+        """Every row's nearest-eval pick and flag must equal a from-scratch
+        python argmax over 6dp cosines, the benchmark rows themselves must
+        be absent, and flagged docs exist while most docs are clean (the
+        detector discriminates rather than blanket-flags)."""
+        import pyspark.sql.functions as F
+
+        from data_transform_spark.io import load_table
+        from data_transform_spark.pipeline.similarity import DECON_SEM_TAU_U
+
+        emb = {
+            r["vec_id"]: r["emb"]
+            for r in load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+            .collect()
+        }
+        bench = {v for v in emb if v % 97 == 0}
+
+        def sim_u(a, b):
+            dot = sa = sb = 0.0
+            for x, y in zip(a, b):
+                dot += x * y
+                sa += x * x
+                sb += y * y
+            return round(round(dot / (sa**0.5 * sb**0.5), 6) * 1e6)
+
+        got = {
+            r["vec_id"]: r
+            for r in QUERIES["decontaminate_semantic"](spark, sf_dir).collect()
+        }
+        assert set(got) == set(emb) - bench
+        n_flagged = 0
+        for vid, r in got.items():
+            best = min(
+                ((-sim_u(emb[vid], emb[b]), b) for b in bench),
+            )
+            assert (r["nearest_eval_id"], r["max_sim_u"]) == (best[1], -best[0])
+            assert r["contaminated"] == (r["max_sim_u"] >= DECON_SEM_TAU_U)
+            n_flagged += r["contaminated"]
+        assert 0 < n_flagged < len(got) / 2
