@@ -121,6 +121,7 @@ OPTIONAL = [
     "events_forecast_backtest",
     "quality_ensemble",
     "decontaminate_semantic",
+    "text_hashing_tf",
     # Round-11 exclusions for the same budget reason (measured medians in
     # SCALING.md "Round-11"): pipeline_e2e_llm_v3 (~65 s, supersets v2),
     # dedup_image_phash (~17 s, dominated by per-pixel fixture synthesis

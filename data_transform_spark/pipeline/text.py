@@ -815,3 +815,79 @@ def text_pii_scrub(spark, sf_dir):
     driven by the streaming twin stream_pii_scrub."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return pii_scrub(pii_plant(d))
+
+
+HASHTF_BUCKETS = 64  # feature-hashing dimensionality
+
+
+@register(
+    "text_hashing_tf",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    bucketed AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT)
+                   % {HASHTF_BUCKETS} AS b
+        FROM tok
+    ),
+    cnt AS (SELECT doc_id, b, count(*) AS c FROM bucketed GROUP BY 1, 2),
+    grid AS (
+        SELECT d.doc_id, g.b, COALESCE(cnt.c, 0) AS c
+        FROM documents d
+        CROSS JOIN (SELECT unnest(generate_series(0, {HASHTF_BUCKETS - 1}))
+                    AS b) g
+        LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.b = g.b
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz,
+           array_to_string(list(CAST(c AS BIGINT) ORDER BY b), ',')
+               AS features_csv
+    FROM grid GROUP BY doc_id
+    """,
+)
+def text_hashing_tf(spark, sf_dir):
+    """Feature hashing (the hashing trick / HashingTF): every token maps
+    to one of {HASHTF_BUCKETS} buckets by md5, and each doc becomes a
+    dense integer count vector — the VOCABULARY-FREE featurizer that
+    pairs with quality_linear/quality_nb: no fitted vocab to broadcast,
+    version or drift, so the featurization of doc N is independent of
+    every other doc (map-ready at any corpus size; collisions are the
+    accepted price, as in Vowpal Wabbit / MLlib's HashingTF). Emits the
+    dense vector (projected as a CSV string — container-typed columns are
+    driver-canon unsafe, the harness's standing rule) plus n_tokens and
+    nnz for downstream filters.
+
+    Plan: one token explode → one (doc, bucket)-keyed count (the only
+    corpus shuffle), densified against a {HASHTF_BUCKETS}-row broadcast
+    grid and assembled with the sort_array(collect_list(struct)) idiom.
+    Exactness: all integers; bucket = 32-bit md5 prefix % B identically
+    in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
+        % HASHTF_BUCKETS
+    )
+    cnt = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .select("doc_id", bucket.alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    grid = d.select("doc_id").crossJoin(
+        F.broadcast(
+            spark.range(HASHTF_BUCKETS).select(F.col("id").alias("b"))
+        )
+    )
+    full = grid.join(cnt, ["doc_id", "b"], "left").select(
+        "doc_id", "b", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    return full.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("c") > 0, 1).otherwise(0)).cast("long").alias("nnz"),
+        F.array_join(
+            F.sort_array(F.collect_list(F.struct("b", "c")))["c"], ","
+        ).alias("features_csv"),
+    )

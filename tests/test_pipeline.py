@@ -2120,3 +2120,43 @@ class TestDecontaminateSemantic:
             assert r["contaminated"] == (r["max_sim_u"] >= DECON_SEM_TAU_U)
             n_flagged += r["contaminated"]
         assert 0 < n_flagged < len(got) / 2
+
+
+class TestHashingTf:
+    def test_vectors_match_python_hashing_trick(self, spark, sf_dir):
+        """Every doc's dense vector must equal a from-scratch python
+        hashing-trick featurization (md5-prefix % B), n_tokens must be
+        the whitespace token count, nnz the nonzero buckets, and
+        collisions must actually occur on this fixture (distinct tokens
+        > buckets with nonuniform counts) — the accepted price the
+        docstring claims."""
+        import hashlib
+
+        from data_transform_spark.io import load_table
+        from data_transform_spark.pipeline.text import HASHTF_BUCKETS
+
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in load_table(spark, sf_dir, "documents").collect()
+        }
+        got = {
+            r["doc_id"]: r
+            for r in QUERIES["text_hashing_tf"](spark, sf_dir).collect()
+        }
+        assert set(got) == set(texts)
+        tokens_sharing_bucket = False
+        for did, text in texts.items():
+            toks = text.split(" ")
+            vec = [0] * HASHTF_BUCKETS
+            seen_buckets = {}
+            for t in toks:
+                b = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % HASHTF_BUCKETS
+                vec[b] += 1
+                seen_buckets.setdefault(b, set()).add(t)
+            if any(len(s) > 1 for s in seen_buckets.values()):
+                tokens_sharing_bucket = True
+            r = got[did]
+            assert r["n_tokens"] == len(toks)
+            assert r["nnz"] == sum(v > 0 for v in vec)
+            assert r["features_csv"] == ",".join(str(v) for v in vec)
+        assert tokens_sharing_bucket
