@@ -123,7 +123,8 @@ OPTIONAL = [
     "decontaminate_semantic",
     "text_hashing_tf",
     # Round-11 exclusions for the same budget reason (measured medians in
-    # SCALING.md "Round-11"): pipeline_e2e_llm_v3 (~65 s, supersets v2),
+    # SCALING.md "Round-11"): pipeline_e2e_llm_v3 (~65 s, supersets v2)
+    # and pipeline_e2e_llm_v4 (supersets v3 with the committee gate),
     # dedup_image_phash (~17 s, dominated by per-pixel fixture synthesis
     # in Python, not operator cost), sim_ann_index_compact (~19 s/fresh
     # process: serve + content-diff + staleness over staged artifacts;

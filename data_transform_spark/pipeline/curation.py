@@ -959,13 +959,38 @@ def quality_dsir(spark, sf_dir):
             > F.size(F.filter(F.split("text", " "), lambda x: x.isin(*QNB_NEG)))
         ).alias("is_target"),
     )
-    bucket = (
-        F.conv(F.substring(F.md5("tok"), 1, 3), 16, 10).cast("long")
+    tok, w = _dsir_fit(lab)
+    scored = (
+        tok.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("is_target").alias("is_target"),
+            F.sum("wu").cast("long").alias("score_u"),
+        )
+    )
+    return scored.select(
+        "doc_id", "is_target", "score_u", (F.col("score_u") >= 0).alias("kept")
+    )
+
+
+def _dsir_bucket(col):
+    """The DSIR hashed-unigram bucket: first 3 md5 hex chars % buckets —
+    identical expression on both engines."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 3), 16, 10).cast("long")
         % DSIR_BUCKETS
     )
+
+
+def _dsir_fit(lab):
+    """Fit DSIR on a (doc_id, toks, is_target) frame: returns (tok, w) —
+    the bucketed token explode and the BUCKETS-sized integer-micronat
+    weight frame (b, wu). Split from quality_dsir so pipeline_e2e_llm_v4
+    can reuse the fitted weights as a committee member without the fit
+    code drifting (the _nb_fit precedent)."""
     tok = lab.select(
         "doc_id", "is_target", F.explode("toks").alias("tok")
-    ).select("doc_id", "is_target", bucket.alias("b"))
+    ).select("doc_id", "is_target", _dsir_bucket("tok").alias("b"))
     raw = tok.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cr"))
     tgt = (
         tok.filter("is_target")
@@ -990,17 +1015,7 @@ def quality_dsir(spark, sf_dir):
         .crossJoin(F.broadcast(tot))
         .select("b", wu.alias("wu"))
     )
-    scored = (
-        tok.join(F.broadcast(w), "b")
-        .groupBy("doc_id")
-        .agg(
-            F.any_value("is_target").alias("is_target"),
-            F.sum("wu").cast("long").alias("score_u"),
-        )
-    )
-    return scored.select(
-        "doc_id", "is_target", "score_u", (F.col("score_u") >= 0).alias("kept")
-    )
+    return tok, w
 
 
 # Gopher quality-filter thresholds (Rae et al. 2021, "Scaling Language

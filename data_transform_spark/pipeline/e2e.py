@@ -891,3 +891,376 @@ def pipeline_e2e_llm_v3(spark, sf_dir):
             "tokens_out", "n_packs", "n_shards", "sampled_md5",
         )
     )
+
+
+def _e2e_llm_v4_oracle() -> str:
+    """v4 twin: built FROM the verified v3 oracle by explicit surgery —
+    everything up to (not including) v3's `mgate` CTE is shared verbatim
+    (funnel stages 1-4 + the NB fit/threshold + cscore), then v4 swaps
+    the single model gate for the 2-of-3 COMMITTEE (NB-at-threshold,
+    Gopher rules on the CLEANED text, DSIR-fit-on-raw scored on the
+    cleaned text) and re-uses v3's sampling/shard/pack tail against the
+    committee-gated set."""
+    from data_transform_spark.pipeline.curation import (
+        _GOPHER_STOP_SQL,
+        _QNB_POS_SQL,
+        _QNB_NEG_SQL,
+        DSIR_BUCKETS,
+        GOPHER_MAX_DUP_UNIGRAM,
+        GOPHER_MAX_MWL,
+        GOPHER_MIN_MWL,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+        GOPHER_MAX_WORDS,
+        TEMP_ALPHA,
+    )
+    from data_transform_spark.pipeline.training import PACK_BUDGET
+
+    v3 = _e2e_llm_v3_oracle()
+    marker = "mgate AS MATERIALIZED"
+    prefix = v3[: v3.index(marker)].rstrip().rstrip(",")
+    return f"""{prefix},
+    m_nb AS MATERIALIZED (
+        SELECT l.doc_id, (cs.su + p.pu >= t.thr_u) AS pass_nb
+        FROM lgate l JOIN cscore cs USING (doc_id), prior p, thr t
+    ),
+    m_rules AS MATERIALIZED (
+        SELECT doc_id,
+               (len(t) BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+               AND (ROUND((length(text) - len(t) + 1) * 1.0 / len(t), 6)
+                    BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL})
+               AND len(list_filter(t, x -> x IN ({_GOPHER_STOP_SQL})))
+                   >= {GOPHER_MIN_STOP_HITS}
+               AND ROUND((len(t) - len(list_distinct(t))) * 1.0 / len(t), 6)
+                   <= {GOPHER_MAX_DUP_UNIGRAM} AS pass_rules
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM lgate)
+    ),
+    dlab AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(list_filter(string_split(text, ' '),
+                               x -> x IN ({_QNB_POS_SQL})))
+             > len(list_filter(string_split(text, ' '),
+                               x -> x IN ({_QNB_NEG_SQL}))) AS is_target
+        FROM documents
+    ),
+    dtok AS (
+        SELECT doc_id, is_target,
+               CAST(('0x' || substring(md5(tok), 1, 3)) AS BIGINT)
+                   % {DSIR_BUCKETS} AS b
+        FROM (SELECT doc_id, is_target, unnest(toks) AS tok FROM dlab)
+    ),
+    draw AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM dtok GROUP BY b),
+    dtgt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM dtok
+             WHERE is_target GROUP BY b),
+    dtot AS (
+        SELECT CAST(sum(cr) AS BIGINT) AS nr,
+               CAST((SELECT sum(ct) FROM dtgt) AS BIGINT) AS nt
+        FROM draw
+    ),
+    dw AS (
+        SELECT draw.b,
+               CAST(round((ln(CAST(COALESCE(dtgt.ct, 0) + 1 AS DOUBLE))
+                           - ln(CAST(nt + {DSIR_BUCKETS} AS DOUBLE))
+                           - ln(CAST(draw.cr + 1 AS DOUBLE))
+                           + ln(CAST(nr + {DSIR_BUCKETS} AS DOUBLE)))
+                          * 1000000, 0) AS BIGINT) AS wu
+        FROM draw LEFT JOIN dtgt USING (b), dtot
+    ),
+    dscore AS MATERIALIZED (
+        SELECT doc_id, CAST(sum(dw.wu) AS BIGINT) AS sd
+        FROM (SELECT doc_id,
+                     CAST(('0x' || substring(md5(tok), 1, 3)) AS BIGINT)
+                         % {DSIR_BUCKETS} AS b
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM lgate))
+        JOIN dw USING (b) GROUP BY doc_id
+    ),
+    cgate AS MATERIALIZED (
+        SELECT l.doc_id, l.source, l.n_tok
+        FROM lgate l
+        JOIN m_nb USING (doc_id)
+        JOIN m_rules USING (doc_id)
+        JOIN dscore USING (doc_id)
+        WHERE (CASE WHEN pass_nb THEN 1 ELSE 0 END
+               + CASE WHEN pass_rules THEN 1 ELSE 0 END
+               + CASE WHEN sd >= 0 THEN 1 ELSE 0 END) >= 2
+    ),
+    cnt AS (SELECT source, count(*) AS n FROM cgate GROUP BY source),
+    tt AS (SELECT sum(n) AS t FROM cnt),
+    wsrc AS (SELECT source, ROUND(pow(n * 1.0 / t, {TEMP_ALPHA} - 1), 6) AS wr
+             FROM cnt, tt),
+    rates AS (SELECT source, ROUND(wr / (SELECT max(wr) FROM wsrc), 6) AS rate
+              FROM wsrc),
+    sampled AS MATERIALIZED (
+        SELECT g.doc_id, g.source, g.n_tok
+        FROM cgate g JOIN rates r USING (source)
+        WHERE {_E2E_U01} < r.rate
+    ),
+    pshard AS (
+        SELECT doc_id, n_tok,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS BIGINT) % {E2E_SHARDS} AS shard
+        FROM sampled
+    ),
+    packed AS MATERIALIZED (
+        SELECT doc_id, n_tok, shard,
+               CAST(floor(COALESCE(sum(n_tok) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   / {PACK_BUDGET}) AS BIGINT) AS pack_id
+        FROM pshard
+    )
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM cleaned) AS n_substr_clean,
+           (SELECT count(*) FROM surv) AS n_neardup_surv,
+           (SELECT count(*) FROM decon) AS n_decontaminated,
+           (SELECT count(*) FROM lgate) AS n_len_gated,
+           (SELECT CAST(sum(CASE WHEN pass_nb THEN 1 ELSE 0 END) AS BIGINT)
+            FROM m_nb) AS n_gate_nb,
+           (SELECT CAST(sum(CASE WHEN pass_rules THEN 1 ELSE 0 END) AS BIGINT)
+            FROM m_rules) AS n_gate_rules,
+           (SELECT CAST(sum(CASE WHEN sd >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM dscore) AS n_gate_dsir,
+           (SELECT count(*) FROM cgate) AS n_committee_gated,
+           (SELECT CAST(thr_u AS BIGINT) FROM thr) AS thr_u,
+           (SELECT count(*) FROM packed) AS n_sampled,
+           (SELECT CAST(COALESCE(sum(n_tok), 0) AS BIGINT) FROM packed)
+               AS tokens_out,
+           (SELECT CAST(count(DISTINCT (shard, pack_id)) AS BIGINT) FROM packed)
+               AS n_packs,
+           (SELECT CAST(count(DISTINCT shard) AS BIGINT) FROM packed)
+               AS n_shards,
+           (SELECT md5(COALESCE(string_agg(CAST(doc_id AS VARCHAR), ','
+                                           ORDER BY doc_id), ''))
+            FROM packed) AS sampled_md5
+    """
+
+
+@register("pipeline_e2e_llm_v4", oracle=_e2e_llm_v4_oracle())
+def pipeline_e2e_llm_v4(spark, sf_dir):
+    """LLM-curation capstone v4: the COMMITTEE-gated pipeline — v3's
+    funnel (substring dedup → near-dup removal → decontamination →
+    length gate → NB fit + PR-curve threshold) with the single model
+    gate replaced by the 2-of-3 quality committee of quality_ensemble,
+    evaluated on the CLEANED text: NB-at-threshold (trained signal),
+    Gopher rules (heuristic signal; the 4 frame-generic rules — the
+    bigram-fold rule stays in the standalone key), and DSIR
+    (distribution-match signal, fit on the raw corpus via the shared
+    _dsir_fit). Docs pass with ≥2 votes; sampling/sharding/packing then
+    run from the committee-gated distribution. The funnel row pins each
+    member's pass count, the committee count, the threshold, and the
+    exact shipped doc_id set (sampled_md5).
+
+    Why a fourth capstone: v2 = heuristics only (bootstrap), v3 = one
+    trained gate (the fastText recipe), v4 = the agreement gate real
+    pipelines converge on once MULTIPLE signals exist — each member's
+    false positives are uncorrelated, so 2-of-3 keeps precision without
+    a single point of failure. Scale adds over v3: the DSIR fit's one
+    bucket-keyed count (1024 groups, broadcast back) and two map-only
+    member evaluations — the committee itself is three narrow hash
+    joins. Oracle: v3's verified prefix SHARED VERBATIM by string
+    surgery at the mgate marker, plus member CTEs and the retargeted
+    tail."""
+    from data_transform_spark.pipeline.curation import (
+        _dsir_bucket,
+        _dsir_fit,
+        _nb_fit,
+        _nb_threshold,
+        _u01,
+        GOPHER_MAX_DUP_UNIGRAM,
+        GOPHER_MAX_MWL,
+        GOPHER_MIN_MWL,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+        GOPHER_MAX_WORDS,
+        GOPHER_STOPWORDS,
+        QNB_NEG,
+        QNB_POS,
+        TEMP_ALPHA,
+    )
+    from data_transform_spark.pipeline.training import PACK_BUDGET
+
+    d, cleaned, surv, decon = _e2e_prefix(spark, sf_dir)
+
+    # NB fit on the raw corpus + PR-curve threshold (v3's stage 5a)
+    d0 = d.select("doc_id", F.split("text", " ").alias("toks"))
+    lab, tok, w, prior = _nb_fit(d0)
+    w = _persist_share(w)
+    score = (
+        tok.join(F.broadcast(w), "tok", "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce("wu", F.lit(0))).cast("long").alias("su"))
+    )
+    scored = (
+        lab.join(score, "doc_id")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "doc_id", "is_train", "label",
+            (F.col("su") + F.col("pu")).cast("long").alias("logit_u"),
+        )
+    )
+    thr = _persist_share(_nb_threshold(scored))
+
+    # length gate (stage 4)
+    lgate = _persist_share(
+        decon.filter(F.col("n_tok").between(E2E_MIN_TOK, E2E_MAX_TOK))
+    )
+
+    # member 1: NB at the picked threshold, on the CLEANED text
+    ctok = lgate.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    cscore = (
+        ctok.join(F.broadcast(w), "tok", "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce("wu", F.lit(0))).cast("long").alias("su"))
+    )
+    m_nb = (
+        lgate.join(cscore, "doc_id")
+        .crossJoin(F.broadcast(prior))
+        .crossJoin(F.broadcast(thr))
+        .select(
+            "doc_id",
+            (F.col("su") + F.col("pu") >= F.col("thr_u")).alias("pass_nb"),
+        )
+    )
+
+    # member 2: Gopher rules (frame-generic 4-rule form) on the CLEANED text
+    toks = F.split("text", " ")
+    n_words = F.size(toks)
+    mwl = F.round((F.length("text") - n_words + 1) * 1.0 / n_words, 6)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*GOPHER_STOPWORDS)))
+    dup_frac = F.round(
+        (n_words - F.size(F.array_distinct(toks))) * 1.0 / n_words, 6
+    )
+    m_rules = lgate.select(
+        "doc_id",
+        (
+            n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+            & mwl.between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
+            & (stop_hits >= GOPHER_MIN_STOP_HITS)
+            & (dup_frac <= GOPHER_MAX_DUP_UNIGRAM)
+        ).alias("pass_rules"),
+    )
+
+    # member 3: DSIR fit on the RAW corpus, scored on the CLEANED text
+    dlab = d.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        (
+            F.size(F.filter(F.split("text", " "), lambda x: x.isin(*QNB_POS)))
+            > F.size(F.filter(F.split("text", " "), lambda x: x.isin(*QNB_NEG)))
+        ).alias("is_target"),
+    )
+    _, dw = _dsir_fit(dlab)
+    dw = _persist_share(dw)
+    dscore = (
+        ctok.select("doc_id", _dsir_bucket("tok").alias("b"))
+        .join(F.broadcast(dw), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("wu").cast("long").alias("sd"))
+    )
+
+    votes = (
+        F.when(F.col("pass_nb"), 1).otherwise(0)
+        + F.when(F.col("pass_rules"), 1).otherwise(0)
+        + F.when(F.col("sd") >= 0, 1).otherwise(0)
+    )
+    cgate = _persist_share(
+        lgate.join(m_nb, "doc_id")
+        .join(m_rules, "doc_id")
+        .join(dscore, "doc_id")
+        .filter(votes >= 2)
+        .select("doc_id", "source", "n_tok")
+    )
+
+    # sampling / sharding / packing from the committee-gated distribution
+    cnt = cgate.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.agg(F.sum("n").alias("t"))
+    wsrc = cnt.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.round(
+            F.pow(F.col("n") / F.col("t"), F.lit(TEMP_ALPHA - 1)), 6
+        ).alias("wr"),
+    )
+    mx = wsrc.agg(F.max("wr").alias("mx"))
+    rates = wsrc.crossJoin(F.broadcast(mx)).select(
+        "source", F.round(F.col("wr") / F.col("mx"), 6).alias("rate")
+    )
+    sampled = (
+        cgate.join(F.broadcast(rates), "source")
+        .filter(_u01(F.col("doc_id"), ":e2e") < F.col("rate"))
+        .select("doc_id", "source", "n_tok")
+    )
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % E2E_SHARDS
+    )
+    w_pack = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = sampled.select("doc_id", "n_tok", shard.alias("shard")).select(
+        "doc_id",
+        "n_tok",
+        "shard",
+        F.floor(
+            F.coalesce(F.sum("n_tok").over(w_pack), F.lit(0)) / PACK_BUDGET
+        )
+        .cast("long")
+        .alias("pack_id"),
+    )
+
+    c0 = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    c1 = cleaned.agg(F.count(F.lit(1)).alias("n_substr_clean"))
+    c2 = surv.agg(F.count(F.lit(1)).alias("n_neardup_surv"))
+    c3 = decon.agg(F.count(F.lit(1)).alias("n_decontaminated"))
+    c4 = lgate.agg(F.count(F.lit(1)).alias("n_len_gated"))
+    g1 = m_nb.agg(
+        F.sum(F.when(F.col("pass_nb"), 1).otherwise(0)).cast("long").alias("n_gate_nb")
+    )
+    g2 = m_rules.agg(
+        F.sum(F.when(F.col("pass_rules"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_gate_rules")
+    )
+    g3 = dscore.agg(
+        F.sum(F.when(F.col("sd") >= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_gate_dsir")
+    )
+    c5 = cgate.agg(F.count(F.lit(1)).alias("n_committee_gated"))
+    c6 = packed.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("tokens_out"),
+        F.countDistinct("shard", "pack_id").cast("long").alias("n_packs"),
+        F.countDistinct("shard").cast("long").alias("n_shards"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("sampled_md5"),
+    )
+    return (
+        c0.crossJoin(F.broadcast(c1))
+        .crossJoin(F.broadcast(c2))
+        .crossJoin(F.broadcast(c3))
+        .crossJoin(F.broadcast(c4))
+        .crossJoin(F.broadcast(g1))
+        .crossJoin(F.broadcast(g2))
+        .crossJoin(F.broadcast(g3))
+        .crossJoin(F.broadcast(c5))
+        .crossJoin(F.broadcast(thr.select(F.col("thr_u").cast("long").alias("thr_u"))))
+        .crossJoin(F.broadcast(c6))
+        .select(
+            "n_docs", "n_substr_clean", "n_neardup_surv", "n_decontaminated",
+            "n_len_gated", "n_gate_nb", "n_gate_rules", "n_gate_dsir",
+            "n_committee_gated", "thr_u", "n_sampled", "tokens_out",
+            "n_packs", "n_shards", "sampled_md5",
+        )
+    )

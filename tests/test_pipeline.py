@@ -2160,3 +2160,27 @@ class TestHashingTf:
             assert r["nnz"] == sum(v > 0 for v in vec)
             assert r["features_csv"] == ",".join(str(v) for v in vec)
         assert tokens_sharing_bucket
+
+
+class TestCapstoneV4:
+    def test_committee_funnel_consistent_with_v3_and_members(self, spark, sf_dir):
+        """v4 must share v3's funnel prefix exactly (stages 1-4 and the
+        NB threshold are the same code), its NB member count must equal
+        v3's model-gate count (same gate, same threshold, same cleaned
+        text), and the committee must be a REAL 2-of-3: non-empty,
+        strictly smaller than the largest member (agreement filters),
+        and no larger than the sum of the two smaller members (a doc
+        needs two votes, so the big member alone cannot admit anyone)."""
+        r3 = QUERIES["pipeline_e2e_llm_v3"](spark, sf_dir).collect()[0]
+        r4 = QUERIES["pipeline_e2e_llm_v4"](spark, sf_dir).collect()[0]
+        for col in ("n_docs", "n_substr_clean", "n_neardup_surv",
+                    "n_decontaminated", "n_len_gated", "thr_u"):
+            assert r4[col] == r3[col], col
+        assert r4["n_gate_nb"] == r3["n_model_gated"]
+        members = sorted(
+            [r4["n_gate_nb"], r4["n_gate_rules"], r4["n_gate_dsir"]]
+        )
+        assert 0 < r4["n_committee_gated"] < members[-1]
+        assert r4["n_committee_gated"] <= members[0] + members[1]
+        assert r4["n_sampled"] <= r4["n_committee_gated"]
+        assert r4["n_shards"] <= r4["n_packs"] or r4["n_sampled"] == 0
