@@ -122,6 +122,7 @@ OPTIONAL = [
     "quality_ensemble",
     "decontaminate_semantic",
     "text_hashing_tf",
+    "quality_langid_eval",
     # Round-11 exclusions for the same budget reason (measured medians in
     # SCALING.md "Round-11"): pipeline_e2e_llm_v3 (~65 s, supersets v2)
     # and pipeline_e2e_llm_v4 (supersets v3 with the committee gate),

@@ -891,3 +891,52 @@ def text_hashing_tf(spark, sf_dir):
             F.sort_array(F.collect_list(F.struct("b", "c")))["c"], ","
         ).alias("features_csv"),
     )
+
+
+def _langid_eval_oracle() -> str:
+    from data_transform_spark.registry import ORACLES
+
+    return f"""
+    WITH pred AS (SELECT lang, pred_lang FROM ({ORACLES["text_lang_id"]}) _p),
+    cells AS (
+        SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+        FROM pred GROUP BY lang, pred_lang
+    ),
+    rows_ AS (
+        SELECT lang, CAST(sum(n) AS BIGINT) AS n_truth FROM cells GROUP BY lang
+    )
+    SELECT c.lang, c.pred_lang, c.n, r.n_truth,
+           CAST(round(c.n * 1e6 / r.n_truth, 0) AS BIGINT) AS cell_rate_u,
+           c.lang = c.pred_lang AS is_correct
+    FROM cells c JOIN rows_ r USING (lang)
+    """
+
+
+@register("quality_langid_eval", oracle=_langid_eval_oracle())
+def quality_langid_eval(spark, sf_dir):
+    """Confusion matrix for the lang-ID heuristic: one row per (true lang,
+    predicted lang) cell with its count, the truth-class total, and the
+    integer cell rate (diagonal cells = per-class recall) — the eval rung
+    of the lang-ID family, in the same measure-before-you-trust spirit as
+    sim_ann_recall_curve (ANN), events_forecast_backtest (forecasting)
+    and quality_pr_curve (the NB gate). Deliberately honest on this
+    fixture: the shipped profiles only separate en/de/es, so fr/zh rows
+    show exactly HOW the classifier fails (everything needs a confusion
+    matrix before it gates a corpus). Pure reuse of the registered
+    predictor + one (lang, pred)-keyed count — at 100 TB this is a
+    25-cell aggregate over one scan."""
+    pred = text_lang_id(spark, sf_dir).select("lang", "pred_lang")
+    cells = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    rows = cells.groupBy("lang").agg(F.sum("n").cast("long").alias("n_truth"))
+    return cells.join(F.broadcast(rows), "lang").select(
+        "lang",
+        "pred_lang",
+        "n",
+        "n_truth",
+        F.round(F.col("n") * 1e6 / F.col("n_truth"), 0)
+        .cast("long")
+        .alias("cell_rate_u"),
+        (F.col("lang") == F.col("pred_lang")).alias("is_correct"),
+    )

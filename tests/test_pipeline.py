@@ -2184,3 +2184,32 @@ class TestCapstoneV4:
         assert r4["n_committee_gated"] <= members[0] + members[1]
         assert r4["n_sampled"] <= r4["n_committee_gated"]
         assert r4["n_shards"] <= r4["n_packs"] or r4["n_sampled"] == 0
+
+
+class TestLangidEval:
+    def test_confusion_matrix_consistent_with_predictor(self, spark, sf_dir):
+        """Cells must equal a direct count over the predictor's output,
+        rows must sum to the truth-class totals, rates must be the exact
+        integer ratios, and the matrix must show both correct diagonal
+        mass (en recalled) and real confusion (fr/zh have no profile, so
+        their diagonal must be empty)."""
+        from collections import Counter
+
+        pred = Counter(
+            (r["lang"], r["pred_lang"])
+            for r in QUERIES["text_lang_id"](spark, sf_dir).collect()
+        )
+        truth = Counter()
+        for (lang, _), n in pred.items():
+            truth[lang] += n
+        rows = QUERIES["quality_langid_eval"](spark, sf_dir).collect()
+        assert {(r["lang"], r["pred_lang"]) for r in rows} == set(pred)
+        for r in rows:
+            key = (r["lang"], r["pred_lang"])
+            assert r["n"] == pred[key]
+            assert r["n_truth"] == truth[r["lang"]]
+            assert r["cell_rate_u"] == round(r["n"] * 1e6 / r["n_truth"])
+            assert r["is_correct"] == (r["lang"] == r["pred_lang"])
+        diag = {r["lang"] for r in rows if r["is_correct"]}
+        assert "en" in diag
+        assert "fr" not in diag and "zh" not in diag
