@@ -123,6 +123,7 @@ OPTIONAL = [
     "decontaminate_semantic",
     "text_hashing_tf",
     "quality_langid_eval",
+    "events_ab_srm",
     # Round-11 exclusions for the same budget reason (measured medians in
     # SCALING.md "Round-11"): pipeline_e2e_llm_v3 (~65 s, supersets v2)
     # and pipeline_e2e_llm_v4 (supersets v3 with the committee gate),

@@ -1177,3 +1177,76 @@ def events_markov_surprisal(spark, sf_dir):
             F.max("rnk").cast("long").alias("max_rank"),
         )
     )
+
+
+SRM_CHI2_CRIT_U = 3_841_459  # chi-square 95% critical value (df=1), micro
+
+
+@register(
+    "events_ab_srm",
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    arms AS (
+        SELECT 'parity' AS assignment,
+               CAST(count(*) FILTER (user_id % 2 = 0) AS BIGINT) AS n_a,
+               CAST(count(*) FILTER (user_id % 2 <> 0) AS BIGINT) AS n_b
+        FROM u
+        UNION ALL
+        SELECT 'mod10_lossy' AS assignment,
+               CAST(count(*) FILTER (user_id % 10 < 4) AS BIGINT) AS n_a,
+               CAST(count(*) FILTER (user_id % 10 >= 4) AS BIGINT) AS n_b
+        FROM u
+    )
+    SELECT assignment, n_a + n_b AS n_users, n_a, n_b,
+           CAST(round(((2 * n_a - (n_a + n_b)) * (2 * n_a - (n_a + n_b))
+                       + (2 * n_b - (n_a + n_b)) * (2 * n_b - (n_a + n_b)))
+                      * 1e6 / (2.0 * (n_a + n_b)), 0) AS BIGINT) AS chi2_u,
+           round(((2 * n_a - (n_a + n_b)) * (2 * n_a - (n_a + n_b))
+                  + (2 * n_b - (n_a + n_b)) * (2 * n_b - (n_a + n_b)))
+                 * 1e6 / (2.0 * (n_a + n_b)), 0) >= {SRM_CHI2_CRIT_U}
+               AS srm_detected
+    FROM arms
+    """,
+)
+def events_ab_srm(spark, sf_dir):
+    """Sample-ratio mismatch (SRM) — the guardrail an experimentation
+    platform runs BEFORE reading any A/B result: a chi-square test of the
+    observed cohort split against the intended 50/50. A failed SRM means
+    the assignment itself is broken (lossy bucketing, bot filtering that
+    favors one arm) and the readout is invalid regardless of its p-value
+    — which is why this key is separate from events_ab_test's z-score.
+    Two arms demonstrate both verdicts on one fixture: 'parity'
+    (user_id % 2 — the healthy bucketer events_ab_test uses) passes,
+    'mod10_lossy' (user_id % 10 < 4 — a bucketer that routes only 40% to
+    arm A, simulating dropped assignments) is flagged at sf0.01+ where
+    the user panel has power (χ² = 0.04·n for a 40/60 split; the 15-user
+    sf0.001 panel is below detection, honestly so).
+
+    Exactness: χ² = ((2n_a−n)² + (2n_b−n)²)/(2n) keeps an integer
+    numerator; one IEEE division + round both engines, compared in
+    micro-units against the df=1 95% critical value. Plan: one distinct
+    over user_id, two 1-row conditional aggregates — scale-free."""
+    u = load_table(spark, sf_dir, "events").select("user_id").distinct()
+
+    def arm(name, cond):
+        counts = u.agg(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias("n_a"),
+            F.sum(F.when(~cond, 1).otherwise(0)).cast("long").alias("n_b"),
+        )
+        n = F.col("n_a") + F.col("n_b")
+        num = (2 * F.col("n_a") - n) * (2 * F.col("n_a") - n) + (
+            2 * F.col("n_b") - n
+        ) * (2 * F.col("n_b") - n)
+        chi2 = F.round(num * 1e6 / (2.0 * n), 0)
+        return counts.select(
+            F.lit(name).alias("assignment"),
+            n.alias("n_users"),
+            "n_a",
+            "n_b",
+            chi2.cast("long").alias("chi2_u"),
+            (chi2 >= SRM_CHI2_CRIT_U).alias("srm_detected"),
+        )
+
+    return arm("parity", F.col("user_id") % 2 == 0).unionByName(
+        arm("mod10_lossy", F.col("user_id") % 10 < 4)
+    )

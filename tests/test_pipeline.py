@@ -2213,3 +2213,23 @@ class TestLangidEval:
         diag = {r["lang"] for r in rows if r["is_correct"]}
         assert "en" in diag
         assert "fr" not in diag and "zh" not in diag
+
+
+class TestAbSrm:
+    def test_srm_flags_lossy_arm_and_passes_healthy_arm(self, spark):
+        """At sf0.01 (where the user panel has power): the parity
+        assignment must pass SRM, the deliberately lossy 40/60 bucketer
+        must be flagged, and the chi-square must equal the from-scratch
+        integer formula."""
+        rows = {
+            r["assignment"]: r
+            for r in QUERIES["events_ab_srm"](spark, "/root/testdata/sf0.01").collect()
+        }
+        assert set(rows) == {"parity", "mod10_lossy"}
+        for r in rows.values():
+            n = r["n_users"]
+            assert n == r["n_a"] + r["n_b"]
+            num = (2 * r["n_a"] - n) ** 2 + (2 * r["n_b"] - n) ** 2
+            assert r["chi2_u"] == round(num * 1e6 / (2.0 * n))
+        assert not rows["parity"]["srm_detected"]
+        assert rows["mod10_lossy"]["srm_detected"]
