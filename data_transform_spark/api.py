@@ -214,9 +214,16 @@ def ann_ivfpq_serve(spark, sf_dir: str) -> DataFrame:
 
 
 def gopher_quality_flags(docs: DataFrame) -> DataFrame:
-    """Gopher rule-based quality gate over any (doc_id, text) frame:
-    per-doc metrics, per-rule verdicts and the conjunction. Map-only —
-    see pipeline.curation.quality_gopher (thresholds documented there)."""
+    """Gopher rule-based quality gate over any (doc_id, text) frame —
+    the 4-rule MAP-ONLY form: word-count, mean-word-length, stopword-hit
+    and duplicate-unigram rules plus their conjunction as `kept`. It
+    deliberately omits the top-bigram rule (that one needs the doc's
+    bigram mode, i.e. an explode+groupBy, not a projection), so this
+    gate is strictly LOOSER than the registered key: every row
+    quality_gopher keeps is kept here, plus possibly more
+    (kept >= quality_gopher.kept; tests pin the subset). For the full
+    5-rule verdict table use pipeline.curation.quality_gopher
+    (thresholds documented there)."""
     from data_transform_spark.pipeline import curation as _c
 
     toks = F.split("text", " ")
@@ -288,6 +295,11 @@ def holt_forecast(series: DataFrame, key: str = "event_type",
     src = series.select(
         F.col(key).alias("k"), F.col(ts).alias("t"), F.col(value).alias("x")
     )
+    # Derive the key/ts field types from the input frame so a numeric or
+    # date-typed key/ts column works instead of failing against a
+    # hardcoded `k string, t timestamp` schema (r11 ADVICE).
+    k_type = series.schema[key].dataType.simpleString()
+    t_type = series.schema[ts].dataType.simpleString()
 
     def holt(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("t").reset_index(drop=True)
@@ -313,6 +325,6 @@ def holt_forecast(series: DataFrame, key: str = "event_type",
 
     return src.groupBy("k").applyInPandas(
         holt,
-        "k string, t timestamp, x long, level_u long, trend_u long, "
+        f"k {k_type}, t {t_type}, x long, level_u long, trend_u long, "
         "forecast_next_u long",
     )

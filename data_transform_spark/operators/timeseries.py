@@ -803,6 +803,21 @@ def events_forecast_backtest(spark, sf_dir):
                 b = (bn * (l_new - l) + (10 - bn) * b + 5) // 10
                 l = l_new
             prev_x = x
+        if n_evals == 0:
+            # A series with exactly one active day yields no one-step-ahead
+            # evaluation. The oracle's WHERE fcst_u IS NOT NULL produces no
+            # agg row for such a series — omit the group here too instead
+            # of dividing by zero (r11 ADVICE, medium).
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series(dtype=object),
+                    "n_evals": pd.Series(dtype="int64"),
+                    "mae_holt_u": pd.Series(dtype="int64"),
+                    "mae_naive_u": pd.Series(dtype="int64"),
+                    "bias_u": pd.Series(dtype="int64"),
+                    "beats_naive": pd.Series(dtype=bool),
+                }
+            )
         et = pdf["event_type"].iloc[0]
         return pd.DataFrame(
             {

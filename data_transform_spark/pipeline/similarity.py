@@ -1803,6 +1803,13 @@ def sim_ann_index_compact(spark, sf_dir):
 
 
 TRIPLET_ALPHA = 0.05  # semi-hard margin (FaceNet's α, cosine-similarity form)
+TRIPLET_ALPHA_U = 500  # the same margin in 4dp integer score units
+# Anchors-in-closure bound: 65536 × d=64 float64 ≈ 33 MB per task closure —
+# the largest matrix worth shipping to every executor. Past this, the
+# contract says swap the gemm candidate generator for the staged ANN
+# shortlist (sim_ann_persist), not raise the cap (r11 ADVICE: fail loudly
+# instead of silently OOMing the driver).
+TRIPLET_ANCHOR_CAP = 65536
 
 
 @register(
@@ -1815,30 +1822,32 @@ TRIPLET_ALPHA = 0.05  # semi-hard margin (FaceNet's α, cosine-similarity form)
     scored AS (
         SELECT a.vec_id AS anchor_id, a.label,
                c.vec_id AS cand_id, a.label = c.label AS is_same,
-               round({_sql_cos("a.emb", "c.emb")}, 4) AS score
+               CAST(floor({_sql_cos("a.emb", "c.emb")} * 10000 + 0.5)
+                    AS BIGINT) AS score_u
         FROM e a JOIN e c ON a.vec_id <> c.vec_id
     ),
     sel AS (
         SELECT * FROM scored
         QUALIFY row_number() OVER (
             PARTITION BY anchor_id, is_same
-            ORDER BY score DESC, cand_id
+            ORDER BY score_u DESC, cand_id
         ) = 1
     ),
     tri AS (
         SELECT anchor_id, any_value(label) AS label,
                max(CASE WHEN is_same THEN cand_id END) AS pos_id,
-               max(CASE WHEN is_same THEN score END) AS pos_score,
+               max(CASE WHEN is_same THEN score_u END) AS pos_u,
                max(CASE WHEN NOT is_same THEN cand_id END) AS neg_id,
-               max(CASE WHEN NOT is_same THEN score END) AS neg_score
+               max(CASE WHEN NOT is_same THEN score_u END) AS neg_u
         FROM sel GROUP BY anchor_id
     )
-    SELECT anchor_id, label, pos_id, pos_score, neg_id, neg_score,
-           round(pos_score - neg_score, 4) AS margin,
-           neg_score >= pos_score AS hard,
-           neg_score < pos_score
-               AND round(pos_score - neg_score, 4) < {TRIPLET_ALPHA}
-               AS semi_hard
+    SELECT anchor_id, label, pos_id,
+           round(pos_u / 10000.0, 4) AS pos_score,
+           neg_id,
+           round(neg_u / 10000.0, 4) AS neg_score,
+           round((pos_u - neg_u) / 10000.0, 4) AS margin,
+           neg_u >= pos_u AS hard,
+           neg_u < pos_u AND pos_u - neg_u < {TRIPLET_ALPHA_U} AS semi_hard
     FROM tri
     WHERE pos_id IS NOT NULL AND neg_id IS NOT NULL
     """,
@@ -1861,12 +1870,16 @@ def train_triplet_mine(spark, sf_dir):
     interpreted lambda cosines; the gemm + partial-argmax plan replaces
     that with BLAS.
 
-    Cross-engine determinism: scores round to 4 dp (the sim_topk_blocked
-    discipline — gemm-vs-sequential-fold summation differences sit ~1e-13,
-    eight orders below the rounding step) and every argmax — inside each
-    batch and in the final reduce — maximizes the integer composite
-    score_units·2^44 − cand_id, i.e. exact (score DESC, cand_id ASC)
-    selection with no float comparisons downstream of the rounding.
+    Cross-engine determinism: scores quantize to 4dp integer units via the
+    repo's floor-based half-up idiom ⌊x·1e4 + 0.5⌋ on BOTH engines (r11
+    ADVICE — np.round is half-to-even while SQL round() is half-away-from-
+    zero, so the tie-break RULE itself differed at half-boundaries;
+    gemm-vs-fold summation noise sits ~1e-13, eight orders below the
+    quantization step) and every argmax — inside each batch and in the
+    final reduce — maximizes the integer composite score_u·2^44 − cand_id,
+    i.e. exact (score DESC, cand_id ASC) selection with no float
+    comparisons downstream of the quantization; hard/semi-hard verdicts
+    compare the integer units directly.
 
     Scale: anchors-in-closure is the documented small-query-side contract
     (sim_topk_blocked); when the anchor set IS the 100 TB corpus, the
@@ -1876,6 +1889,15 @@ def train_triplet_mine(spark, sf_dir):
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings")
+    n_anchors = e.count()
+    if n_anchors > TRIPLET_ANCHOR_CAP:
+        raise ValueError(
+            f"train_triplet_mine: anchor set has {n_anchors} vectors, over "
+            f"TRIPLET_ANCHOR_CAP={TRIPLET_ANCHOR_CAP}. Anchors-in-closure "
+            "is the small-query-side contract; for corpus-as-anchors "
+            "mining, generate candidates from the staged ANN index "
+            "(sim_ann_persist) instead of raising the cap."
+        )
     arows = (
         e.select("vec_id", "label", "embedding").orderBy("vec_id").collect()
     )
@@ -1894,7 +1916,7 @@ def train_triplet_mine(spark, sf_dir):
             cm /= np.linalg.norm(cm, axis=1, keepdims=True)
             c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             c_labels = pdf["label"].to_numpy(dtype=np.int64)
-            su = np.rint(np.round(am @ cm.T, 4) * 1e4).astype(np.int64)
+            su = np.floor((am @ cm.T) * 1e4 + 0.5).astype(np.int64)
             comp = su * shift - c_ids[None, :]
             self_mask = a_ids[:, None] == c_ids[None, :]
             same = a_labels[:, None] == c_labels[None, :]
@@ -1952,7 +1974,7 @@ def train_triplet_mine(spark, sf_dir):
         (F.col("neg_u") >= F.col("pos_u")).alias("hard"),
         (
             (F.col("neg_u") < F.col("pos_u"))
-            & (margin < TRIPLET_ALPHA)
+            & (F.col("pos_u") - F.col("neg_u") < TRIPLET_ALPHA_U)
         ).alias("semi_hard"),
     )
 

@@ -228,3 +228,36 @@ def test_api_round11_surfaces_match_registered_keys(spark, sf_dir):
         for r in QUERIES["ts_holt_linear"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_api_holt_forecast_derives_key_ts_types(spark):
+    """holt_forecast works over any (key, ts, integer value) frame: the
+    output k/t field types come from the INPUT schema (r11 ADVICE — they
+    were hardcoded `string`/`timestamp`, so an integer key or DATE ts
+    failed at runtime). An int-key/date-ts frame must run, keep those
+    types, and produce the same recursion values as a string/timestamp
+    twin of the same series."""
+    import datetime
+
+    xs = [10, 14, 9, 20]
+    days = [datetime.date(2024, 1, d + 1) for d in range(len(xs))]
+    num = spark.createDataFrame(
+        [(7, d, x) for d, x in zip(days, xs)], "grp int, d date, n long"
+    )
+    out = api.holt_forecast(num, key="grp", ts="d", value="n")
+    assert out.schema["k"].dataType.simpleString() == "int"
+    assert out.schema["t"].dataType.simpleString() == "date"
+    got = {r["t"]: (r["level_u"], r["trend_u"]) for r in out.collect()}
+
+    twin = spark.createDataFrame(
+        [
+            ("7", datetime.datetime(2024, 1, d + 1), x)
+            for d, x in zip(range(len(xs)), xs)
+        ],
+        "grp string, d timestamp, n long",
+    )
+    want = {
+        r["t"].date(): (r["level_u"], r["trend_u"])
+        for r in api.holt_forecast(twin, key="grp", ts="d", value="n").collect()
+    }
+    assert got == want

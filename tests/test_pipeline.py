@@ -2022,6 +2022,33 @@ class TestForecastBacktest:
             wins += r["beats_naive"]
         assert wins >= 1
 
+    def test_single_active_day_series_is_omitted(self, spark, tmp_path):
+        """A series with exactly ONE active day has no one-step-ahead
+        evaluation: the oracle's WHERE fcst_u IS NOT NULL yields no agg
+        row for it, so the Spark side must OMIT the group too instead of
+        raising ZeroDivisionError on n_evals=0 (r11 ADVICE, medium)."""
+        import datetime
+
+        base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+        rows = [(0, base, 1, "lonely", 1.0, "{}")]
+        rows += [
+            (10 + i, base + datetime.timedelta(days=i), 2, "steady", 1.0, "{}")
+            for i in range(3)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+        got = {
+            r["event_type"]: r
+            for r in QUERIES["events_forecast_backtest"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert "lonely" not in got
+        assert got["steady"]["n_evals"] == 2
+
 
 class TestQualityEnsemble:
     def test_votes_match_members_and_committee_is_live(self, spark, sf_dir):
