@@ -250,6 +250,42 @@ _KEY_ROUNDS = _key_rounds()
 _ROUND_UNKNOWN = 10**6
 
 
+def _latest_official_round() -> int:
+    """Newest round with a committed CORRECTNESS file (0 if none) — the
+    round currently in flight is this + 1."""
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"_r(\d+)", os.path.basename(path)))
+    ]
+    return max(rounds, default=0)
+
+
+_LATEST_OFFICIAL_ROUND = _latest_official_round()
+
+
+def _sweep_tier(name: str) -> int:
+    """0 = unverified backlog (leads the sweep), 1 = officially green
+    (stalest-certification-first rotation), 2 = registered in the CURRENT
+    in-flight round (queues behind the green block).
+
+    Tier 2 is the certification-freshness freeze (r11 VERDICT #1): with
+    371 green keys and a 50-key sweep cap, a brand-new key that jumped
+    the queue would evict a stale r1/r3-era row from re-certification.
+    New keys are locally 3-SF oracle-verified before registration, so
+    deferring their OFFICIAL row one round is the cheaper staleness.
+    Self-releasing: the moment the driver commits this round's
+    CORRECTNESS file, _LATEST_OFFICIAL_ROUND advances and these keys
+    drop into tier 0, leading the next sweep."""
+    if name in _GREEN_OFFICIAL:
+        return 1
+    rnd = _KEY_ROUNDS.get(name, _ROUND_UNKNOWN)
+    return 2 if rnd > _LATEST_OFFICIAL_ROUND else 0
+
+
 def _sweep_rank(name: str) -> tuple:
     fn = QUERIES[name]
     mod = fn.__module__.removeprefix("data_transform_spark.")
@@ -257,14 +293,15 @@ def _sweep_rank(name: str) -> tuple:
     ins = list(QUERIES).index(name)
     pri = _SWEEP_RANK.get(name, len(_SWEEP_PRIORITY))
     rnd = _KEY_ROUNDS.get(name, _ROUND_UNKNOWN)
-    # Age-based re-verify tier (r10 VERDICT #5): unverified keys still lead
-    # (oldest registration round first — unchanged), but WITHIN the green
-    # block keys sort by how long ago the driver last certified them, so
-    # once new-key pressure eases, each capped sweep's spare slots rotate
-    # through the stalest green rows (r1-r3-era scans/joins) instead of a
-    # fixed registration-order tail.
+    # Age-based re-verify tier (r10 VERDICT #5): unverified backlog keys
+    # still lead (oldest registration round first — unchanged), but WITHIN
+    # the green block keys sort by how long ago the driver last certified
+    # them, so once new-key pressure eases, each capped sweep's spare slots
+    # rotate through the stalest green rows instead of a fixed
+    # registration-order tail. Keys registered in the in-flight round sort
+    # LAST (tier 2 — see _sweep_tier).
     green_rnd = _GREEN_ROUNDS.get(name, 0) if name in _GREEN_OFFICIAL else 0
-    return (name in _GREEN_OFFICIAL, green_rnd, rnd, pri, fam, ins)
+    return (_sweep_tier(name), green_rnd, rnd, pri, fam, ins)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -34,15 +34,21 @@ def test_sweep_order_puts_unverified_keys_first():
     its whole sweep budget to a stale hand-maintained green set — this pins
     the self-maintaining ordering."""
     ordered = list(entry_mod.queries())
+    # Three tiers since r12: unverified BACKLOG first, green rotation in
+    # the middle, keys registered in the in-flight round last (the r11
+    # VERDICT #1 certification-freshness freeze — see _sweep_tier).
+    tiers = [entry_mod._sweep_tier(n) for n in ordered]
+    order_of = {0: 0, 1: 1, 2: 2}
+    assert tiers == sorted(tiers, key=order_of.get), (
+        "sweep tiers must be monotone backlog -> green -> current-round"
+    )
     green = entry_mod._GREEN_OFFICIAL
-    first_unverified = [n for n in ordered if n not in green]
-    # no green key may appear before any unverified key
-    tail_start = len(first_unverified)
-    assert all(n in green for n in ordered[tail_start:])
-    assert all(n not in green for n in ordered[:tail_start])
+    backlog = [n for n in ordered if entry_mod._sweep_tier(n) == 0]
     # the explicit priority block leads (§ 2.B / 2.K / 2.I first)
-    pri = [k for k in entry_mod._SWEEP_PRIORITY if k not in green]
+    pri = [k for k in entry_mod._SWEEP_PRIORITY if k in backlog]
     assert ordered[: len(pri)] == pri
+    # no green key may appear before any backlog key
+    assert all(n not in green for n in backlog)
 
 
 def test_sweep_order_drains_oldest_round_first():
@@ -53,8 +59,7 @@ def test_sweep_order_drains_oldest_round_first():
     tools/key_rounds.json) must be non-decreasing, so the oldest backlog
     always drains before newly-registered keys."""
     ordered = list(entry_mod.queries())
-    green = entry_mod._GREEN_OFFICIAL
-    unverified = [n for n in ordered if n not in green]
+    unverified = [n for n in ordered if entry_mod._sweep_tier(n) == 0]
     rounds = [entry_mod._KEY_ROUNDS.get(n, entry_mod._ROUND_UNKNOWN) for n in unverified]
     assert rounds == sorted(rounds), (
         "unverified keys must sort oldest-registration-round first; "
@@ -254,6 +259,46 @@ class TestKeyRoundDerivation:
         add_keys("k1", "k2")
         commit("plain commit, no boundary")
         assert self._derive(repo) == {"k1": 1, "k2": 1}
+
+
+def test_current_round_keys_defer_behind_green_block(monkeypatch):
+    """r11 VERDICT #1 (certification freeze): a key registered in the
+    in-flight round (registration round > newest CORRECTNESS file) must
+    sort AFTER every green key, so the capped sweep's 50 slots all go to
+    re-certifying the stalest official rows. A key from an already-closed
+    round with no green row stays in the leading backlog tier."""
+    monkeypatch.setattr(entry_mod, "_GREEN_OFFICIAL", {"old_green"})
+    monkeypatch.setattr(entry_mod, "_GREEN_ROUNDS", {"old_green": 2})
+    monkeypatch.setattr(
+        entry_mod,
+        "_KEY_ROUNDS",
+        {"old_green": 1, "backlog_key": 5, "brand_new": 12},
+    )
+    monkeypatch.setattr(entry_mod, "_LATEST_OFFICIAL_ROUND", 11)
+    assert entry_mod._sweep_tier("backlog_key") == 0
+    assert entry_mod._sweep_tier("old_green") == 1
+    assert entry_mod._sweep_tier("brand_new") == 2
+    # self-release: once the driver commits this round's file, the new key
+    # falls into the backlog tier and leads the next sweep
+    monkeypatch.setattr(entry_mod, "_LATEST_OFFICIAL_ROUND", 12)
+    assert entry_mod._sweep_tier("brand_new") == 0
+
+
+def test_r12_sweep_head_is_the_stale_backlog():
+    """The r11 VERDICT #1 'Done' criterion, live: while the in-flight
+    round is 12 (CORRECTNESS files end at r11), the first 50 keys of
+    queries() order must all be green rows last certified in r1/r3 — the
+    stalest-certification backlog — regardless of how many new keys this
+    round registers. Self-retiring: skipped once r12's file lands."""
+    import pytest
+
+    if entry_mod._LATEST_OFFICIAL_ROUND != 11:
+        pytest.skip("r12 sweep already landed; the freeze criterion retired")
+    head = list(entry_mod.queries())[:50]
+    assert all(entry_mod._GREEN_ROUNDS.get(n) in (1, 3) for n in head), (
+        f"non-stale key in sweep head: "
+        f"{[(n, entry_mod._GREEN_ROUNDS.get(n)) for n in head if entry_mod._GREEN_ROUNDS.get(n) not in (1, 3)][:5]}"
+    )
 
 
 def test_sweep_green_block_recertifies_oldest_first():
