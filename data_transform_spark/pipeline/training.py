@@ -130,6 +130,149 @@ def pack_sequences(spark, sf_dir):
     )
 
 
+PACK_SHARDS = 8  # deterministic md5 shards for best-fit packing
+
+
+@register(
+    "pack_bestfit",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {PACK_SHARDS} AS shard
+        FROM documents
+    ),
+    items AS (
+        SELECT shard, doc_id, n_tok,
+               row_number() OVER (PARTITION BY shard
+                                  ORDER BY n_tok DESC, doc_id) AS t
+        FROM t
+    ),
+    rec(shard, t, n_tok, bin_id, caps) AS (
+        SELECT shard, t, n_tok, CAST(0 AS BIGINT),
+               [CAST({PACK_BUDGET} - n_tok AS BIGINT)]
+        FROM items WHERE t = 1
+        UNION ALL
+        SELECT i.shard, i.t, i.n_tok,
+               CASE WHEN list_min(list_transform(
+                        list_filter(generate_series(1, len(r.caps)),
+                                    j -> r.caps[j] >= i.n_tok),
+                        j -> r.caps[j] * 10000 + j)) IS NULL
+                    THEN CAST(len(r.caps) AS BIGINT)
+                    ELSE CAST(list_min(list_transform(
+                        list_filter(generate_series(1, len(r.caps)),
+                                    j -> r.caps[j] >= i.n_tok),
+                        j -> r.caps[j] * 10000 + j)) % 10000 - 1 AS BIGINT)
+               END,
+               CASE WHEN list_min(list_transform(
+                        list_filter(generate_series(1, len(r.caps)),
+                                    j -> r.caps[j] >= i.n_tok),
+                        j -> r.caps[j] * 10000 + j)) IS NULL
+                    THEN list_append(r.caps,
+                                     CAST({PACK_BUDGET} - i.n_tok AS BIGINT))
+                    ELSE list_transform(generate_series(1, len(r.caps)),
+                        j -> CASE WHEN j = list_min(list_transform(
+                                 list_filter(generate_series(1, len(r.caps)),
+                                             k -> r.caps[k] >= i.n_tok),
+                                 k -> r.caps[k] * 10000 + k)) % 10000
+                             THEN r.caps[j] - i.n_tok ELSE r.caps[j] END)
+               END
+        FROM rec r
+        JOIN items i ON i.shard = r.shard AND i.t = r.t + 1
+    )
+    SELECT shard, bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS used_tokens,
+           CAST({PACK_BUDGET} - sum(n_tok) AS BIGINT) AS waste,
+           CAST(floor((2 * sum(n_tok) * 1000000 + {PACK_BUDGET})
+                      / (2.0 * {PACK_BUDGET})) AS BIGINT) AS util_u
+    FROM rec
+    GROUP BY shard, bin_id
+    """,
+)
+def pack_bestfit(spark, sf_dir):
+    """Best-fit-decreasing sequence packing — the utilization-grade
+    packer real pretraining pipelines report numbers from (pack_sequences
+    is the streaming cumsum baseline whose straddling docs OVERFLOW their
+    pack; this one respects capacity strictly). Deterministic: within
+    each md5 shard, docs are placed in (n_tok DESC, doc_id ASC) order,
+    each into the open bin with the SMALLEST remaining capacity that
+    still fits (ties: lowest bin_id); no fit — including a doc longer
+    than PACK_BUDGET — opens a new bin. Output per bin: doc count, used
+    tokens, waste, and round-half-up micro-unit utilization.
+
+    Exactness: all state is integer token counts; utilization uses the
+    shared ⌊(2·s+n)/(2n)⌋ half-up idiom. The DuckDB twin replays the
+    bin state as a LIST column in a recursive CTE — the best-fit argmin
+    is the integer composite min(cap·10⁴ + idx) over fitting bins, the
+    same float-free selection discipline as the argmax keys.
+
+    Scale: the sequential pass is per-shard (deterministic md5 shard,
+    PACK_SHARDS-way parallel; the shard count is a knob — at 100 TB you
+    shard to cluster width and each task packs its shard
+    independently). State per task is the open-bin capacity array —
+    bins-sized, not corpus-sized; packing quality loss vs global BFD is
+    negligible because every shard sees the same length distribution."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % PACK_SHARDS
+        ).alias("shard"),
+    )
+
+    def bfd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tok", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        caps: list[int] = []
+        used: list[int] = []
+        ndocs: list[int] = []
+        for length in (int(v) for v in pdf["n_tok"]):
+            best = None
+            for j, c in enumerate(caps):
+                if c >= length and (
+                    best is None or (c, j) < (caps[best], best)
+                ):
+                    best = j
+            if best is None:
+                caps.append(PACK_BUDGET - length)
+                used.append(length)
+                ndocs.append(1)
+            else:
+                caps[best] -= length
+                used[best] += length
+                ndocs[best] += 1
+        shard = int(pdf["shard"].iloc[0])
+        return pd.DataFrame(
+            {
+                "shard": [shard] * len(used),
+                "bin_id": list(range(len(used))),
+                "n_docs": ndocs,
+                "used_tokens": used,
+                "waste": [PACK_BUDGET - u for u in used],
+                "util_u": [
+                    (2 * u * 1_000_000 + PACK_BUDGET) // (2 * PACK_BUDGET)
+                    for u in used
+                ],
+            }
+        )
+
+    return t.groupBy("shard").applyInPandas(
+        bfd,
+        "shard long, bin_id long, n_docs long, used_tokens long, "
+        "waste long, util_u long",
+    )
+
+
 TOP_NGRAMS = 20
 
 
@@ -569,7 +712,29 @@ def _bpe_pair_counts(words, seq):
     )
 
 
-def _bpe_train(spark, sf_dir, rounds: int = BPE_ROUNDS):
+def _bpe_seq0_bytes(word_col):
+    """Byte-level seq0 (GPT-2 lineage, Radford et al. 2019): the word's
+    UTF-8 bytes, each rendered as a 2-char lowercase hex symbol, in the
+    same space-delimited layout as _bpe_seq0 — ``'中a'`` becomes
+    ``' e4  b8  ad  61 '``. The base alphabet is therefore at most 256
+    symbols and ANY unicode word is representable (no OOV characters —
+    the property char-level BPE lacks). Hex symbols never contain
+    spaces, so the whole merge-round replace machinery applies
+    unchanged; merged symbols are concatenated hex (``'e4b8'``), which
+    keeps every token a decodable byte span — unhex(concat(symbols))
+    reconstructs the exact original word (round-trip property test)."""
+    return F.regexp_replace(
+        F.lower(F.hex(F.encode(word_col, "UTF-8"))), "(..)", " $1 "
+    )
+
+
+# DuckDB twin of _bpe_seq0_bytes ('\\1' -> literal backreference \1).
+_BPE_BYTES_SEQ0_SQL = (
+    "regexp_replace(lower(hex(encode(word))), '(..)', ' \\1 ', 'g')"
+)
+
+
+def _bpe_train(spark, sf_dir, rounds: int = BPE_ROUNDS, seq0=None):
     """Learn ``rounds`` BPE merges (Sennrich et al. 2016) deterministically.
 
     Each round picks the most frequent adjacent symbol pair (ties broken
@@ -591,7 +756,7 @@ def _bpe_train(spark, sf_dir, rounds: int = BPE_ROUNDS):
 
     words = (
         _bpe_words(spark, sf_dir)
-        .withColumn("seq", _bpe_seq0(F.col("word")))
+        .withColumn("seq", (seq0 or _bpe_seq0)(F.col("word")))
         .localCheckpoint(eager=True)
     )
     rid = _checkpoint_rdd_id(words)
@@ -616,20 +781,23 @@ def _bpe_train(spark, sf_dir, rounds: int = BPE_ROUNDS):
     return merges
 
 
-def _bpe_cte_chain(rounds: int) -> str:
-    """The DuckDB replay of _bpe_train: w0 = char sequences, then per
-    round (pair counts -> top-1 merge -> replace) as chained CTEs — the
+def _bpe_cte_chain(rounds: int, seq0_sql: str | None = None) -> str:
+    """The DuckDB replay of _bpe_train: w0 = symbol sequences (chars by
+    default; pass seq0_sql for the byte-level alphabet), then per round
+    (pair counts -> top-1 merge -> replace) as chained CTEs — the
     ml_kmeans_1d bounded-unroll pattern. Validated against a canonical
     python BPE implementation (greedy leftmost, ties lexicographic) in
     tests/test_properties.py."""
+    seq0_sql = seq0_sql or (
+        "' ' || array_to_string("
+        "list_transform(generate_series(1, length(word)), "
+        "i -> substring(word, i, 1)), '  ') || ' '"
+    )
     parts = [
-        """
+        f"""
     WITH w0 AS (
         SELECT word, count(*) AS cnt,
-               ' ' || array_to_string(
-                   list_transform(generate_series(1, length(word)),
-                                  i -> substring(word, i, 1)), '  ') || ' '
-                   AS seq
+               {seq0_sql} AS seq
         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         WHERE word <> '' GROUP BY word
     )"""
@@ -738,6 +906,107 @@ def tokenize_bpe(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_words"),
             F.sum("n_chars").cast("long").alias("n_char_tokens"),
+            F.sum("n_bpe").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
+_VOCAB_BPE_BYTES_ORACLE = (
+    _bpe_cte_chain(BPE_ROUNDS, _BPE_BYTES_SEQ0_SQL)
+    + "\n    SELECT * FROM ("
+    + "\n    UNION ALL ".join(
+        f"SELECT merge_round, a AS pair_a, b AS pair_b, merged, pair_count "
+        f"FROM m{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    + ") ORDER BY merge_round"
+)
+
+_TOKENIZE_BPE_BYTES_ORACLE = (
+    _bpe_cte_chain(BPE_ROUNDS, _BPE_BYTES_SEQ0_SQL)
+    + f""",
+    wt AS (
+        SELECT word, len(string_split(trim(seq), '  ')) AS n_bpe,
+               octet_length(encode(word)) AS n_bytes
+        FROM w{BPE_ROUNDS}
+    )
+    SELECT doc_id, count(*) AS n_words,
+           CAST(sum(n_bytes) AS BIGINT) AS n_byte_tokens,
+           CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents) dw
+    JOIN wt USING (word)
+    GROUP BY doc_id
+"""
+)
+
+
+@register("vocab_bpe_bytes", oracle=_VOCAB_BPE_BYTES_ORACLE)
+def vocab_bpe_bytes(spark, sf_dir):
+    """BYTE-level BPE trainer — the GPT-2-family tokenizer base (Radford
+    et al. 2019; vocab_bpe is the char-sequence Sennrich form): symbols
+    start as the word's UTF-8 BYTES (a closed 256-symbol base alphabet,
+    rendered as 2-char lowercase hex), so any unicode text is coverable
+    with zero OOV characters and a merged token is always a decodable
+    byte span. Same deterministic merge discipline as vocab_bpe:
+    BPE_ROUNDS rounds, most-frequent adjacent pair, ties lexicographic
+    on the hex symbols (integer counts + ASCII compare — bit-exact in
+    both engines), greedy-leftmost fusing via the space-delimited
+    replace layout (_bpe_seq0 invariants hold verbatim: hex symbols
+    contain no spaces). Output is the shippable merge table
+    (merge_round, pair_a, pair_b, merged, pair_count) over hex symbols.
+
+    Round-trip losslessness — unhex(concat(final symbols)) == the
+    original word's bytes, incl. multi-byte (zh) input — is pinned by a
+    property test (tests/test_properties.py); the fixture corpus is
+    all-ASCII, so the multi-byte case runs on synthetic text there.
+
+    Scale shape: identical to vocab_bpe — ONE corpus scan builds the
+    word-frequency table, each round is a vocabulary-sized pair count +
+    1-row collect; the hex rendering doubles symbol-string bytes but
+    nothing corpus-sized."""
+    merges = _bpe_train(spark, sf_dir, seq0=_bpe_seq0_bytes)
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, pair_a string, pair_b string, merged string, "
+        "pair_count long",
+    )
+
+
+@register("tokenize_bpe_bytes", oracle=_TOKENIZE_BPE_BYTES_ORACLE)
+def tokenize_bpe_bytes(spark, sf_dir):
+    """Encode with the learned BYTE-level BPE merges (vocab_bpe_bytes),
+    applied in learned order to every distinct word — merge priority,
+    not longest match — then broadcast-join per-word token counts back
+    to the exploded corpus. Per document: word count, pre-merge BYTE
+    token count (UTF-8 length — what a 256-alphabet tokenizer starts
+    from), and post-merge BPE token count. The byte twin of
+    tokenize_bpe; fertility here is tokens-per-BYTE, the number GPT-2-
+    style tokenizer evaluations actually report.
+
+    Scale shape: training reads the corpus once (_bpe_train); encoding
+    is a replace chain of BPE_ROUNDS literals over DISTINCT words (zero
+    Python) + one broadcast join — no corpus shuffle beyond the per-doc
+    rollup."""
+    merges = _bpe_train(spark, sf_dir, seq0=_bpe_seq0_bytes)
+    seq = _bpe_seq0_bytes(F.col("word"))
+    for _r, a, b, m, _c in merges:
+        seq = F.replace(seq, F.lit(f" {a}  {b} "), F.lit(f" {m} "))
+    wtok = _bpe_words(spark, sf_dir).select(
+        "word",
+        F.size(F.split(F.trim(seq), "  ")).alias("n_bpe"),
+        F.octet_length("word").alias("n_bytes"),
+    )
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        docs.join(F.broadcast(wtok), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_bytes").cast("long").alias("n_byte_tokens"),
             F.sum("n_bpe").cast("long").alias("n_bpe_tokens"),
         )
     )

@@ -2260,3 +2260,111 @@ class TestAbSrm:
             assert r["chi2_u"] == round(num * 1e6 / (2.0 * n))
         assert not rows["parity"]["srm_detected"]
         assert rows["mod10_lossy"]["srm_detected"]
+
+
+class TestPackBestfit:
+    def test_matches_python_bfd_replay(self, spark, sf_dir):
+        """Every bin must equal a from-scratch python best-fit-decreasing
+        replay per md5 shard: (n_tok DESC, doc_id) order, tightest
+        fitting bin (ties: lowest id), new bin on no fit."""
+        import hashlib
+        from collections import defaultdict
+
+        import duckdb
+
+        from data_transform_spark.pipeline.training import (
+            PACK_BUDGET,
+            PACK_SHARDS,
+        )
+
+        rows = duckdb.sql(
+            f"select doc_id, text from '{sf_dir}/documents.parquet'"
+        ).fetchall()
+        shards = defaultdict(list)
+        for doc_id, text in rows:
+            h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+            shards[h % PACK_SHARDS].append((doc_id, len(text.split(" "))))
+        want = {}
+        for shard, items in shards.items():
+            items.sort(key=lambda it: (-it[1], it[0]))
+            caps, used, ndocs = [], [], []
+            for _doc, length in items:
+                best = None
+                for j, c in enumerate(caps):
+                    if c >= length and (
+                        best is None or (c, j) < (caps[best], best)
+                    ):
+                        best = j
+                if best is None:
+                    caps.append(PACK_BUDGET - length)
+                    used.append(length)
+                    ndocs.append(1)
+                else:
+                    caps[best] -= length
+                    used[best] += length
+                    ndocs[best] += 1
+            for b, (u, n) in enumerate(zip(used, ndocs)):
+                want[(shard, b)] = (
+                    n,
+                    u,
+                    PACK_BUDGET - u,
+                    (2 * u * 1_000_000 + PACK_BUDGET) // (2 * PACK_BUDGET),
+                )
+        got = {
+            (r["shard"], r["bin_id"]): (
+                r["n_docs"], r["used_tokens"], r["waste"], r["util_u"]
+            )
+            for r in QUERIES["pack_bestfit"](spark, sf_dir).collect()
+        }
+        assert got == want
+
+    def test_utilization_beats_greedy_cumsum(self, spark, sf_dir):
+        """The reason best-fit-decreasing exists (r11 VERDICT #5): at the
+        same capacity it must need no more CAPACITY-RESPECTING bins than
+        arrival-order packing, i.e. mean fill >= a next-fit-in-doc_id-
+        order baseline replayed in python. (pack_sequences itself lets
+        straddling docs overflow, so its fill is not comparable; next-fit
+        is the honest capacity-respecting greedy baseline.) Also pins
+        capacity: no bin over budget unless it holds a single oversize
+        doc."""
+        import duckdb
+
+        from data_transform_spark.pipeline.training import PACK_BUDGET
+
+        rows = QUERIES["pack_bestfit"](spark, sf_dir).collect()
+        assert rows
+        total_used = sum(r["used_tokens"] for r in rows)
+        for r in rows:
+            assert r["used_tokens"] <= PACK_BUDGET or r["n_docs"] == 1
+            assert r["waste"] == PACK_BUDGET - r["used_tokens"]
+
+        import hashlib
+        from collections import defaultdict
+
+        from data_transform_spark.pipeline.training import PACK_SHARDS
+
+        pairs = duckdb.sql(
+            f"select doc_id, len(string_split(text, ' ')) from "
+            f"'{sf_dir}/documents.parquet' order by doc_id"
+        ).fetchall()
+        assert sum(n for _, n in pairs) == total_used  # every doc packed once
+        # next-fit baseline UNDER THE SAME SHARDING CONTRACT (comparing
+        # per-shard BFD against a global packer would charge BFD for the
+        # up-to-PACK_SHARDS partial tail bins that sharding, not the
+        # algorithm, creates)
+        by_shard = defaultdict(list)
+        for doc_id, n in pairs:
+            h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+            by_shard[h % PACK_SHARDS].append(n)
+        nf_bins = 0
+        for lens in by_shard.values():
+            bins, cur = 1, 0
+            for length in lens:
+                if cur + length > PACK_BUDGET and cur > 0:
+                    bins += 1
+                    cur = 0
+                cur += length
+            nf_bins += bins
+        assert len(rows) <= nf_bins, (
+            f"BFD used {len(rows)} bins, next-fit baseline {nf_bins}"
+        )
