@@ -280,6 +280,41 @@ def ann_tuning_curves(spark, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     )
 
 
+def mmr_over_ann(spark, sf_dir: str) -> DataFrame:
+    """MMR diversification over the shortlist from the STAGED ANN index
+    (r11 VERDICT #7): sim_ann_persist's artifact serves a top-MMR_CAND
+    candidate list per query (ADC scan + exact re-rank inside the
+    PQ shortlist, scores 6dp-rounded exactly like the exact path), and
+    the SAME integer greedy (_mmr_rerank) re-ranks it. The greedy is a
+    pure function of the shortlist, so wherever the ANN shortlist equals
+    the exact one, the diversified ranking is identical row-for-row —
+    pinned by tests/test_pipeline.py::TestMmrOverAnn. This is the 100 TB
+    serve shape: candidate generation from the staged index, diversity
+    logic unchanged."""
+    from pyspark.sql import functions as F
+
+    from data_transform_spark.io import load_table
+    from data_transform_spark.pipeline.retrieval import MMR_CAND, _mmr_rerank
+    from data_transform_spark.pipeline.similarity import (
+        _ivfpq_topk,
+        ivfpq_read_index,
+        ivfpq_stage_index,
+    )
+
+    staged = ivfpq_stage_index(spark, sf_dir)
+    cent, books, codes_l = ivfpq_read_index(spark, staged)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cand = _ivfpq_topk(e, cent, books, codes_l, k=MMR_CAND).select(
+        F.col("query_id").alias("qid"),
+        F.col("neighbor_id").alias("id"),
+        F.col("score").alias("rel"),
+        F.round(F.col("score") * 1000000).cast("long").alias("rel_u"),
+    )
+    return _mmr_rerank(e, cand)
+
+
 def holt_forecast(series: DataFrame, key: str = "event_type",
                   ts: str = "day_ts", value: str = "n") -> DataFrame:
     """Holt linear-trend smoothing + one-step forecast over any

@@ -410,11 +410,20 @@ def sim_mmr_diversify(spark, sf_dir):
     shortlist-sized frames (|Q| x {MMR_CAND}²), computed per query INSIDE
     a cogrouped applyInPandas — the sequential selection never touches
     the driver and parallelizes across queries."""
-    from data_transform_spark.pipeline.similarity import _cos
-
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
+    return _mmr_rerank(e, _mmr_exact_shortlist(e))
+
+
+def _mmr_exact_shortlist(e):
+    """The exact relevance shortlist: broadcast query panel (vec_id <
+    MMR_N_QUERIES), 6dp-rounded cosine, top-MMR_CAND per query —
+    (qid, id, rel, rel_u). Split from sim_mmr_diversify so the ANN serve
+    path can supply its own shortlist to the same greedy (r11 VERDICT
+    #7; see api.mmr_over_ann + the composition test)."""
+    from data_transform_spark.pipeline.similarity import _cos
+
     q = e.filter(F.col("vec_id") < MMR_N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("emb").alias("q_emb")
     )
@@ -428,7 +437,7 @@ def sim_mmr_diversify(spark, sf_dir):
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("rel").desc(), "id")
-    cand = (
+    return (
         rel0.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= MMR_CAND)
         .select(
@@ -436,6 +445,18 @@ def sim_mmr_diversify(spark, sf_dir):
             F.round(F.col("rel") * 1000000).cast("long").alias("rel_u"),
         )
     )
+
+
+def _mmr_rerank(e, cand):
+    """The MMR pairwise-sims + integer greedy over ANY (qid, id, rel_u)
+    shortlist frame — a PURE FUNCTION of the shortlist: identical
+    shortlists (same id sets, same rel_u) produce identical diversified
+    rankings whatever generator (exact scan or staged ANN serve)
+    produced them. That purity is what makes the exact→ANN candidate
+    swap a drop-in at 100 TB, and it is pinned by the composition test
+    (tests/test_pipeline.py::TestMmrOverAnn)."""
+    from data_transform_spark.pipeline.similarity import _cos
+
     # fresh column objects for the self-join (failAmbiguousSelfJoin trap)
     a = cand.select(F.col("qid").alias("qa"), F.col("id").alias("ia")).select(
         F.col("qa").alias("qid"), "ia"

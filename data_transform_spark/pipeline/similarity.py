@@ -914,7 +914,7 @@ def _ivfpq_index(e):
     return cent, assign, books, codes_l
 
 
-def _ivfpq_topk(e, cent, books, codes_l):
+def _ivfpq_topk(e, cent, books, codes_l, k: int | None = None):
     """IVF-PQ query path over an already-trained index: probe the
     IVFPQ_PROBES nearest coarse lists, ADC-scan ONLY those lists' codes
     via a per-(query, list) residual lookup table, exact-re-rank the
@@ -993,7 +993,7 @@ def _ivfpq_topk(e, cent, books, codes_l):
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
     return (
         rerank.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOPK)
+        .filter(F.col("rn") <= (k or TOPK))
         .select("query_id", "neighbor_id", "score")
     )
 
