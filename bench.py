@@ -147,10 +147,13 @@ OPTIONAL = [
 # instead of their numbers living only in SCALING.md. Cheapest first, so a
 # budget cut drops the most expensive key, not all three. Emitted LAST in
 # the JSON so the driver's 2000-char stdout tail always retains it.
+# Since the r12 staged-prefix change, the first capstone rep PAYS the
+# one-time prefix build (~25 s at sf0.1, amortized across v3+v4+v2 and
+# every later run this round); the serve path itself is ~5-10 s.
 TIER2 = [
-    "sim_ann_ivfpq",        # ~18 s: trains two quantizers + in-key recall check
-    "pipeline_e2e_llm_v3",  # ~40 s: 7-stage curation funnel, model gate
-    "pipeline_e2e_llm_v4",  # ~70 s: v3 + DSIR/gopher committee gate
+    "sim_ann_ivfpq",        # ~9-18 s: trains two quantizers + recall check
+    "pipeline_e2e_llm_v3",  # 7-stage curation funnel, model gate
+    "pipeline_e2e_llm_v4",  # v3 + NB/rules/DSIR committee gate
 ]
 
 
