@@ -1012,6 +1012,318 @@ def tokenize_bpe_bytes(spark, sf_dir):
     )
 
 
+# --- Unigram-LM tokenizer (SentencePiece; Kudo 2018, arXiv:1804.10959) ---
+# The hard-EM (Viterbi) form: seed vocabulary = the most frequent word
+# substrings, then alternate (a) Viterbi-segment every distinct word under
+# the current integer-micronat piece costs and (b) re-estimate costs from
+# the segmentation's usage counts, pruning to the top pieces (single
+# characters are never pruned, so every word stays segmentable). All
+# selection is integer: usage counts are exact, costs quantize via the
+# quality_nb micronat idiom floor((ln(T+V)-ln(u+1))*1e6+0.5) (python
+# math.log, Spark F.log and DuckDB ln are the same libm double on integer
+# arguments — bit-verified), and the Viterbi argmin minimizes the integer
+# composite (total_cost_u, n_pieces, path) where path is the
+# space-joined piece string — with ' ' sorting below every word char,
+# string order == piece-tuple order, and that tie-break is
+# prefix-extensible, so per-position DP equals the global argmin the
+# oracle computes by enumerating ALL segmentations.
+UNI_MAXLEN = 4  # max piece length considered
+UNI_SEED = 80  # seed vocabulary: top substrings by weighted count
+UNI_ROUNDS = 3  # hard-EM rounds (bounded — replayed by the oracle)
+UNI_KEEP = 40  # pieces kept per round (plus all single chars)
+
+
+def _uni_costs(usage: dict) -> dict:
+    """Laplace-smoothed integer-micronat piece costs from usage counts."""
+    import math
+
+    t, v = sum(usage.values()), len(usage)
+    return {
+        p: int(math.floor((math.log(t + v) - math.log(u + 1)) * 1e6 + 0.5))
+        for p, u in usage.items()
+    }
+
+
+def _uni_viterbi(word: str, cost: dict):
+    """(total_cost_u, n_pieces, path) of the best segmentation — DP over
+    positions keeping the per-position min of the integer composite;
+    equal-(cost,n) ties resolve to the lexicographically smallest
+    space-joined path, identically to the oracle's full enumeration."""
+    inf = (1 << 62, 0, "")
+    dp = [(0, 0, "")] + [inf] * len(word)
+    for i in range(1, len(word) + 1):
+        best = None
+        for length in range(1, min(UNI_MAXLEN, i) + 1):
+            p = word[i - length : i]
+            if p in cost and dp[i - length][0] < (1 << 62):
+                c = (
+                    dp[i - length][0] + cost[p],
+                    dp[i - length][1] + 1,
+                    (dp[i - length][2] + " " + p).lstrip(),
+                )
+                if best is None or c < best:
+                    best = c
+        dp[i] = best if best else inf
+    return dp[len(word)]
+
+
+def _uni_segment_frame(words, cost: dict):
+    """Distributed Viterbi over the distinct-word frame: (word, cnt,
+    path). The cost table rides in the closure (vocab-sized — the
+    tokenize_vocab broadcast contract)."""
+
+    def seg(batches, _cost=dict(cost)):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["path"] = [
+                _uni_viterbi(w, _cost)[2] for w in pdf["word"]
+            ]
+            yield pdf[["word", "cnt", "path"]]
+
+    return words.mapInPandas(seg, "word string, cnt long, path string")
+
+
+def _uni_train(spark, sf_dir):
+    """Run the seed + UNI_ROUNDS hard-EM rounds; returns (usage, cost)
+    dicts for the final vocabulary. Scale shape = the _bpe_train
+    contract: ONE corpus scan builds the word-frequency table
+    (localCheckpoint; vocabulary-sized from then on); each round is one
+    distributed segmentation pass + a vocab-sized usage aggregate whose
+    collect (<= UNI_SEED + alphabet rows) is the per-round driver sync —
+    the same bounded decision collect as BPE's 1-row merge pick."""
+    from data_transform_spark.operators.graph import (
+        _checkpoint_rdd_id,
+        _release_rdds,
+    )
+
+    words = _bpe_words(spark, sf_dir).localCheckpoint(eager=True)
+    rid = _checkpoint_rdd_id(words)
+    try:
+        pos = words.select(
+            "word", "cnt",
+            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i"),
+        )
+        sub = pos.select(
+            "cnt",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(
+                        F.lit(UNI_MAXLEN), F.length("word") - F.col("i") + 1
+                    ),
+                )
+            ).alias("L"),
+            "word",
+            "i",
+        ).select(
+            F.expr("substring(word, i, L)").alias("piece"), "cnt"
+        )
+        counts = sub.groupBy("piece").agg(
+            F.sum("cnt").cast("long").alias("c")
+        )
+        cand = counts.orderBy(F.col("c").desc(), "piece").limit(
+            UNI_SEED
+        ).collect()
+        char_rows = counts.filter(F.length("piece") == 1).collect()
+        chars = {r["piece"]: int(r["c"]) for r in char_rows}
+        vocab = {r["piece"]: int(r["c"]) for r in cand}
+        for p, c in chars.items():
+            vocab.setdefault(p, c)
+        cost = _uni_costs(vocab)
+        usage_final: dict = vocab
+        for _r in range(1, UNI_ROUNDS + 1):
+            seg = _uni_segment_frame(words, cost)
+            urows = (
+                seg.select(
+                    "cnt", F.explode(F.split("path", " ")).alias("piece")
+                )
+                .groupBy("piece")
+                .agg(F.sum("cnt").cast("long").alias("u"))
+                .collect()
+            )
+            usage = {r["piece"]: int(r["u"]) for r in urows}
+            keep = sorted(usage.items(), key=lambda kv: (-kv[1], kv[0]))[
+                :UNI_KEEP
+            ]
+            v = dict(keep)
+            for p in chars:
+                v.setdefault(p, usage.get(p, 0))
+            cost = _uni_costs(v)
+            usage_final = v
+        return usage_final, cost
+    finally:
+        if rid is not None:
+            _release_rdds(spark, {rid})
+
+
+def _uni_round_cte(r: int) -> str:
+    """One hard-EM round as DuckDB CTEs: enumerate ALL segmentations of
+    every word under the previous round's costs (a recursive CTE — path
+    counts are bounded by the tribonacci-like T(len) <= ~110 at the
+    fixture's max word length 8), pick each word's (cost, n, path)
+    minimum, aggregate usage, prune, re-cost. best/cost CTEs are
+    MATERIALIZED: without it DuckDB re-inlines the whole previous-round
+    chain into every recursion iteration of the next round (measured:
+    ~2 min -> 0.09 s at sf0.01)."""
+    return f""",
+    seg{r}(word, cnt, i, cost, n, path) AS (
+        SELECT word, cnt, 0, CAST(0 AS BIGINT), 0, ''
+        FROM w
+        UNION ALL
+        SELECT s.word, s.cnt, s.i + length(p.piece), s.cost + p.cost_u,
+               s.n + 1, s.path || ' ' || p.piece
+        FROM seg{r} s JOIN c{r - 1} p
+          ON s.i + length(p.piece) <= length(s.word)
+         AND substring(s.word, s.i + 1, length(p.piece)) = p.piece
+    ),
+    best{r} AS MATERIALIZED (
+        SELECT word, cnt, trim(path) AS path FROM seg{r}
+        WHERE i = length(word)
+        QUALIFY row_number() OVER (PARTITION BY word
+                                   ORDER BY cost, n, path) = 1
+    ),
+    use{r} AS (
+        SELECT piece, CAST(sum(cnt) AS BIGINT) AS u
+        FROM (SELECT cnt, unnest(string_split(path, ' ')) AS piece
+              FROM best{r})
+        GROUP BY piece
+    ),
+    keep{r} AS (SELECT piece, u FROM use{r}
+                ORDER BY u DESC, piece LIMIT {UNI_KEEP}),
+    v{r} AS (
+        SELECT piece, max(u) AS u FROM (
+            SELECT * FROM keep{r}
+            UNION ALL
+            SELECT ch.piece, coalesce(us.u, CAST(0 AS BIGINT)) AS u
+            FROM chars ch LEFT JOIN use{r} us USING (piece)
+        ) GROUP BY piece
+    ),
+    c{r} AS MATERIALIZED (
+        SELECT piece, u,
+               CAST(floor((ln(t.T + t.V) - ln(u + 1)) * 1000000 + 0.5)
+                    AS BIGINT) AS cost_u
+        FROM v{r}, (SELECT sum(u) AS T, count(*) AS V FROM v{r}) t)"""
+
+
+def _uni_cte_chain(rounds: int) -> str:
+    return (
+        f"""
+    WITH RECURSIVE w AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM
+        (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> '' GROUP BY word
+    ),
+    sub AS MATERIALIZED (
+        SELECT substring(word, i, L) AS piece, CAST(sum(cnt) AS BIGINT) AS c
+        FROM w,
+             unnest(generate_series(1, length(word))) AS t(i),
+             unnest(generate_series(1, least({UNI_MAXLEN},
+                                             length(word) - i + 1))) AS u2(L)
+        GROUP BY 1
+    ),
+    chars AS MATERIALIZED (SELECT piece, c FROM sub WHERE length(piece) = 1),
+    cand0 AS (SELECT piece, c FROM sub ORDER BY c DESC, piece
+              LIMIT {UNI_SEED}),
+    v0 AS (SELECT piece, max(c) AS u FROM
+           (SELECT * FROM cand0 UNION ALL SELECT * FROM chars)
+           GROUP BY piece),
+    c0 AS MATERIALIZED (
+        SELECT piece,
+               CAST(floor((ln(t.T + t.V) - ln(u + 1)) * 1000000 + 0.5)
+                    AS BIGINT) AS cost_u
+        FROM v0, (SELECT sum(u) AS T, count(*) AS V FROM v0) t)"""
+        + "".join(_uni_round_cte(r) for r in range(1, rounds + 1))
+    )
+
+
+@register(
+    "vocab_unigram_lm",
+    oracle=_uni_cte_chain(UNI_ROUNDS)
+    + f"\n    SELECT piece, u AS usage, cost_u FROM c{UNI_ROUNDS}",
+)
+def vocab_unigram_lm(spark, sf_dir):
+    """Unigram-LM tokenizer TRAINER (SentencePiece, Kudo 2018) in its
+    deterministic hard-EM form — the OTHER production tokenizer family
+    next to BPE (vocab_bpe/vocab_bpe_bytes): instead of growing merges
+    bottom-up, start from the most frequent substrings and alternately
+    Viterbi-segment the corpus under current piece costs and re-estimate
+    costs from usage, pruning losers (single chars are never pruned, so
+    coverage is total). Output: the final piece table (piece, usage,
+    cost_u) — usage counts from the last segmentation and the
+    integer-micronat costs a segmenter ships.
+
+    Exactness: see the block comment above the constants — integer
+    usage, micronat costs via the bit-verified libm-on-integers idiom,
+    Viterbi ties broken on the space-joined path (DP order ==
+    enumeration order, so Spark's per-position DP and the oracle's
+    full-enumeration recursive CTE select identical segmentations).
+
+    Scale shape: one corpus scan -> word-frequency table; each round is
+    a distributed segmentation pass over DISTINCT words + a vocab-sized
+    usage aggregate; driver sync per round is the <= (UNI_SEED+alphabet)
+    row usage collect (the _bpe_train bounded-decision contract).
+    Production SentencePiece likewise trains on a word-frequency table
+    (or a capped sample); serving is the same broadcast-vocab join as
+    tokenize_vocab."""
+    usage, cost = _uni_train(spark, sf_dir)
+    return spark.createDataFrame(
+        [(p, usage[p], cost[p]) for p in usage],
+        "piece string, usage long, cost_u long",
+    )
+
+
+@register(
+    "tokenize_unigram_lm",
+    oracle=_uni_cte_chain(UNI_ROUNDS + 1)
+    + f""",
+    wt AS (
+        SELECT word, len(string_split(path, ' ')) AS n_pieces,
+               length(word) AS n_chars
+        FROM best{UNI_ROUNDS + 1}
+    )
+    SELECT doc_id, count(*) AS n_words,
+           CAST(sum(n_chars) AS BIGINT) AS n_char_tokens,
+           CAST(sum(n_pieces) AS BIGINT) AS n_piece_tokens
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents) dw
+    JOIN wt USING (word)
+    GROUP BY doc_id
+""",
+)
+def tokenize_unigram_lm(spark, sf_dir):
+    """Encode with the trained unigram-LM: Viterbi-segment every DISTINCT
+    word under the final piece costs (one more round — the oracle's
+    round {UNI_ROUNDS}+1 recursion replays it), broadcast-join the
+    per-word piece counts back to the exploded corpus. Per document:
+    word count, char count, and unigram-LM piece count — directly
+    comparable against tokenize_bpe/tokenize_bpe_bytes on the same
+    corpus (the tokenizer-bakeoff the training family now supports).
+
+    Note the oracle's round {UNI_ROUNDS}+1 keep-table exists only to
+    reuse the round template; only its best-segmentation CTE feeds the
+    output, so the key's vocabulary IS vocab_unigram_lm's."""
+    _usage, cost = _uni_train(spark, sf_dir)
+    words = _bpe_words(spark, sf_dir)
+    wt = _uni_segment_frame(words, cost).select(
+        "word",
+        F.size(F.split("path", " ")).alias("n_pieces"),
+        F.length("word").alias("n_chars"),
+    )
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        docs.join(F.broadcast(wt), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_chars").cast("long").alias("n_char_tokens"),
+            F.sum("n_pieces").cast("long").alias("n_piece_tokens"),
+        )
+    )
+
+
 @register(
     "bpe_fertility",
     oracle=_bpe_cte_chain(BPE_ROUNDS) + f""",

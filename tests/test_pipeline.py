@@ -2460,3 +2460,113 @@ class TestMmrOverAnn:
             simmod.IVFPQ_PROBES = old_probes
         overlaps = [len(exact_sl[q] & ann_sl.get(q, set())) for q in exact_sl]
         assert min(overlaps) >= 8, f"ANN shortlist quality collapsed: {overlaps}"
+
+
+class TestUnigramLm:
+    def _reference(self, sf_dir):
+        """From-the-paper python hard-EM unigram LM (Kudo 2018): seed =
+        top substrings, rounds of Viterbi + re-cost + prune."""
+        import math
+        from collections import Counter
+
+        import duckdb
+
+        from data_transform_spark.pipeline.training import (
+            UNI_KEEP,
+            UNI_MAXLEN,
+            UNI_ROUNDS,
+            UNI_SEED,
+            _uni_viterbi,
+        )
+
+        rows = duckdb.sql(
+            f"select text from '{sf_dir}/documents.parquet'"
+        ).fetchall()
+        wc = Counter(w for (t,) in rows for w in t.split(" ") if w)
+        sub = Counter()
+        for w, c in wc.items():
+            for i in range(len(w)):
+                for ln in range(1, min(UNI_MAXLEN, len(w) - i) + 1):
+                    sub[w[i : i + ln]] += c
+
+        def costs_of(usage):
+            t, v = sum(usage.values()), len(usage)
+            return {
+                p: int(
+                    math.floor(
+                        (math.log(t + v) - math.log(u + 1)) * 1e6 + 0.5
+                    )
+                )
+                for p, u in usage.items()
+            }
+
+        cand = sorted(sub.items(), key=lambda kv: (-kv[1], kv[0]))[:UNI_SEED]
+        chars = {p for p in sub if len(p) == 1}
+        vocab = dict(cand)
+        for ch in chars:
+            vocab.setdefault(ch, sub[ch])
+        cost = costs_of(vocab)
+        v = vocab
+        for _r in range(UNI_ROUNDS):
+            usage = Counter()
+            for w, c in wc.items():
+                _, _, path = _uni_viterbi(w, cost)
+                for p in path.split(" "):
+                    usage[p] += c
+            v = dict(
+                sorted(usage.items(), key=lambda kv: (-kv[1], kv[0]))[
+                    :UNI_KEEP
+                ]
+            )
+            for ch in chars:
+                v.setdefault(ch, usage.get(ch, 0))
+            cost = costs_of(v)
+        return wc, v, cost
+
+    def test_vocab_matches_python_replay(self, spark, sf_dir):
+        wc, v, cost = self._reference(sf_dir)
+        got = {
+            r["piece"]: (r["usage"], r["cost_u"])
+            for r in QUERIES["vocab_unigram_lm"](spark, sf_dir).collect()
+        }
+        assert got == {p: (u, cost[p]) for p, u in v.items()}
+
+    def test_tokenize_round_trips_and_compresses(self, spark, sf_dir):
+        """Every word's Viterbi path must concatenate back to the word
+        (losslessness), the final vocab must keep multi-char pieces, and
+        the corpus piece count must be strictly below the char count
+        (the compression that justifies a trained tokenizer) while
+        being >= the word count (every word >= 1 piece)."""
+        from data_transform_spark.pipeline.training import _uni_viterbi
+
+        wc, v, cost = self._reference(sf_dir)
+        assert any(len(p) > 1 for p in v), "no multi-char piece survived"
+        for w in wc:
+            _, n, path = _uni_viterbi(w, cost)
+            assert path.replace(" ", "") == w
+            assert n == len(path.split(" "))
+        rows = QUERIES["tokenize_unigram_lm"](spark, sf_dir).collect()
+        assert rows
+        exp = {}
+        for r in rows:
+            assert r["n_words"] <= r["n_piece_tokens"] < r["n_char_tokens"]
+        # per-doc counts equal a direct python segmentation of the doc
+        import duckdb
+
+        drows = duckdb.sql(
+            f"select doc_id, text from '{sf_dir}/documents.parquet'"
+        ).fetchall()
+        for doc_id, text in drows:
+            words = [w for w in text.split(" ") if w]
+            exp[doc_id] = (
+                len(words),
+                sum(len(w) for w in words),
+                sum(_uni_viterbi(w, cost)[1] for w in words),
+            )
+        got = {
+            r["doc_id"]: (
+                r["n_words"], r["n_char_tokens"], r["n_piece_tokens"]
+            )
+            for r in rows
+        }
+        assert got == exp
