@@ -781,21 +781,29 @@ def _bpe_train(spark, sf_dir, rounds: int = BPE_ROUNDS, seq0=None):
     return merges
 
 
-def _bpe_cte_chain(rounds: int, seq0_sql: str | None = None) -> str:
+def _bpe_cte_chain(
+    rounds: int,
+    seq0_sql: str | None = None,
+    ns: str = "",
+    materialized: bool = False,
+) -> str:
     """The DuckDB replay of _bpe_train: w0 = symbol sequences (chars by
     default; pass seq0_sql for the byte-level alphabet), then per round
     (pair counts -> top-1 merge -> replace) as chained CTEs — the
     ml_kmeans_1d bounded-unroll pattern. Validated against a canonical
     python BPE implementation (greedy leftmost, ties lexicographic) in
-    tests/test_properties.py."""
+    tests/test_properties.py. ``ns`` prefixes every CTE name so several
+    chains can compose into ONE query (tokenize_bakeoff); default ""
+    keeps the standalone oracles byte-identical."""
     seq0_sql = seq0_sql or (
         "' ' || array_to_string("
         "list_transform(generate_series(1, length(word)), "
         "i -> substring(word, i, 1)), '  ') || ' '"
     )
+    mat = " MATERIALIZED" if materialized else ""
     parts = [
         f"""
-    WITH w0 AS (
+    WITH {ns}w0 AS{mat} (
         SELECT word, count(*) AS cnt,
                {seq0_sql} AS seq
         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
@@ -804,22 +812,23 @@ def _bpe_cte_chain(rounds: int, seq0_sql: str | None = None) -> str:
     ]
     for r in range(1, rounds + 1):
         parts.append(f""",
-    p{r} AS (
+    {ns}p{r} AS (
         SELECT s[i] AS a, s[i + 1] AS b, sum(cnt) AS pc
-        FROM (SELECT cnt, string_split(trim(seq), '  ') AS s FROM w{r - 1}),
+        FROM (SELECT cnt, string_split(trim(seq), '  ') AS s
+              FROM {ns}w{r - 1}),
              unnest(generate_series(1, len(s) - 1)) AS t(i)
         GROUP BY 1, 2
     ),
-    m{r} AS (
+    {ns}m{r} AS{mat} (
         SELECT CAST({r} AS INTEGER) AS merge_round, a, b, a || b AS merged,
                CAST(pc AS BIGINT) AS pair_count
-        FROM p{r} ORDER BY pc DESC, a, b LIMIT 1
+        FROM {ns}p{r} ORDER BY pc DESC, a, b LIMIT 1
     ),
-    w{r} AS (
+    {ns}w{r} AS{mat} (
         SELECT word, cnt,
                replace(seq, ' ' || a || '  ' || b || ' ',
                        ' ' || merged || ' ') AS seq
-        FROM w{r - 1}, m{r}
+        FROM {ns}w{r - 1}, {ns}m{r}
     )"""
         )
     return "".join(parts)
@@ -1156,7 +1165,7 @@ def _uni_train(spark, sf_dir):
             _release_rdds(spark, {rid})
 
 
-def _uni_round_cte(r: int) -> str:
+def _uni_round_cte(r: int, ns: str = "") -> str:
     """One hard-EM round as DuckDB CTEs: enumerate ALL segmentations of
     every word under the previous round's costs (a recursive CTE — path
     counts are bounded by the tribonacci-like T(len) <= ~110 at the
@@ -1166,73 +1175,73 @@ def _uni_round_cte(r: int) -> str:
     chain into every recursion iteration of the next round (measured:
     ~2 min -> 0.09 s at sf0.01)."""
     return f""",
-    seg{r}(word, cnt, i, cost, n, path) AS (
+    {ns}seg{r}(word, cnt, i, cost, n, path) AS (
         SELECT word, cnt, 0, CAST(0 AS BIGINT), 0, ''
-        FROM w
+        FROM {ns}w
         UNION ALL
         SELECT s.word, s.cnt, s.i + length(p.piece), s.cost + p.cost_u,
                s.n + 1, s.path || ' ' || p.piece
-        FROM seg{r} s JOIN c{r - 1} p
+        FROM {ns}seg{r} s JOIN {ns}c{r - 1} p
           ON s.i + length(p.piece) <= length(s.word)
          AND substring(s.word, s.i + 1, length(p.piece)) = p.piece
     ),
-    best{r} AS MATERIALIZED (
-        SELECT word, cnt, trim(path) AS path FROM seg{r}
+    {ns}best{r} AS MATERIALIZED (
+        SELECT word, cnt, trim(path) AS path FROM {ns}seg{r}
         WHERE i = length(word)
         QUALIFY row_number() OVER (PARTITION BY word
                                    ORDER BY cost, n, path) = 1
     ),
-    use{r} AS (
+    {ns}use{r} AS (
         SELECT piece, CAST(sum(cnt) AS BIGINT) AS u
         FROM (SELECT cnt, unnest(string_split(path, ' ')) AS piece
-              FROM best{r})
+              FROM {ns}best{r})
         GROUP BY piece
     ),
-    keep{r} AS (SELECT piece, u FROM use{r}
+    {ns}keep{r} AS (SELECT piece, u FROM {ns}use{r}
                 ORDER BY u DESC, piece LIMIT {UNI_KEEP}),
-    v{r} AS (
+    {ns}v{r} AS (
         SELECT piece, max(u) AS u FROM (
-            SELECT * FROM keep{r}
+            SELECT * FROM {ns}keep{r}
             UNION ALL
             SELECT ch.piece, coalesce(us.u, CAST(0 AS BIGINT)) AS u
-            FROM chars ch LEFT JOIN use{r} us USING (piece)
+            FROM {ns}chars ch LEFT JOIN {ns}use{r} us USING (piece)
         ) GROUP BY piece
     ),
-    c{r} AS MATERIALIZED (
+    {ns}c{r} AS MATERIALIZED (
         SELECT piece, u,
                CAST(floor((ln(t.T + t.V) - ln(u + 1)) * 1000000 + 0.5)
                     AS BIGINT) AS cost_u
-        FROM v{r}, (SELECT sum(u) AS T, count(*) AS V FROM v{r}) t)"""
+        FROM {ns}v{r}, (SELECT sum(u) AS T, count(*) AS V FROM {ns}v{r}) t)"""
 
 
-def _uni_cte_chain(rounds: int) -> str:
+def _uni_cte_chain(rounds: int, ns: str = "") -> str:
     return (
         f"""
-    WITH RECURSIVE w AS MATERIALIZED (
+    WITH RECURSIVE {ns}w AS MATERIALIZED (
         SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM
         (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         WHERE word <> '' GROUP BY word
     ),
-    sub AS MATERIALIZED (
+    {ns}sub AS MATERIALIZED (
         SELECT substring(word, i, L) AS piece, CAST(sum(cnt) AS BIGINT) AS c
-        FROM w,
+        FROM {ns}w,
              unnest(generate_series(1, length(word))) AS t(i),
              unnest(generate_series(1, least({UNI_MAXLEN},
                                              length(word) - i + 1))) AS u2(L)
         GROUP BY 1
     ),
-    chars AS MATERIALIZED (SELECT piece, c FROM sub WHERE length(piece) = 1),
-    cand0 AS (SELECT piece, c FROM sub ORDER BY c DESC, piece
+    {ns}chars AS MATERIALIZED (SELECT piece, c FROM {ns}sub WHERE length(piece) = 1),
+    {ns}cand0 AS (SELECT piece, c FROM {ns}sub ORDER BY c DESC, piece
               LIMIT {UNI_SEED}),
-    v0 AS (SELECT piece, max(c) AS u FROM
-           (SELECT * FROM cand0 UNION ALL SELECT * FROM chars)
+    {ns}v0 AS (SELECT piece, max(c) AS u FROM
+           (SELECT * FROM {ns}cand0 UNION ALL SELECT * FROM {ns}chars)
            GROUP BY piece),
-    c0 AS MATERIALIZED (
+    {ns}c0 AS MATERIALIZED (
         SELECT piece,
                CAST(floor((ln(t.T + t.V) - ln(u + 1)) * 1000000 + 0.5)
                     AS BIGINT) AS cost_u
-        FROM v0, (SELECT sum(u) AS T, count(*) AS V FROM v0) t)"""
-        + "".join(_uni_round_cte(r) for r in range(1, rounds + 1))
+        FROM {ns}v0, (SELECT sum(u) AS T, count(*) AS V FROM {ns}v0) t)"""
+        + "".join(_uni_round_cte(r, ns) for r in range(1, rounds + 1))
     )
 
 
@@ -1321,6 +1330,138 @@ def tokenize_unigram_lm(spark, sf_dir):
             F.sum("n_chars").cast("long").alias("n_char_tokens"),
             F.sum("n_pieces").cast("long").alias("n_piece_tokens"),
         )
+    )
+
+
+def _bakeoff_oracle() -> str:
+    """Compose the char-BPE, byte-BPE and unigram-LM oracle chains into
+    ONE query (namespaces: default / y / u — the quality_ensemble
+    member-composition pattern applied to tokenizers), then join the
+    three final per-word segmentations and roll up corpus totals."""
+    char_chain = (
+        _bpe_cte_chain(BPE_ROUNDS, materialized=True)
+        .lstrip()
+        .removeprefix("WITH ")
+    )
+    byte_chain = (
+        _bpe_cte_chain(BPE_ROUNDS, _BPE_BYTES_SEQ0_SQL, ns="y",
+                       materialized=True)
+        .lstrip()
+        .removeprefix("WITH ")
+    )
+    uni_chain = (
+        _uni_cte_chain(UNI_ROUNDS + 1, ns="u")
+        .lstrip()
+        .removeprefix("WITH RECURSIVE ")
+    )
+    return f"""
+    WITH RECURSIVE {char_chain},
+    {byte_chain},
+    {uni_chain},
+    tot AS (
+        SELECT CAST(sum(c.cnt) AS BIGINT) AS nw,
+               CAST(sum(c.cnt * length(c.word)) AS BIGINT) AS nc,
+               CAST(sum(c.cnt * len(string_split(trim(c.seq), '  ')))
+                    AS BIGINT) AS t_bpe,
+               CAST(sum(c.cnt * len(string_split(trim(b.seq), '  ')))
+                    AS BIGINT) AS t_bytes,
+               CAST(sum(c.cnt * len(string_split(g.path, ' ')))
+                    AS BIGINT) AS t_uni
+        FROM w{BPE_ROUNDS} c
+        JOIN yw{BPE_ROUNDS} b USING (word)
+        JOIN ubest{UNI_ROUNDS + 1} g USING (word)
+    )
+    SELECT family, n_tokens,
+           CAST(floor((2 * n_tokens * 1000000 + nw) / (2.0 * nw))
+                AS BIGINT) AS per_word_u,
+           CAST(floor((2 * n_tokens * 1000000 + nc) / (2.0 * nc))
+                AS BIGINT) AS per_char_u
+    FROM (
+        SELECT 'whitespace' AS family, nw AS n_tokens, nw, nc FROM tot
+        UNION ALL SELECT 'char', nc, nw, nc FROM tot
+        UNION ALL SELECT 'bpe', t_bpe, nw, nc FROM tot
+        UNION ALL SELECT 'bpe_bytes', t_bytes, nw, nc FROM tot
+        UNION ALL SELECT 'unigram_lm', t_uni, nw, nc FROM tot
+    )
+    """
+
+
+@register("tokenize_bakeoff", oracle=_bakeoff_oracle())
+def tokenize_bakeoff(spark, sf_dir):
+    """The tokenizer BAKEOFF — the measure-before-you-trust rung for the
+    tokenizer family (what sim_ann_recall_curve is for ANN): train all
+    three learned tokenizers on the same corpus (char BPE, byte BPE,
+    unigram LM — their exact registered trainers, shared code) and
+    report corpus-level fertility side by side: total tokens,
+    tokens-per-word and tokens-per-char in round-half-up micro-units,
+    with 'whitespace' (words) and 'char' (characters) as the bracketing
+    baselines. per_char_u of the 'char' row is exactly 1e6 — a built-in
+    self-check; every learned family must land strictly between the
+    brackets. This is the table a pipeline owner reads before picking
+    the tokenizer for a 100 TB run.
+
+    Scale: the three trainers share the one-scan word-frequency
+    contract; the rollup is a vocabulary-sized 3-way join. Oracle: the
+    three oracle chains composed into one query under CTE namespaces
+    (default/y/u), totals from the joined final segmentations."""
+    merges_c = _bpe_train(spark, sf_dir)
+    merges_b = _bpe_train(spark, sf_dir, seq0=_bpe_seq0_bytes)
+    _usage, cost = _uni_train(spark, sf_dir)
+
+    seq_c = _bpe_seq0(F.col("word"))
+    for _r, a, b, m, _c in merges_c:
+        seq_c = F.replace(seq_c, F.lit(f" {a}  {b} "), F.lit(f" {m} "))
+    seq_b = _bpe_seq0_bytes(F.col("word"))
+    for _r, a, b, m, _c in merges_b:
+        seq_b = F.replace(seq_b, F.lit(f" {a}  {b} "), F.lit(f" {m} "))
+
+    words = _bpe_words(spark, sf_dir)
+    per = _uni_segment_frame(words, cost).select(
+        "word",
+        "cnt",
+        F.size(F.split("path", " ")).alias("t_uni_w"),
+    ).join(
+        words.select(
+            "word",
+            F.length("word").alias("nch_w"),
+            F.size(F.split(F.trim(seq_c), "  ")).alias("t_bpe_w"),
+            F.size(F.split(F.trim(seq_b), "  ")).alias("t_bytes_w"),
+        ),
+        "word",
+    )
+    tot = per.agg(
+        F.sum("cnt").cast("long").alias("nw"),
+        F.sum(F.col("cnt") * F.col("nch_w")).cast("long").alias("nc"),
+        F.sum(F.col("cnt") * F.col("t_bpe_w")).cast("long").alias("t_bpe"),
+        F.sum(F.col("cnt") * F.col("t_bytes_w")).cast("long").alias("t_bytes"),
+        F.sum(F.col("cnt") * F.col("t_uni_w")).cast("long").alias("t_uni"),
+    )
+    fam = tot.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("whitespace").alias("family"),
+                         F.col("nw").alias("n_tokens")),
+                F.struct(F.lit("char").alias("family"),
+                         F.col("nc").alias("n_tokens")),
+                F.struct(F.lit("bpe").alias("family"),
+                         F.col("t_bpe").alias("n_tokens")),
+                F.struct(F.lit("bpe_bytes").alias("family"),
+                         F.col("t_bytes").alias("n_tokens")),
+                F.struct(F.lit("unigram_lm").alias("family"),
+                         F.col("t_uni").alias("n_tokens")),
+            )
+        ).alias("f"),
+        "nw",
+        "nc",
+    )
+    ratio = lambda tok, den: F.floor(  # noqa: E731 — the shared half-up idiom
+        (2 * tok * F.lit(1_000_000) + den) / (2.0 * den)
+    ).cast("long")
+    return fam.select(
+        F.col("f.family").alias("family"),
+        F.col("f.n_tokens").alias("n_tokens"),
+        ratio(F.col("f.n_tokens"), F.col("nw")).alias("per_word_u"),
+        ratio(F.col("f.n_tokens"), F.col("nc")).alias("per_char_u"),
     )
 
 

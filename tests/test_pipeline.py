@@ -2570,3 +2570,37 @@ class TestUnigramLm:
             for r in rows
         }
         assert got == exp
+
+
+class TestTokenizeBakeoff:
+    def test_brackets_selfcheck_and_member_consistency(self, spark, sf_dir):
+        """The bakeoff table must bracket correctly ('char' per_char_u is
+        exactly 1e6 — the built-in self-check; every learned family lands
+        strictly between the whitespace and char rows), and each learned
+        family's total must equal the SUM of its member key's per-doc
+        counts (bpe/bpe_bytes/unigram_lm tokenizers are the registered
+        trainers, shared code — the totals must be consistent)."""
+        rows = {
+            r["family"]: r
+            for r in QUERIES["tokenize_bakeoff"](spark, sf_dir).collect()
+        }
+        assert set(rows) == {
+            "whitespace", "char", "bpe", "bpe_bytes", "unigram_lm"
+        }
+        assert rows["char"]["per_char_u"] == 1_000_000
+        assert rows["whitespace"]["per_word_u"] == 1_000_000
+        nw = rows["whitespace"]["n_tokens"]
+        nc = rows["char"]["n_tokens"]
+        for fam in ("bpe", "bpe_bytes", "unigram_lm"):
+            assert nw < rows[fam]["n_tokens"] < nc, fam
+
+        members = {
+            "bpe": ("tokenize_bpe", "n_bpe_tokens"),
+            "bpe_bytes": ("tokenize_bpe_bytes", "n_bpe_tokens"),
+            "unigram_lm": ("tokenize_unigram_lm", "n_piece_tokens"),
+        }
+        for fam, (key, col) in members.items():
+            total = sum(
+                r[col] for r in QUERIES[key](spark, sf_dir).collect()
+            )
+            assert rows[fam]["n_tokens"] == total, (fam, total)
