@@ -2604,3 +2604,93 @@ class TestTokenizeBakeoff:
                 r[col] for r in QUERIES[key](spark, sf_dir).collect()
             )
             assert rows[fam]["n_tokens"] == total, (fam, total)
+
+
+class TestHoltWinters:
+    def test_matches_python_replay_and_structure(self, spark, sf_dir):
+        """Every row must equal a from-scratch python replay of the
+        additive Holt-Winters recursion (dow-mean seasonal init, integer
+        micro-unit updates); exactly HW_PERIOD warmup rows per series;
+        post-warmup seasonal state stays bounded by the data range."""
+        from collections import defaultdict
+
+        import duckdb
+
+        from data_transform_spark.operators.timeseries import (
+            HOLT_ALPHA_NUM,
+            HOLT_BETA_NUM,
+            HW_GAMMA_NUM,
+            HW_PERIOD,
+        )
+
+        daily = defaultdict(list)
+        for et, d, n in duckdb.sql(
+            f"""SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP),
+                       count(*) FROM '{sf_dir}/events.parquet'
+                GROUP BY 1, 2 ORDER BY 1, 2"""
+        ).fetchall():
+            daily[et].append((d, n))
+        want = {}
+        m, an, bn, gn = HW_PERIOD, HOLT_ALPHA_NUM, HOLT_BETA_NUM, HW_GAMMA_NUM
+        for et, pts in daily.items():
+            xs = [n for _, n in pts]
+            if len(xs) <= m:
+                continue
+            l = (2 * sum(xs[:m]) * 1_000_000 + m) // (2 * m)
+            b = 0
+            g = (2 * sum(xs) * 1_000_000 + len(xs)) // (2 * len(xs))
+            s = []
+            for i in range(m):
+                occ = [x for t, x in enumerate(xs, 1) if (t - 1) % m == i]
+                s.append(
+                    (2 * sum(occ) * 1_000_000 + len(occ)) // (2 * len(occ))
+                    - g
+                )
+            for t, (d, x) in enumerate(pts, start=1):
+                if t <= m:
+                    want[(et, d)] = (x, l, 0, s[(t - 1) % m], 0, True)
+                    continue
+                slot = (t - 1) % m
+                sv = s[slot]
+                fit = l + b + sv
+                l2 = (an * (x * 1_000_000 - sv) + (10 - an) * (l + b) + 5) // 10
+                b = (bn * (l2 - l) + (10 - bn) * b + 5) // 10
+                s[slot] = (gn * (x * 1_000_000 - l2) + (10 - gn) * sv + 5) // 10
+                l = l2
+                want[(et, d)] = (x, l, b, s[slot], fit, False)
+        got = {
+            (r["event_type"], r["day_ts"]): (
+                r["n"], r["level_u"], r["trend_u"], r["season_u"],
+                r["fitted_u"], r["warmup"],
+            )
+            for r in QUERIES["ts_holt_winters"](spark, sf_dir).collect()
+        }
+        assert got == want
+        warm_per = defaultdict(int)
+        for (et, _d), v in got.items():
+            warm_per[et] += v[5]
+        assert all(v == HW_PERIOD for v in warm_per.values())
+
+    def test_short_series_omitted(self, spark, tmp_path):
+        """A series with <= one week of active days has no seasonal
+        cycle to fit — omitted, like the backtest omission rule."""
+        import datetime
+
+        base = datetime.datetime(2024, 1, 1, 12)
+        rows = [
+            (i, base + datetime.timedelta(days=i), 1, "short", 1.0, "{}")
+            for i in range(7)
+        ]
+        rows += [
+            (100 + i, base + datetime.timedelta(days=i), 2, "long", 1.0, "{}")
+            for i in range(9)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+        got = QUERIES["ts_holt_winters"](spark, str(tmp_path)).collect()
+        types = {r["event_type"] for r in got}
+        assert types == {"long"}
+        assert sum(1 for r in got if not r["warmup"]) == 2
