@@ -859,10 +859,12 @@ _HW_S2V = (
 )
 
 
-@register(
-    "ts_holt_winters",
-    oracle=f"""
-    WITH RECURSIVE counts AS (
+def _hw_rec_ctes() -> str:
+    """The shared Holt-Winters CTE block (daily counts -> series ->
+    dow-mean init -> seasonal-list recursion), used by the
+    ts_holt_winters oracle and composed into the model-selection
+    backtest oracle (events_forecast_model_select)."""
+    return f"""counts AS (
         SELECT event_type,
                CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
                CAST(count(*) AS BIGINT) AS n
@@ -915,8 +917,13 @@ _HW_S2V = (
                r.l + r.b + {_HW_SV}
         FROM rec r
         JOIN series i ON i.event_type = r.event_type AND i.t = r.t + 1
-    )
-    SELECT s.event_type, s.day_ts, s.n,
+    )"""
+
+
+@register(
+    "ts_holt_winters",
+    oracle=f"""
+    WITH RECURSIVE {_hw_rec_ctes()}    SELECT s.event_type, s.day_ts, s.n,
            i.l0 AS level_u, CAST(0 AS BIGINT) AS trend_u,
            i.s[((s.t - 1) % 7) + 1] AS season_u,
            CAST(0 AS BIGINT) AS fitted_u, true AS warmup
@@ -1025,4 +1032,166 @@ def ts_holt_winters(spark, sf_dir):
         hw,
         "event_type string, day_ts timestamp, n long, level_u long, "
         "trend_u long, season_u long, fitted_u long, warmup boolean",
+    )
+
+
+@register(
+    "events_forecast_model_select",
+    oracle=f"""
+    WITH RECURSIVE {{_hw}},
+    hrec(event_type, t, n, l, b) AS (
+        SELECT event_type, t, n, n * 1000000, CAST(0 AS BIGINT)
+        FROM series WHERE t = 1 AND n_days > {HW_PERIOD}
+        UNION ALL
+        SELECT s.event_type, s.t, s.n,
+               CAST(floor(({HOLT_ALPHA_NUM} * s.n * 1000000
+                           + {10 - HOLT_ALPHA_NUM} * (r.l + r.b) + 5)
+                          / 10) AS BIGINT),
+               CAST(floor((({HOLT_BETA_NUM}) *
+                           (CAST(floor(({HOLT_ALPHA_NUM} * s.n * 1000000
+                                        + {10 - HOLT_ALPHA_NUM} * (r.l + r.b)
+                                        + 5) / 10) AS BIGINT) - r.l)
+                           + {10 - HOLT_BETA_NUM} * r.b + 5)
+                          / 10) AS BIGINT)
+        FROM hrec r
+        JOIN series s ON s.event_type = r.event_type AND s.t = r.t + 1
+    ),
+    lagn AS (
+        SELECT event_type, t,
+               lag(n) OVER (PARTITION BY event_type ORDER BY t) AS prev
+        FROM series
+    ),
+    ev AS (
+        SELECT r.event_type,
+               abs(r.n * 1000000 - r.fitted) AS e_hw,
+               abs(r.n * 1000000 - (h.l + h.b)) AS e_holt,
+               abs(r.n * 1000000 - g.prev * 1000000) AS e_naive
+        FROM rec r
+        JOIN hrec h ON h.event_type = r.event_type AND h.t = r.t - 1
+        JOIN lagn g ON g.event_type = r.event_type AND g.t = r.t
+        WHERE r.t > {HW_PERIOD}
+    ),
+    agg AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_evals,
+               CAST(floor((2 * sum(e_naive) + count(*))
+                          / (2.0 * count(*))) AS BIGINT) AS mae_naive_u,
+               CAST(floor((2 * sum(e_holt) + count(*))
+                          / (2.0 * count(*))) AS BIGINT) AS mae_holt_u,
+               CAST(floor((2 * sum(e_hw) + count(*))
+                          / (2.0 * count(*))) AS BIGINT) AS mae_hw_u
+        FROM ev GROUP BY event_type
+    )
+    SELECT event_type, n_evals, mae_naive_u, mae_holt_u, mae_hw_u,
+           CASE WHEN mae_naive_u <= mae_holt_u
+                     AND mae_naive_u <= mae_hw_u THEN 'naive'
+                WHEN mae_holt_u <= mae_hw_u THEN 'holt'
+                ELSE 'holt_winters' END AS winner
+    FROM agg
+    """.replace(
+        # the f-string above renders {{_hw}} to this placeholder; splice
+        # the shared Holt-Winters CTE block (series/init/rec) in its place
+        "{_hw}",
+        _hw_rec_ctes(),
+    ),
+)
+def events_forecast_model_select(spark, sf_dir):
+    """Forecast MODEL SELECTION — the decision table the forecasting
+    family now supports: for every event_type, replay all three
+    registered forecasters (persistence/naive, ts_holt_linear, and
+    ts_holt_winters with the dow-mean init) over the SAME evaluation
+    window (post-HW-warmup days, so the comparison is fair to the model
+    that needs a week of init) and report each model's one-step MAE plus
+    the per-series winner — ties prefer the SIMPLER model (naive ≺ holt
+    ≺ holt_winters), the parsimony rule. events_forecast_backtest asks
+    'does Holt beat persistence?'; this asks 'which registered model
+    should THIS series use?', which is the question a pipeline owner
+    actually has.
+
+    Exactness: the three recursions are the registered keys' integer
+    micro-unit forms verbatim (shared constants; the HW CTE block is
+    composed from _hw_rec_ctes, the Holt recursion from the
+    ts_holt_linear oracle); MAEs are ⌊(2s+n)/(2n)⌋ half-up means; the
+    winner CASE compares the already-quantized integer MAEs. Spark: one
+    applyInPandas per series running all three recursions in a single
+    pass; scale axis = #series."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day_ts")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def select(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day_ts").reset_index(drop=True)
+        m = HW_PERIOD
+        an, bn, gn = HOLT_ALPHA_NUM, HOLT_BETA_NUM, HW_GAMMA_NUM
+        xs = [int(v) for v in pdf["n"]]
+        if len(xs) <= m:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series(dtype=object),
+                    "n_evals": pd.Series(dtype="int64"),
+                    "mae_naive_u": pd.Series(dtype="int64"),
+                    "mae_holt_u": pd.Series(dtype="int64"),
+                    "mae_hw_u": pd.Series(dtype="int64"),
+                    "winner": pd.Series(dtype=object),
+                }
+            )
+        # holt state (from t=1), hw state (init over full series)
+        hl, hb = xs[0] * 1_000_000, 0
+        wl = (2 * sum(xs[:m]) * 1_000_000 + m) // (2 * m)
+        wb = 0
+        g = (2 * sum(xs) * 1_000_000 + len(xs)) // (2 * len(xs))
+        s = []
+        for i in range(m):
+            occ = [x for t, x in enumerate(xs, 1) if (t - 1) % m == i]
+            s.append(
+                (2 * sum(occ) * 1_000_000 + len(occ)) // (2 * len(occ)) - g
+            )
+        e_n = e_h = e_w = ne = 0
+        for t, x in enumerate(xs, start=1):
+            if t > m:
+                slot = (t - 1) % m
+                e_w += abs(x * 1_000_000 - (wl + wb + s[slot]))
+                e_h += abs(x * 1_000_000 - (hl + hb))
+                e_n += abs(x * 1_000_000 - xs[t - 2] * 1_000_000)
+                ne += 1
+                sv = s[slot]
+                wl2 = (
+                    an * (x * 1_000_000 - sv) + (10 - an) * (wl + wb) + 5
+                ) // 10
+                wb = (bn * (wl2 - wl) + (10 - bn) * wb + 5) // 10
+                s[slot] = (
+                    gn * (x * 1_000_000 - wl2) + (10 - gn) * sv + 5
+                ) // 10
+                wl = wl2
+            if t > 1:
+                hl2 = (an * x * 1_000_000 + (10 - an) * (hl + hb) + 5) // 10
+                hb = (bn * (hl2 - hl) + (10 - bn) * hb + 5) // 10
+                hl = hl2
+        mae = lambda e: (2 * e + ne) // (2 * ne)  # noqa: E731
+        mn, mh, mw = mae(e_n), mae(e_h), mae(e_w)
+        winner = (
+            "naive"
+            if mn <= mh and mn <= mw
+            else ("holt" if mh <= mw else "holt_winters")
+        )
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_evals": [ne],
+                "mae_naive_u": [mn],
+                "mae_holt_u": [mh],
+                "mae_hw_u": [mw],
+                "winner": [winner],
+            }
+        )
+
+    return counts.groupBy("event_type").applyInPandas(
+        select,
+        "event_type string, n_evals long, mae_naive_u long, "
+        "mae_holt_u long, mae_hw_u long, winner string",
     )

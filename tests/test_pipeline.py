@@ -2694,3 +2694,93 @@ class TestHoltWinters:
         types = {r["event_type"] for r in got}
         assert types == {"long"}
         assert sum(1 for r in got if not r["warmup"]) == 2
+
+
+class TestForecastModelSelect:
+    def test_replay_and_winner_consistency(self, spark, sf_dir):
+        """Each row must equal a python replay of all three registered
+        forecasters over the same post-warmup window; the winner must be
+        the argmin of the three integer MAEs with the parsimony
+        tie-break (naive ≺ holt ≺ holt_winters); n_evals must be
+        series length minus the warmup week."""
+        from collections import defaultdict
+
+        import duckdb
+
+        from data_transform_spark.operators.timeseries import (
+            HOLT_ALPHA_NUM,
+            HOLT_BETA_NUM,
+            HW_GAMMA_NUM,
+            HW_PERIOD,
+        )
+
+        daily = defaultdict(list)
+        for et, d, n in duckdb.sql(
+            f"""SELECT event_type, date_trunc('day', ts), count(*)
+                FROM '{sf_dir}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2"""
+        ).fetchall():
+            daily[et].append(n)
+        m, an, bn, gn = HW_PERIOD, HOLT_ALPHA_NUM, HOLT_BETA_NUM, HW_GAMMA_NUM
+        want = {}
+        for et, xs in daily.items():
+            if len(xs) <= m:
+                continue
+            hl, hb = xs[0] * 1_000_000, 0
+            wl = (2 * sum(xs[:m]) * 1_000_000 + m) // (2 * m)
+            wb = 0
+            g = (2 * sum(xs) * 1_000_000 + len(xs)) // (2 * len(xs))
+            s = [
+                (2 * sum(occ) * 1_000_000 + len(occ)) // (2 * len(occ)) - g
+                for occ in (
+                    [x for t, x in enumerate(xs, 1) if (t - 1) % m == i]
+                    for i in range(m)
+                )
+            ]
+            e_n = e_h = e_w = ne = 0
+            for t, x in enumerate(xs, start=1):
+                if t > m:
+                    slot = (t - 1) % m
+                    e_w += abs(x * 1_000_000 - (wl + wb + s[slot]))
+                    e_h += abs(x * 1_000_000 - (hl + hb))
+                    e_n += abs((x - xs[t - 2]) * 1_000_000)
+                    ne += 1
+                    sv = s[slot]
+                    wl2 = (
+                        an * (x * 1_000_000 - sv) + (10 - an) * (wl + wb) + 5
+                    ) // 10
+                    wb = (bn * (wl2 - wl) + (10 - bn) * wb + 5) // 10
+                    s[slot] = (
+                        gn * (x * 1_000_000 - wl2) + (10 - gn) * sv + 5
+                    ) // 10
+                    wl = wl2
+                if t > 1:
+                    hl2 = (
+                        an * x * 1_000_000 + (10 - an) * (hl + hb) + 5
+                    ) // 10
+                    hb = (bn * (hl2 - hl) + (10 - bn) * hb + 5) // 10
+                    hl = hl2
+            mn = (2 * e_n + ne) // (2 * ne)
+            mh = (2 * e_h + ne) // (2 * ne)
+            mw = (2 * e_w + ne) // (2 * ne)
+            winner = (
+                "naive"
+                if mn <= mh and mn <= mw
+                else ("holt" if mh <= mw else "holt_winters")
+            )
+            want[et] = (ne, mn, mh, mw, winner)
+        got = {
+            r["event_type"]: (
+                r["n_evals"], r["mae_naive_u"], r["mae_holt_u"],
+                r["mae_hw_u"], r["winner"],
+            )
+            for r in QUERIES["events_forecast_model_select"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert got == want
+        for et, (ne, mn, mh, mw, winner) in got.items():
+            assert ne == len(daily[et]) - 7
+            best = min(mn, mh, mw)
+            assert {
+                "naive": mn, "holt": mh, "holt_winters": mw
+            }[winner] == best
