@@ -91,6 +91,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
 def ngram_jaccard_pairs(d, tau: float):
     """Prefix-filtered exact token-set jaccard >= tau (see dedup_ngram_jaccard)."""
     tok = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t"))
+    return _jaccard_pairs_of_tok(tok, tau)
+
+
+def _jaccard_pairs_of_tok(tok, tau: float):
+    """The PPJoin core over ANY distinct (doc_id, t) element frame — words
+    (dedup_ngram_jaccard) or shingles (dedup_bakeoff's exact truth tier).
+    The prefix filter is lossless at any tau (proof in
+    dedup_ngram_jaccard's docstring)."""
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     df = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
 
@@ -1789,4 +1797,138 @@ def minhash_incr_pairs(hist_bands, hist_sh, batch):
         .unionByName(intra)
         .filter(F.col("jaccard") >= MINHASH_EXACT_TAU)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def _bakeoff_dedup_oracle() -> str:
+    """Compose the shingle-jaccard truth (all-pairs, oracle-tier) with the
+    simhash fingerprint CTEs (names don't collide: tok/th/bits/fp vs
+    toks/sh/sizes/shared/exact_pairs) and exact-dup pairs; per method:
+    pair count, truth hits, precision/recall in half-up micro-units."""
+    sim_sql = _sql_simhash_pairs().format(max_hamming=SIMHASH_MAX_HAMMING)
+    sim_ctes, sim_select = sim_sql.split("\n    SELECT a.doc_id AS doc_a,", 1)
+    sim_ctes = sim_ctes.lstrip().removeprefix("WITH ")
+    return f"""
+    WITH {_SQL_SHINGLE_PAIRS},
+    {sim_ctes},
+    sim_pairs AS (
+        SELECT a.doc_id AS doc_a,{sim_select}
+    ),
+    truth AS (SELECT doc_a, doc_b FROM exact_pairs),
+    ex_pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM documents a JOIN documents b
+          ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+    ),
+    stats AS (
+        SELECT 'exact' AS method,
+               (SELECT count(*) FROM ex_pairs) AS n_pairs,
+               (SELECT count(*) FROM ex_pairs e
+                JOIN truth t USING (doc_a, doc_b)) AS n_hit
+        UNION ALL
+        SELECT 'minhash',
+               (SELECT count(*) FROM exact_pairs),
+               (SELECT count(*) FROM exact_pairs)
+        UNION ALL
+        SELECT 'simhash',
+               (SELECT count(*) FROM sim_pairs),
+               (SELECT count(*) FROM sim_pairs s
+                JOIN truth t USING (doc_a, doc_b))
+    ),
+    tt AS (SELECT count(*) AS n_truth FROM truth)
+    SELECT method, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(CASE WHEN n_pairs = 0 THEN 1000000
+                     ELSE floor((2 * n_hit * 1000000 + n_pairs)
+                                / (2.0 * n_pairs)) END AS BIGINT)
+               AS precision_u,
+           CAST(CASE WHEN n_truth = 0 THEN 1000000
+                     ELSE floor((2 * n_hit * 1000000 + n_truth)
+                                / (2.0 * n_truth)) END AS BIGINT)
+               AS recall_u
+    FROM stats, tt
+    """
+
+
+@register("dedup_bakeoff", oracle=_bakeoff_dedup_oracle())
+def dedup_bakeoff(spark, sf_dir):
+    """The DEDUP-METHOD agreement table — the measure-before-you-trust
+    rung for the near-dup family (what tokenize_bakeoff is for
+    tokenizers): score each registered pair generator against the exact
+    shingle-jaccard >= {MINHASH_EXACT_TAU} TRUTH set, computed
+    scale-safely with the LOSSLESS PPJoin prefix filter over shingles
+    (never all-pairs on the Spark side — all-pairs lives only in the
+    oracle, the family convention). Rows per method: pair count, truth
+    hits, precision and recall in half-up micro-units.
+
+    What the table certifies: 'exact' (md5-equal texts) must have
+    precision exactly 1e6 — identical texts have jaccard 1 (built-in
+    self-check); 'minhash' is the banded-LSH + exact-verify key, whose
+    pinned property IS pair-set equality with truth (precision = recall
+    = 1e6 — the ~1e-7 per-pair miss claim, now an explicit table row
+    instead of an implicit hash pass); 'simhash' is a DIFFERENT
+    similarity (hamming<=3 on 64-bit weighted token fingerprints), so
+    its precision/recall against the jaccard truth measures honest
+    cross-method agreement, not an error.
+
+    Scale: truth = PPJoin prefix index over shingles (linear candidate
+    generation at any tau); the method pair sets are the registered
+    keys' own scale-safe plans, reused verbatim."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = (
+        _jaccard_pairs_of_tok(
+            _shingles(docs).withColumnRenamed("shingle", "t"),
+            MINHASH_EXACT_TAU,
+        )
+        .select("doc_a", "doc_b")
+    )
+    from pyspark import StorageLevel
+
+    truth = truth.persist(StorageLevel.MEMORY_AND_DISK)
+
+    h = docs.select("doc_id", F.md5("text").alias("h"))
+    ex = (
+        h.alias("x")
+        .join(
+            h.alias("y"),
+            (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+    )
+    mh = dedup_near_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    sh = dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+
+    def stats(name, pairs):
+        n = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        hit = (
+            pairs.join(truth, ["doc_a", "doc_b"])
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+        )
+        return n.crossJoin(F.broadcast(hit)).select(
+            F.lit(name).alias("method"), "n_pairs", "n_hit"
+        )
+
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    rate = lambda num, den: F.when(  # noqa: E731 — shared half-up idiom
+        den == 0, F.lit(1_000_000)
+    ).otherwise(
+        F.floor((2 * num * F.lit(1_000_000) + den) / (2.0 * den))
+    ).cast("long")
+    return (
+        stats("exact", ex)
+        .unionByName(stats("minhash", mh))
+        .unionByName(stats("simhash", sh))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "method",
+            "n_pairs",
+            "n_hit",
+            "n_truth",
+            rate(F.col("n_hit"), F.col("n_pairs")).alias("precision_u"),
+            rate(F.col("n_hit"), F.col("n_truth")).alias("recall_u"),
+        )
     )

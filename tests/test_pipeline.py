@@ -2784,3 +2784,79 @@ class TestForecastModelSelect:
             assert {
                 "naive": mn, "holt": mh, "holt_winters": mw
             }[winner] == best
+
+
+class TestDedupBakeoff:
+    def test_stats_replay_and_selfchecks(self, spark, sf_dir):
+        """Truth replayed from scratch in python (all-pairs shingle
+        jaccard >= tau); each method row's counts must equal stats over
+        the registered pair generators; 'exact' precision must be
+        exactly 1e6 (identical texts have jaccard 1) and 'minhash' must
+        equal truth in BOTH directions (the family's pinned no-miss
+        claim, here as an explicit row)."""
+        import duckdb
+
+        from data_transform_spark.pipeline.dedup import (
+            MINHASH_EXACT_TAU,
+            SHINGLE_K,
+        )
+
+        rows = duckdb.sql(
+            f"select doc_id, text from '{sf_dir}/documents.parquet'"
+        ).fetchall()
+        sh = {
+            d: {
+                " ".join(t.split(" ")[i : i + SHINGLE_K])
+                for i in range(max(len(t.split(" ")) - SHINGLE_K, 0) + 1)
+            }
+            for d, t in rows
+        }
+        ids = sorted(sh)
+        truth = set()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                inter = len(sh[a] & sh[b])
+                if inter and inter / len(sh[a] | sh[b]) >= MINHASH_EXACT_TAU:
+                    truth.add((a, b))
+
+        mh = {
+            (r["doc_a"], r["doc_b"])
+            for r in QUERIES["dedup_near_minhash"](spark, sf_dir).collect()
+        }
+        sim = {
+            (r["doc_a"], r["doc_b"])
+            for r in QUERIES["dedup_simhash"](spark, sf_dir).collect()
+        }
+        texts = {}
+        ex = set()
+        for d, t in rows:
+            if t in texts:
+                ex.update(
+                    (min(d, o), max(d, o)) for o in texts[t]
+                )
+                texts[t].append(d)
+            else:
+                texts[t] = [d]
+
+        got = {
+            r["method"]: r
+            for r in QUERIES["dedup_bakeoff"](spark, sf_dir).collect()
+        }
+        for name, pairs in (("exact", ex), ("minhash", mh), ("simhash", sim)):
+            r = got[name]
+            assert r["n_truth"] == len(truth)
+            assert r["n_pairs"] == len(pairs), name
+            assert r["n_hit"] == len(pairs & truth), name
+            np_, nh = len(pairs), len(pairs & truth)
+            want_p = (
+                1_000_000 if np_ == 0
+                else (2 * nh * 1_000_000 + np_) // (2 * np_)
+            )
+            want_r = (
+                1_000_000 if not truth
+                else (2 * nh * 1_000_000 + len(truth)) // (2 * len(truth))
+            )
+            assert (r["precision_u"], r["recall_u"]) == (want_p, want_r)
+        assert got["exact"]["precision_u"] == 1_000_000
+        assert mh == truth  # the no-miss claim, both directions
+        assert got["minhash"]["recall_u"] == 1_000_000
