@@ -202,8 +202,7 @@ def _rrf_oracle() -> str:
     """
 
 
-@register("search_hybrid_rrf", oracle=_rrf_oracle())
-def search_hybrid_rrf(spark, sf_dir):
+def _rrf_rankings(spark, sf_dir):
     """Hybrid retrieval with Reciprocal Rank Fusion: for each query doc
     (id < {RRF_N_QUERIES}, over the documents ⋈ embeddings corpus — docs
     that carry an embedding), rank the corpus TWICE — lexically (BM25 of
@@ -309,11 +308,22 @@ def search_hybrid_rrf(spark, sf_dir):
         )
     )
     w_f = Window.partitionBy("query_id").orderBy(F.col("rrf_score").desc(), "id")
-    return (
+    fused_ranked = (
         fused.withColumn("rank", F.row_number().over(w_f).cast("long"))
         .filter(F.col("rank") <= RRF_TOPK)
         .select("query_id", "rank", "id", "rrf_score", "lex_rank", "vec_rank")
     )
+    return lex_rank, vec_rank, fused_ranked
+
+
+@register("search_hybrid_rrf", oracle=_rrf_oracle())
+def search_hybrid_rrf(spark, sf_dir):
+    """The registered RRF key — the fused top-{RRF_TOPK} per query (full
+    contract + plan story in _rrf_rankings, which also exposes the two
+    member rankings so search_eval_labels can score all three systems
+    without rebuilding the pipeline)."""
+    _lex, _vec, fused_ranked = _rrf_rankings(spark, sf_dir)
+    return fused_ranked
 
 
 # --- MMR diversity re-ranking (Carbonell & Goldstein, SIGIR'98) -----------
@@ -507,3 +517,199 @@ def _mmr_rerank(e, cand):
         .cogroup(sims.groupBy("qid"))
         .applyInPandas(greedy, "query_id long, rank long, id long")
     )
+
+
+# --- retrieval evaluation against label relevance --------------------------
+
+EVAL_K = 10  # precision/recall cutoff (== RRF_TOPK, each system's page 1)
+
+
+def _search_eval_oracle() -> str:
+    """Rewrap _rrf_oracle's final SELECT as a CTE (the v4 string-surgery
+    precedent), then score all three systems' top-EVAL_K against the
+    label-relevance truth."""
+    rrf_sql = _rrf_oracle()
+    ctes, final = rrf_sql.split("\n    SELECT query_id,", 1)
+    return f"""{ctes},
+    rrf_ranked AS (
+        SELECT query_id,{final}
+    ),
+    labels AS (
+        SELECT e.vec_id AS id, e.label
+        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    ),
+    qlab AS (SELECT id AS qid, label AS qlabel FROM labels
+             WHERE id < {RRF_N_QUERIES}),
+    nrel AS (
+        SELECT q.qid, CAST(count(*) AS BIGINT) AS n_rel
+        FROM qlab q JOIN labels l ON l.label = q.qlabel AND l.id <> q.qid
+        GROUP BY q.qid
+    ),
+    sys AS (
+        SELECT 'bm25' AS system, qid, id FROM lex_rank WHERE r <= {EVAL_K}
+        UNION ALL
+        SELECT 'cosine', qid, id FROM vec_rank WHERE r <= {EVAL_K}
+        UNION ALL
+        SELECT 'rrf', query_id AS qid, id FROM rrf_ranked
+        WHERE rank <= {EVAL_K}
+    ),
+    hits AS (
+        SELECT s.system, s.qid,
+               CAST(count(CASE WHEN l.label = q.qlabel THEN 1 END)
+                    AS BIGINT) AS h
+        FROM sys s JOIN labels l USING (id) JOIN qlab q USING (qid)
+        GROUP BY s.system, s.qid
+    ),
+    perq AS (
+        SELECT h.system, h.qid, h.h, n.n_rel,
+               CAST(floor((2 * h.h * 1000000 + n.n_rel) / (2.0 * n.n_rel))
+                    AS BIGINT) AS r_u
+        FROM hits h JOIN nrel n USING (qid)
+    ),
+    rnd AS (
+        SELECT 'random' AS system, n.qid,
+               CAST(floor((2 * n.n_rel * 1000000 + (t.N - 1))
+                          / (2.0 * (t.N - 1))) AS BIGINT) AS p_u,
+               CAST(floor((2 * {EVAL_K} * 1000000 + (t.N - 1))
+                          / (2.0 * (t.N - 1))) AS BIGINT) AS r_u
+        FROM nrel n, (SELECT count(*) AS N FROM labels) t
+    )
+    SELECT system, CAST(count(*) AS BIGINT) AS n_queries,
+           CAST({EVAL_K} AS BIGINT) AS k,
+           CAST(floor((2 * sum(h) * 1000000 + count(*) * {EVAL_K})
+                      / (2.0 * count(*) * {EVAL_K})) AS BIGINT)
+               AS macro_p_at_k_u,
+           CAST(floor((2 * sum(r_u) + count(*)) / (2.0 * count(*)))
+                AS BIGINT) AS macro_r_at_k_u
+    FROM perq GROUP BY system
+    UNION ALL
+    SELECT system, CAST(count(*) AS BIGINT), CAST({EVAL_K} AS BIGINT),
+           CAST(floor((2 * sum(p_u) + count(*)) / (2.0 * count(*)))
+                AS BIGINT),
+           CAST(floor((2 * sum(r_u) + count(*)) / (2.0 * count(*)))
+                AS BIGINT)
+    FROM rnd GROUP BY system
+    """
+
+
+@register("search_eval_labels", oracle=_search_eval_oracle())
+def search_eval_labels(spark, sf_dir):
+    """Retrieval EVALUATION — the measure-before-you-trust rung for the
+    search family (what dedup_bakeoff is for dedup and tokenize_bakeoff
+    for tokenizers): score BM25, embedding cosine, and the RRF fusion on
+    the SAME query panel against label relevance — a result is relevant
+    to query doc q iff its embedding shares q's label (vec_id == doc_id,
+    the fixture convention; every label has enough members that
+    recall@{EVAL_K} is meaningful). Per system: macro precision@{EVAL_K}
+    (exact single ratio: Σhits / (|Q|·k)) and macro recall@{EVAL_K}
+    (integer mean of per-query half-up recall units — denominators
+    differ per query, so the mean-of-ratios is taken over already-
+    quantized integers, deterministic in any order).
+
+    The three rankings come from _rrf_rankings VERBATIM (one pipeline
+    run scores all systems — the fused key and this eval can never
+    drift apart). Honesty note: label relevance is a PROXY qrel (the
+    fixture ships no graded judgments); what the table certifies is the
+    RELATIVE ordering of the systems under a consistent truth, which is
+    what an operator compares retriever variants with."""
+    lex, vec, rrf = _rrf_rankings(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), "label"
+    )
+    d_ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    labels = e.join(d_ids, "id")
+    qlab = labels.filter(F.col("id") < RRF_N_QUERIES).select(
+        F.col("id").alias("qid"), F.col("label").alias("qlabel")
+    )
+    la = labels.select(F.col("id").alias("rel_id"), F.col("label").alias("rl"))
+    nrel = (
+        qlab.join(
+            la,
+            (F.col("rl") == F.col("qlabel")) & (F.col("rel_id") != F.col("qid")),
+        )
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
+    )
+    sys = (
+        lex.filter(F.col("r") <= EVAL_K)
+        .select(F.lit("bm25").alias("system"), "qid", "id")
+        .unionByName(
+            vec.filter(F.col("r") <= EVAL_K).select(
+                F.lit("cosine").alias("system"), "qid", "id"
+            )
+        )
+        .unionByName(
+            rrf.filter(F.col("rank") <= EVAL_K).select(
+                F.lit("rrf").alias("system"),
+                F.col("query_id").alias("qid"),
+                "id",
+            )
+        )
+    )
+    hits = (
+        sys.join(labels, "id")
+        .join(F.broadcast(qlab), "qid")
+        .groupBy("system", "qid")
+        .agg(
+            F.sum(F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0))
+            .cast("long")
+            .alias("h")
+        )
+    )
+    perq = hits.join(F.broadcast(nrel), "qid").select(
+        "system",
+        "h",
+        F.floor(
+            (2 * F.col("h") * F.lit(1_000_000) + F.col("n_rel"))
+            / (2.0 * F.col("n_rel"))
+        )
+        .cast("long")
+        .alias("r_u"),
+    )
+    nq = F.count(F.lit(1))
+    systems = perq.groupBy("system").agg(
+        nq.cast("long").alias("n_queries"),
+        F.lit(EVAL_K).cast("long").alias("k"),
+        F.floor(
+            (2 * F.sum("h") * F.lit(1_000_000) + nq * EVAL_K)
+            / (2.0 * nq * EVAL_K)
+        )
+        .cast("long")
+        .alias("macro_p_at_k_u"),
+        F.floor((2 * F.sum("r_u") + nq) / (2.0 * nq))
+        .cast("long")
+        .alias("macro_r_at_k_u"),
+    )
+    # analytic 'random' baseline row: K draws without replacement give
+    # expected hits K*n_rel/(N-1), so expected P@K = n_rel/(N-1) and
+    # expected R@K = K/(N-1) per query — quantized per query, then the
+    # same integer means as the recall path (the row that makes the
+    # table self-interpreting: a system below it is worse than chance)
+    n_corpus = labels.agg(F.count(F.lit(1)).alias("N"))
+    rnd = nrel.crossJoin(F.broadcast(n_corpus)).select(
+        F.floor(
+            (2 * F.col("n_rel") * F.lit(1_000_000) + (F.col("N") - 1))
+            / (2.0 * (F.col("N") - 1))
+        )
+        .cast("long")
+        .alias("p_u"),
+        F.floor(
+            (2 * EVAL_K * F.lit(1_000_000) + (F.col("N") - 1))
+            / (2.0 * (F.col("N") - 1))
+        )
+        .cast("long")
+        .alias("r_u"),
+    )
+    rnd_row = rnd.agg(
+        nq.cast("long").alias("n_queries"),
+        F.lit(EVAL_K).cast("long").alias("k"),
+        F.floor((2 * F.sum("p_u") + nq) / (2.0 * nq))
+        .cast("long")
+        .alias("macro_p_at_k_u"),
+        F.floor((2 * F.sum("r_u") + nq) / (2.0 * nq))
+        .cast("long")
+        .alias("macro_r_at_k_u"),
+    ).select(F.lit("random").alias("system"), "*")
+    return systems.unionByName(rnd_row)

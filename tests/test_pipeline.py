@@ -2860,3 +2860,90 @@ class TestDedupBakeoff:
         assert got["exact"]["precision_u"] == 1_000_000
         assert mh == truth  # the no-miss claim, both directions
         assert got["minhash"]["recall_u"] == 1_000_000
+
+
+class TestSearchEvalLabels:
+    def test_replay_and_baseline_semantics(self, spark, sf_dir):
+        """Each system row must equal a python replay over the registered
+        rankings (same top-k sets, label truth, half-up quantization);
+        the random row must be the analytic expectation (per-query
+        n_rel/(N-1) and K/(N-1), quantized then integer-meaned); and
+        cosine must beat the random baseline on precision (embeddings DO
+        cluster by label — the one system with access to the truth's
+        signal), pinned at every SF."""
+        from collections import defaultdict
+
+        import duckdb
+
+        from data_transform_spark.pipeline.retrieval import (
+            EVAL_K,
+            RRF_N_QUERIES,
+            _rrf_rankings,
+        )
+
+        labs = dict(
+            duckdb.sql(
+                f"""SELECT e.vec_id, e.label
+                    FROM '{sf_dir}/embeddings.parquet' e
+                    JOIN '{sf_dir}/documents.parquet' d
+                      ON d.doc_id = e.vec_id"""
+            ).fetchall()
+        )
+        n_corpus = len(labs)
+        qlab = {q: labs[q] for q in labs if q < RRF_N_QUERIES}
+        nrel = {
+            q: sum(1 for i, l in labs.items() if l == ql and i != q)
+            for q, ql in qlab.items()
+        }
+
+        lex, vec, rrf = _rrf_rankings(spark, sf_dir)
+        tops = {
+            "bm25": defaultdict(set),
+            "cosine": defaultdict(set),
+            "rrf": defaultdict(set),
+        }
+        for r in lex.filter(lex.r <= EVAL_K).collect():
+            tops["bm25"][r["qid"]].add(r["id"])
+        for r in vec.filter(vec.r <= EVAL_K).collect():
+            tops["cosine"][r["qid"]].add(r["id"])
+        for r in rrf.filter(rrf.rank <= EVAL_K).collect():
+            tops["rrf"][r["query_id"]].add(r["id"])
+
+        want = {}
+        for name, by_q in tops.items():
+            hs = {q: sum(1 for i in ids if labs[i] == qlab[q])
+                  for q, ids in by_q.items()}
+            nq = len(hs)
+            p = (2 * sum(hs.values()) * 1_000_000 + nq * EVAL_K) // (
+                2 * nq * EVAL_K
+            )
+            rus = [
+                (2 * h * 1_000_000 + nrel[q]) // (2 * nrel[q])
+                for q, h in hs.items()
+            ]
+            want[name] = (nq, p, (2 * sum(rus) + nq) // (2 * nq))
+        nq = len(qlab)
+        pus = [
+            (2 * nrel[q] * 1_000_000 + (n_corpus - 1)) // (2 * (n_corpus - 1))
+            for q in qlab
+        ]
+        rus = [
+            (2 * EVAL_K * 1_000_000 + (n_corpus - 1)) // (2 * (n_corpus - 1))
+            for _ in qlab
+        ]
+        want["random"] = (
+            nq,
+            (2 * sum(pus) + nq) // (2 * nq),
+            (2 * sum(rus) + nq) // (2 * nq),
+        )
+
+        got = {
+            r["system"]: (
+                r["n_queries"], r["macro_p_at_k_u"], r["macro_r_at_k_u"]
+            )
+            for r in QUERIES["search_eval_labels"](spark, sf_dir).collect()
+        }
+        assert got == want
+        assert got["cosine"][1] > got["random"][1], (
+            "cosine failed to beat the random baseline"
+        )
