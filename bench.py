@@ -124,11 +124,17 @@ OPTIONAL = [
     "text_hashing_tf",
     "quality_langid_eval",
     "events_ab_srm",
-    # round-12: capacity-respecting best-fit packing (0.4 s warm).
-    # vocab_bpe_bytes / tokenize_bpe_bytes deliberately NOT benched:
-    # identical plan shape to vocab_bpe above (same trainer machinery,
-    # different seq0 literal) — a second timing would be a duplicate row.
+    # round-12: capacity-respecting best-fit packing (0.4 s warm),
+    # seasonal smoothing and the forecaster decision table (~2 s each).
+    # NOT benched, with reasons: vocab_bpe_bytes / tokenize_bpe_bytes /
+    # vocab_unigram_lm / tokenize_unigram_lm share vocab_bpe's plan shape
+    # (one corpus scan + vocab-sized rounds — duplicate rows); the
+    # composite evals tokenize_bakeoff / dedup_bakeoff /
+    # search_eval_labels re-run their already-benched members (their
+    # timings are the members' sums; measured numbers in SCALING.md).
     "pack_bestfit",
+    "ts_holt_winters",
+    "events_forecast_model_select",
     # Round-11 exclusions for the same budget reason (measured medians in
     # SCALING.md "Round-11"): pipeline_e2e_llm_v3 (~65 s, supersets v2)
     # and pipeline_e2e_llm_v4 (supersets v3 with the committee gate),
@@ -207,8 +213,8 @@ def main() -> None:
     # overshooting the driver's overall bench timeout would record NO
     # benchmark at all — strictly worse than a noisier sample.
     now = time.time()
-    warm_deadline = now + int(os.environ.get("BENCH_WARM_BUDGET_SEC", "240"))
-    hard_deadline = now + int(os.environ.get("BENCH_TOTAL_BUDGET_SEC", "420"))
+    warm_deadline = now + int(os.environ.get("BENCH_WARM_BUDGET_SEC", "180"))
+    hard_deadline = now + int(os.environ.get("BENCH_TOTAL_BUDGET_SEC", "390"))
 
     timings: dict[str, float] = {}
     steal_ticks: dict[str, int] = {}
@@ -270,7 +276,7 @@ def main() -> None:
     # rep is noisier than the median-of-3 (see steal ticks alongside), but
     # a 2x regression in a ~40-70 s plan still shows unambiguously.
     t2_deadline = time.time() + int(
-        os.environ.get("BENCH_TIER2_BUDGET_SEC", "200")
+        os.environ.get("BENCH_TIER2_BUDGET_SEC", "150")
     )
     t2_timings: dict[str, float] = {}
     t2_steal: dict[str, int] = {}
