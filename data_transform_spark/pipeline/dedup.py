@@ -1883,9 +1883,18 @@ def dedup_bakeoff(spark, sf_dir):
         )
         .select("doc_a", "doc_b")
     )
-    from pyspark import StorageLevel
+    # Register the truth cache with the shared release mechanism (r12
+    # ADVICE): persist() is lazy so the key keeps its zero-driver-jobs
+    # contract, and the NEXT share-persisting key (this one or an e2e
+    # capstone) releases these blocks instead of them pinning the session
+    # cache for the rest of a multi-key sweep process.
+    from data_transform_spark.pipeline.e2e import (
+        _persist_share,
+        _release_prior_shares,
+    )
 
-    truth = truth.persist(StorageLevel.MEMORY_AND_DISK)
+    _release_prior_shares()
+    truth = _persist_share(truth)
 
     h = docs.select("doc_id", F.md5("text").alias("h"))
     ex = (

@@ -1889,7 +1889,15 @@ def train_triplet_mine(spark, sf_dir):
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings")
-    n_anchors = e.count()
+    arows = (
+        e.select("vec_id", "label", "embedding").orderBy("vec_id").collect()
+    )
+    # Cap guard AFTER the (already required) collect so the check costs no
+    # extra scan (r12 ADVICE): LIMIT cap+1 rows would be cheaper to refuse
+    # with, but the full collect is the key's documented anchors-in-closure
+    # contract anyway; at fixtures beyond the cap this key FAILS LOUDLY by
+    # design — large-SF sweeps must route through the ANN tier instead.
+    n_anchors = len(arows)
     if n_anchors > TRIPLET_ANCHOR_CAP:
         raise ValueError(
             f"train_triplet_mine: anchor set has {n_anchors} vectors, over "
@@ -1898,9 +1906,6 @@ def train_triplet_mine(spark, sf_dir):
             "mining, generate candidates from the staged ANN index "
             "(sim_ann_persist) instead of raising the cap."
         )
-    arows = (
-        e.select("vec_id", "label", "embedding").orderBy("vec_id").collect()
-    )
     a_ids = np.array([r["vec_id"] for r in arows], dtype=np.int64)
     a_labels = np.array([r["label"] for r in arows], dtype=np.int64)
     am = np.array([r["embedding"] for r in arows], dtype=np.float64)
