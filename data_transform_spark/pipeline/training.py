@@ -131,6 +131,11 @@ def pack_sequences(spark, sf_dir):
 
 
 PACK_SHARDS = 8  # deterministic md5 shards for best-fit packing
+# Composite-argmin radix for the oracle's best-fit pick, min(cap*R + idx):
+# R must exceed any possible open-bin count per shard or the index term
+# bleeds into the capacity term (r12 ADVICE). 1e9 bins/shard ≫ any real
+# shard (caps ≤ PACK_BUDGET=512, so cap*R ≤ 5.12e11 — comfortably BIGINT).
+PACK_BIN_RADIX = 1_000_000_000
 
 
 @register(
@@ -157,24 +162,25 @@ PACK_SHARDS = 8  # deterministic md5 shards for best-fit packing
                CASE WHEN list_min(list_transform(
                         list_filter(generate_series(1, len(r.caps)),
                                     j -> r.caps[j] >= i.n_tok),
-                        j -> r.caps[j] * 10000 + j)) IS NULL
+                        j -> r.caps[j] * {PACK_BIN_RADIX} + j)) IS NULL
                     THEN CAST(len(r.caps) AS BIGINT)
                     ELSE CAST(list_min(list_transform(
                         list_filter(generate_series(1, len(r.caps)),
                                     j -> r.caps[j] >= i.n_tok),
-                        j -> r.caps[j] * 10000 + j)) % 10000 - 1 AS BIGINT)
+                        j -> r.caps[j] * {PACK_BIN_RADIX} + j)) % {PACK_BIN_RADIX} - 1 AS BIGINT)
                END,
                CASE WHEN list_min(list_transform(
                         list_filter(generate_series(1, len(r.caps)),
                                     j -> r.caps[j] >= i.n_tok),
-                        j -> r.caps[j] * 10000 + j)) IS NULL
+                        j -> r.caps[j] * {PACK_BIN_RADIX} + j)) IS NULL
                     THEN list_append(r.caps,
                                      CAST({PACK_BUDGET} - i.n_tok AS BIGINT))
                     ELSE list_transform(generate_series(1, len(r.caps)),
                         j -> CASE WHEN j = list_min(list_transform(
                                  list_filter(generate_series(1, len(r.caps)),
                                              k -> r.caps[k] >= i.n_tok),
-                                 k -> r.caps[k] * 10000 + k)) % 10000
+                                 k -> r.caps[k] * {PACK_BIN_RADIX} + k))
+                                 % {PACK_BIN_RADIX}
                              THEN r.caps[j] - i.n_tok ELSE r.caps[j] END)
                END
         FROM rec r
@@ -204,7 +210,9 @@ def pack_bestfit(spark, sf_dir):
     Exactness: all state is integer token counts; utilization uses the
     shared ⌊(2·s+n)/(2n)⌋ half-up idiom. The DuckDB twin replays the
     bin state as a LIST column in a recursive CTE — the best-fit argmin
-    is the integer composite min(cap·10⁴ + idx) over fitting bins, the
+    is the integer composite min(cap·PACK_BIN_RADIX + idx) over fitting
+    bins (radix 1e9 ≫ any per-shard bin count, so the index can never
+    bleed into the capacity term — r12 ADVICE), the
     same float-free selection discipline as the argmax keys.
 
     Scale: the sequential pass is per-shard (deterministic md5 shard,
@@ -230,24 +238,31 @@ def pack_bestfit(spark, sf_dir):
     )
 
     def bfd(pdf: pd.DataFrame) -> pd.DataFrame:
+        from bisect import bisect_left, insort
+
         pdf = pdf.sort_values(
             ["n_tok", "doc_id"], ascending=[False, True]
         ).reset_index(drop=True)
         caps: list[int] = []
         used: list[int] = []
         ndocs: list[int] = []
+        # Open bins as a SORTED (cap, bin_id) list (r12 VERDICT #5): the
+        # best-fit pick — tightest cap ≥ length, ties lowest bin_id — is
+        # exactly the first element ≥ (length, -1), so bisect replaces
+        # the O(bins) linear scan per doc (identical argmin semantics:
+        # lexicographic (cap, idx) order IS the tie-break rule;
+        # property-pinned against the scan in tests).
+        by_cap: list[tuple[int, int]] = []
         for length in (int(v) for v in pdf["n_tok"]):
-            best = None
-            for j, c in enumerate(caps):
-                if c >= length and (
-                    best is None or (c, j) < (caps[best], best)
-                ):
-                    best = j
-            if best is None:
+            pos = bisect_left(by_cap, (length, -1))
+            if pos == len(by_cap):
+                insort(by_cap, (PACK_BUDGET - length, len(caps)))
                 caps.append(PACK_BUDGET - length)
                 used.append(length)
                 ndocs.append(1)
             else:
+                cap, best = by_cap.pop(pos)
+                insort(by_cap, (cap - length, best))
                 caps[best] -= length
                 used[best] += length
                 ndocs[best] += 1
@@ -1018,6 +1033,205 @@ def tokenize_bpe_bytes(spark, sf_dir):
             F.sum("n_bytes").cast("long").alias("n_byte_tokens"),
             F.sum("n_bpe").cast("long").alias("n_bpe_tokens"),
         )
+    )
+
+
+# --- Batched-merge BPE (r12 VERDICT #3) ---------------------------------
+# The sequential trainer's per-round driver sync is the scaling bound: a
+# 32k-merge vocabulary is 32k bounded collects. Batching picks the top-B
+# NON-OVERLAPPING pairs per round — greedy in (count DESC, a, b) rank
+# order over the top CAND_FACTOR·B candidates, accepting a pair iff
+# neither symbol appears in an already-accepted pair this round. Disjoint
+# symbol sets make the B replaces commute (no merge can create or destroy
+# another accepted pair's ' a  b ' occurrence), so applying them in rank
+# order inside one round is exact, and a 32k-merge train becomes ~32k/B
+# driver syncs (B=256 → 125). B=1 degenerates to the sequential trainer
+# EXACTLY (property-pinned in tests), because rank-1 is always accepted
+# and the round stops at one merge — same selection, same replace.
+BPE_BATCH = 4  # merges accepted per round (the "B" knob)
+BPE_BATCH_ROUNDS = 3  # demo rounds — 12 merges in 3 driver syncs
+BPE_BATCH_CAND_FACTOR = 8  # greedy scans the top CAND_FACTOR*B candidates
+
+
+def _bpe_train_batched(
+    spark, sf_dir, rounds: int, batch: int, seq0=None
+):
+    """Batched _bpe_train: per round, ONE bounded collect of the top
+    CAND_FACTOR·batch ranked pairs, then the greedy-disjoint scan runs in
+    the driver over those ≤32 rows (a training decision is a driver
+    decision — the _bpe_train precedent, same word-table checkpoint
+    hygiene). Returns [(round, cand_rank, a, b, merged, pair_count), ...];
+    pair_count is the start-of-round count (exact for every accepted pair
+    — disjointness means no earlier merge in the round changed it)."""
+    from data_transform_spark.operators.graph import (
+        _checkpoint_rdd_id,
+        _release_rdds,
+    )
+
+    words = (
+        _bpe_words(spark, sf_dir)
+        .withColumn("seq", (seq0 or _bpe_seq0)(F.col("word")))
+        .localCheckpoint(eager=True)
+    )
+    rid = _checkpoint_rdd_id(words)
+    cand = BPE_BATCH_CAND_FACTOR * batch
+    merges = []
+    seq = F.col("seq")
+    try:
+        for r in range(1, rounds + 1):
+            top = (
+                _bpe_pair_counts(words, seq)
+                .orderBy(F.col("pc").desc(), "a", "b")
+                .limit(cand)
+                .collect()
+            )
+            if not top:  # degenerate corpus: no adjacent pairs left
+                break
+            taken: set[str] = set()
+            n_acc = 0
+            for rk, row in enumerate(top, start=1):
+                if n_acc >= batch:
+                    break
+                a, b = row["a"], row["b"]
+                if a in taken or b in taken:
+                    continue
+                taken.update((a, b))
+                n_acc += 1
+                merges.append((r, rk, a, b, a + b, int(row["pc"])))
+                seq = F.replace(
+                    seq, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
+                )
+    finally:
+        if rid is not None:
+            _release_rdds(spark, {rid})
+    return merges
+
+
+def _bpe_batched_cte_chain(
+    rounds: int,
+    batch: int,
+    seq0_sql: str | None = None,
+    ns: str = "",
+) -> str:
+    """DuckDB replay of _bpe_train_batched. Per round: pair counts →
+    ranked top-CAND_FACTOR·batch candidates → the greedy-disjoint scan as
+    a recursive CTE carrying the accepted-symbol LIST (the pack_bestfit
+    list-state pattern; recursion depth ≤ the candidate window and the
+    WHERE n_acc < batch guard stops it at quota) → fold the accepted
+    replaces with list_reduce (order irrelevant — disjoint — but applied
+    in rank order to mirror the driver). Emits ``WITH RECURSIVE``; callers
+    append the final SELECT."""
+    seq0_sql = seq0_sql or (
+        "' ' || array_to_string("
+        "list_transform(generate_series(1, length(word)), "
+        "i -> substring(word, i, 1)), '  ') || ' '"
+    )
+    cand = BPE_BATCH_CAND_FACTOR * batch
+    parts = [
+        f"""
+    WITH RECURSIVE {ns}w0 AS (
+        SELECT word, count(*) AS cnt,
+               {seq0_sql} AS seq
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> '' GROUP BY word
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        blocked = (
+            f"list_contains(g.taken, c.a) OR list_contains(g.taken, c.b)"
+        )
+        parts.append(f""",
+    {ns}p{r} AS (
+        SELECT s[i] AS a, s[i + 1] AS b, sum(cnt) AS pc
+        FROM (SELECT cnt, string_split(trim(seq), '  ') AS s
+              FROM {ns}w{r - 1}),
+             unnest(generate_series(1, len(s) - 1)) AS t(i)
+        GROUP BY 1, 2
+    ),
+    {ns}c{r} AS (
+        SELECT a, b, CAST(pc AS BIGINT) AS pc,
+               CAST(row_number() OVER (ORDER BY pc DESC, a, b)
+                    AS BIGINT) AS rk
+        FROM {ns}p{r}
+        QUALIFY row_number() OVER (ORDER BY pc DESC, a, b) <= {cand}
+    ),
+    {ns}g{r}(rk, a, b, pc, acc, n_acc, taken) AS (
+        SELECT rk, a, b, pc, TRUE, CAST(1 AS BIGINT), [a, b]
+        FROM {ns}c{r} WHERE rk = 1
+        UNION ALL
+        SELECT c.rk, c.a, c.b, c.pc,
+               NOT ({blocked}),
+               g.n_acc + CASE WHEN {blocked} THEN 0 ELSE 1 END,
+               CASE WHEN {blocked} THEN g.taken
+                    ELSE list_append(list_append(g.taken, c.a), c.b) END
+        FROM {ns}g{r} g JOIN {ns}c{r} c ON c.rk = g.rk + 1
+        WHERE g.n_acc < {batch}
+    ),
+    {ns}m{r} AS (
+        SELECT CAST({r} AS INTEGER) AS merge_round,
+               CAST(rk AS INTEGER) AS cand_rank,
+               a AS pair_a, b AS pair_b, a || b AS merged,
+               pc AS pair_count
+        FROM {ns}g{r} WHERE acc
+    ),
+    {ns}mm{r} AS (
+        SELECT COALESCE(list(' ' || pair_a || '  ' || pair_b || ' '
+                             || chr(1) || ' ' || merged || ' '
+                             ORDER BY cand_rank), []) AS prs
+        FROM {ns}m{r}
+    ),
+    {ns}w{r} AS (
+        SELECT word, cnt,
+               list_reduce(list_prepend(seq, prs),
+                   (s2, x) -> replace(s2, string_split(x, chr(1))[1],
+                                          string_split(x, chr(1))[2]))
+                   AS seq
+        FROM {ns}w{r - 1}, {ns}mm{r}
+    )"""
+        )
+    return "".join(parts)
+
+
+_VOCAB_BPE_BATCHED_ORACLE = (
+    _bpe_batched_cte_chain(BPE_BATCH_ROUNDS, BPE_BATCH)
+    + "\n    SELECT * FROM ("
+    + "\n    UNION ALL ".join(
+        f"SELECT * FROM m{r}" for r in range(1, BPE_BATCH_ROUNDS + 1)
+    )
+    + ") ORDER BY merge_round, cand_rank"
+)
+
+
+@register("vocab_bpe_batched", oracle=_VOCAB_BPE_BATCHED_ORACLE)
+def vocab_bpe_batched(spark, sf_dir):
+    """Batched-merge BPE trainer — the production-vocabulary shape of
+    vocab_bpe (r12 VERDICT #3, retiring the r11 watch item): each round
+    accepts the top-BPE_BATCH non-overlapping pairs (greedy in
+    (count DESC, pair) rank order over the top 8·B candidates; a pair is
+    skipped if either symbol was already merged this round), so a 32k-
+    merge vocabulary needs ~32k/B driver syncs instead of 32k. Disjoint
+    symbol sets per round make the batch's replaces commute — each
+    accepted pair's recorded count is its exact corpus count when the
+    round started. The quality tradeoff vs one-at-a-time Sennrich BPE is
+    the standard batched approximation (lower-ranked pairs are taken
+    before re-counting sees the round's earlier merges); B=1 reproduces
+    the sequential trainer bit-for-bit (property test), which is the
+    knob's semantics contract. Output adds cand_rank — the within-round
+    candidate rank each merge was accepted at — so the selection is
+    auditable.
+
+    Scale shape: identical to vocab_bpe (ONE corpus scan, vocabulary-
+    sized rounds); the collect per round is ≤ 8·B rows instead of 1. The
+    oracle replays the greedy-disjoint scan as a per-round recursive CTE
+    over the ranked candidates, carrying the accepted-symbol list — the
+    pack_bestfit list-state discipline."""
+    merges = _bpe_train_batched(
+        spark, sf_dir, BPE_BATCH_ROUNDS, BPE_BATCH
+    )
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, cand_rank int, pair_a string, pair_b string, "
+        "merged string, pair_count long",
     )
 
 

@@ -639,6 +639,165 @@ class TestBpe:
         assert _bpe_train(spark, sf_dir) == _bpe_train(spark, sf_dir)
 
 
+class TestPackBestfitBisect:
+    """The r13 bisect-on-sorted-caps best-fit pick must be bit-identical
+    to the reference O(bins) linear scan — same (cap, idx) argmin, same
+    tie-break — on adversarial length streams (the Spark key's gold test
+    pins the live fixture; this pins random streams incl. oversize docs
+    and equal-cap ties)."""
+
+    @given(
+        lengths=st.lists(
+            st.integers(min_value=1, max_value=700), min_size=1, max_size=60
+        )
+    )
+    @settings(deadline=None, max_examples=200)
+    def test_bisect_equals_linear_scan(self, lengths):
+        from bisect import bisect_left, insort
+
+        from data_transform_spark.pipeline.training import PACK_BUDGET
+
+        lengths = sorted(lengths, reverse=True)  # BFD order
+        # reference: the pre-r13 linear scan
+        caps_l, assign_l = [], []
+        for length in lengths:
+            best = None
+            for j, c in enumerate(caps_l):
+                if c >= length and (best is None or (c, j) < (caps_l[best], best)):
+                    best = j
+            if best is None:
+                assign_l.append(len(caps_l))
+                caps_l.append(PACK_BUDGET - length)
+            else:
+                assign_l.append(best)
+                caps_l[best] -= length
+        # bisect variant (mirrors training.bfd)
+        caps_b, assign_b = [], []
+        by_cap = []
+        for length in lengths:
+            pos = bisect_left(by_cap, (length, -1))
+            if pos == len(by_cap):
+                insort(by_cap, (PACK_BUDGET - length, len(caps_b)))
+                assign_b.append(len(caps_b))
+                caps_b.append(PACK_BUDGET - length)
+            else:
+                cap, best = by_cap.pop(pos)
+                insort(by_cap, (cap - length, best))
+                assign_b.append(best)
+                caps_b[best] -= length
+        assert assign_b == assign_l and caps_b == caps_l
+
+
+class TestBpeBatched:
+    """Batched-merge BPE (vocab_bpe_batched): top-B non-overlapping pairs
+    per round, greedy in rank order over the top 8·B candidates."""
+
+    def test_batch_of_one_equals_sequential_trainer(self, spark, sf_dir):
+        """B=1 must reproduce the sequential trainer EXACTLY — the knob's
+        semantics contract: rank-1 is always accepted (no symbol taken
+        yet) and the round stops at quota, so selection and replace are
+        identical, and every accepted merge sits at cand_rank 1."""
+        from data_transform_spark.pipeline.training import (
+            BPE_ROUNDS,
+            _bpe_train,
+            _bpe_train_batched,
+        )
+
+        batched = _bpe_train_batched(spark, sf_dir, BPE_ROUNDS, 1)
+        assert all(rk == 1 for (_r, rk, *_rest) in batched)
+        assert [
+            (r, a, b, m, c) for (r, _rk, a, b, m, c) in batched
+        ] == _bpe_train(spark, sf_dir)
+
+    def test_merge_table_matches_canonical_python_batched_bpe(
+        self, spark, sf_dir
+    ):
+        """From-scratch python replay of the whole batched trainer on the
+        live fixture: word counts, per-round pair counts, (count DESC,
+        pair) ranking over the top 8·B candidates, the greedy-disjoint
+        scan, and greedy-leftmost merge application in rank order."""
+        from collections import Counter
+
+        import duckdb
+
+        from data_transform_spark.pipeline.training import (
+            BPE_BATCH,
+            BPE_BATCH_CAND_FACTOR,
+            BPE_BATCH_ROUNDS,
+        )
+        from data_transform_spark.registry import QUERIES
+
+        rows = duckdb.sql(
+            f"select text from '{sf_dir}/documents.parquet'"
+        ).fetchall()
+        wc = Counter(w for (t,) in rows for w in t.split(" ") if w)
+        words = {w: list(w) for w in wc}
+        cand = BPE_BATCH_CAND_FACTOR * BPE_BATCH
+        want = []
+        for r in range(1, BPE_BATCH_ROUNDS + 1):
+            pc = Counter()
+            for w, syms in words.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += wc[w]
+            if not pc:
+                break
+            ranked = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            taken: set = set()
+            n_acc = 0
+            for rk, ((a, b), cnt) in enumerate(ranked[:cand], start=1):
+                if n_acc >= BPE_BATCH:
+                    break
+                if a in taken or b in taken:
+                    continue
+                taken.update((a, b))
+                n_acc += 1
+                want.append((r, rk, a, b, a + b, cnt))
+                for w, syms in words.items():
+                    out, i = [], 0
+                    while i < len(syms):
+                        if (
+                            i + 1 < len(syms)
+                            and syms[i] == a
+                            and syms[i + 1] == b
+                        ):
+                            out.append(a + b)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    words[w] = out
+
+        got = [
+            (
+                r.merge_round,
+                r.cand_rank,
+                r.pair_a,
+                r.pair_b,
+                r.merged,
+                r.pair_count,
+            )
+            for r in QUERIES["vocab_bpe_batched"](spark, sf_dir).collect()
+        ]
+        assert got == want
+
+    def test_batching_is_nontrivial_on_fixture(self, spark, sf_dir):
+        """Non-degeneracy: on the live fixture some round must accept more
+        than one merge (the batch actually batches) AND some accepted
+        merge must sit at a cand_rank beyond its acceptance position (the
+        disjointness filter actually skipped an overlapping candidate) —
+        otherwise the key is exercising neither of its two mechanisms."""
+        from collections import Counter
+
+        from data_transform_spark.registry import QUERIES
+
+        rows = QUERIES["vocab_bpe_batched"](spark, sf_dir).collect()
+        per_round = Counter(r.merge_round for r in rows)
+        assert max(per_round.values()) > 1
+        assert any(
+            r.cand_rank > per_round[r.merge_round] for r in rows
+        ), "no candidate was ever skipped — disjointness untested"
+
+
 class TestBpeBytes:
     """Byte-level BPE (vocab_bpe_bytes / tokenize_bpe_bytes): GPT-2-style
     256-symbol base alphabet over UTF-8 bytes, rendered as 2-char hex."""
