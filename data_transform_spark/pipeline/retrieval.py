@@ -202,6 +202,43 @@ def _rrf_oracle() -> str:
     """
 
 
+def _rrf_corpus(spark, sf_dir):
+    """The retrieval corpus — documents that carry an embedding, with
+    token array and double-cast embedding (shared by _rrf_rankings and
+    the graded-qrel construction so the two can never drift)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    return d.join(e, "doc_id").select(
+        F.col("doc_id").alias("id"), "toks", "emb"
+    )
+
+
+def _vec_scored_pairs(corpus):
+    """All (query, candidate) cosine pairs — queries broadcast against the
+    corpus, self excluded, scores rounded to 6dp (the cross-engine rank
+    discipline). Feeds both the vector ranking and the graded-qrel
+    cosine band."""
+    from data_transform_spark.pipeline.similarity import _cos
+
+    q_emb = corpus.filter(F.col("id") < RRF_N_QUERIES).select(
+        F.col("id").alias("qid"), F.col("emb").alias("q_emb")
+    )
+    return (
+        F.broadcast(q_emb)
+        .join(corpus.select("id", "emb"), F.col("id") != F.col("qid"))
+        .select(
+            "qid",
+            "id",
+            F.round(_cos(F.col("q_emb"), F.col("emb")), 6).alias("score"),
+        )
+    )
+
+
 def _rrf_rankings(spark, sf_dir):
     """Hybrid retrieval with Reciprocal Rank Fusion: for each query doc
     (id < {RRF_N_QUERIES}, over the documents ⋈ embeddings corpus — docs
@@ -223,18 +260,7 @@ def _rrf_rankings(spark, sf_dir):
     Rankings use (round(score, 6) DESC, id) so cross-engine sub-ulp float
     noise cannot reorder; RRF terms divide integers (IEEE-identical both
     engines) and sum in fixed order."""
-    from data_transform_spark.pipeline.similarity import _cos
-
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("toks")
-    )
-    e = load_table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("doc_id"),
-        F.col("embedding").cast("array<double>").alias("emb"),
-    )
-    corpus = d.join(e, "doc_id").select(
-        F.col("doc_id").alias("id"), "toks", "emb"
-    )
+    corpus = _rrf_corpus(spark, sf_dir)
     dl = corpus.select("id", F.size("toks").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n"),
@@ -274,14 +300,7 @@ def _rrf_rankings(spark, sf_dir):
         .filter(F.col("r") <= RRF_SYS_TOPK)
         .select("qid", "id", "r")
     )
-    q_emb = queries.select(F.col("id").alias("qid"), F.col("emb").alias("q_emb"))
-    vec_scored = (
-        F.broadcast(q_emb)
-        .join(corpus.select("id", "emb"), F.col("id") != F.col("qid"))
-        .select(
-            "qid", "id", F.round(_cos(F.col("q_emb"), F.col("emb")), 6).alias("score")
-        )
-    )
+    vec_scored = _vec_scored_pairs(corpus)
     vec_rank = (
         vec_scored.withColumn("r", F.row_number().over(w_sys))
         .filter(F.col("r") <= RRF_SYS_TOPK)
@@ -711,5 +730,378 @@ def search_eval_labels(spark, sf_dir):
         F.floor((2 * F.sum("r_u") + nq) / (2.0 * nq))
         .cast("long")
         .alias("macro_r_at_k_u"),
+    ).select(F.lit("random").alias("system"), "*")
+    return systems.unionByName(rnd_row)
+
+
+# --- Graded retrieval evaluation (r12 VERDICT #4) -------------------------
+# search_eval_labels' qrels are binary (label match). Real retrieval evals
+# grade: a result can be partially relevant. The fixture ships no human
+# judgments, so the graded qrels are DERIVED deterministically from fixture
+# structure: grade 2 = shares the query's embedding label (the strong
+# signal), grade 1 = same language AND embedding cosine >= GRADE1_COS
+# without a label match (a topical near-neighbor: GRADE1_COS=0.15 is the
+# measured p90 of the query-corpus cosine distribution at every SF, giving
+# ~12 grade-1 docs per query vs ~50 grade-2 — non-degenerate, and stated
+# as the proxy it is). nDCG@K uses the standard 2^rel - 1 gains (3, 1)
+# with integer-exact arithmetic: per-position terms quantize to micro-
+# units via floor((g*1e6)*ln(2)/ln(i+1) + 0.5) — ln on integer-valued
+# doubles is the same libm bit pattern in Spark, DuckDB and python (the
+# established micronat idiom), products/divisions of identical doubles
+# are IEEE-identical, so the quantized terms agree bitwise and all
+# downstream sums/ratios are integer.
+GRADE1_COS = 0.15
+
+
+def _dcg_term_sql(gain: str, pos: str) -> str:
+    """floor((g·1e6)·ln2/ln(i+1) + 0.5) — the shared micro-unit DCG term."""
+    return f"floor(({gain} * 1000000) * ln(2) / ln({pos} + 1) + 0.5)"
+
+
+def _search_eval_graded_oracle() -> str:
+    rrf_sql = _rrf_oracle()
+    ctes, final = rrf_sql.split("\n    SELECT query_id,", 1)
+    idcg_body = f"""CAST(list_sum(list_transform(
+                   generate_series(1, {EVAL_K}),
+                   i -> CASE WHEN i <= least(n2, {EVAL_K})
+                             THEN {_dcg_term_sql('3', 'i')}
+                             WHEN i <= least(n2 + n1, {EVAL_K})
+                             THEN {_dcg_term_sql('1', 'i')}
+                             ELSE 0 END)) AS BIGINT)"""
+    w_unit = f"""CAST(list_sum(list_transform(
+                   generate_series(1, {EVAL_K}),
+                   i -> {_dcg_term_sql('1', 'i')})) AS BIGINT)"""
+    return f"""{ctes},
+    rrf_ranked AS (
+        SELECT query_id,{final}
+    ),
+    labs AS (
+        SELECT e.vec_id AS id, e.label, d.lang
+        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    ),
+    qinfo AS (SELECT id AS qid, label AS qlabel, lang AS qlang
+              FROM labs WHERE id < {RRF_N_QUERIES}),
+    qrels AS (
+        SELECT v.qid, v.id,
+               CASE WHEN c.label = q.qlabel THEN 2 ELSE 1 END AS grade
+        FROM vec_scored v
+        JOIN qinfo q ON q.qid = v.qid
+        JOIN labs c ON c.id = v.id
+        WHERE c.label = q.qlabel
+           OR (c.lang = q.qlang AND v.score >= {GRADE1_COS})
+    ),
+    counts AS (
+        SELECT qid,
+               CAST(sum(CASE WHEN grade = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n2,
+               CAST(sum(CASE WHEN grade = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1
+        FROM qrels GROUP BY qid
+    ),
+    ideal AS (
+        SELECT qid, n2, n1, n2 + n1 AS n_rel,
+               {idcg_body} AS idcg_u
+        FROM counts
+    ),
+    sys AS (
+        SELECT 'bm25' AS system, qid, id, r FROM lex_rank
+        WHERE r <= {EVAL_K}
+        UNION ALL
+        SELECT 'cosine', qid, id, r FROM vec_rank WHERE r <= {EVAL_K}
+        UNION ALL
+        SELECT 'rrf', query_id AS qid, id, rank AS r FROM rrf_ranked
+        WHERE rank <= {EVAL_K}
+    ),
+    gains AS (
+        SELECT s.system, s.qid, s.r,
+               COALESCE(CASE WHEN qr.grade = 2 THEN 3
+                             WHEN qr.grade = 1 THEN 1 END, 0) AS g
+        FROM sys s
+        LEFT JOIN qrels qr ON qr.qid = s.qid AND qr.id = s.id
+    ),
+    dcg AS (
+        SELECT system, qid,
+               CAST(sum({_dcg_term_sql('g', 'r')}) AS BIGINT) AS dcg_u,
+               CAST(sum(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS BIGINT) AS h
+        FROM gains GROUP BY system, qid
+    ),
+    perq AS (
+        SELECT d.system, d.qid, d.h, i.n_rel,
+               CAST(floor((2 * d.h * 1000000 + i.n_rel)
+                          / (2.0 * i.n_rel)) AS BIGINT) AS r_u,
+               CAST(floor((2 * d.dcg_u * 1000000 + i.idcg_u)
+                          / (2.0 * i.idcg_u)) AS BIGINT) AS ndcg_u
+        FROM dcg d JOIN ideal i USING (qid)
+        WHERE i.idcg_u > 0
+    ),
+    rnd AS (
+        SELECT i.qid,
+               CAST(floor((2 * i.n_rel * 1000000 + (t.N - 1))
+                          / (2.0 * (t.N - 1))) AS BIGINT) AS p_u,
+               CAST(floor((2 * {EVAL_K} * 1000000 + (t.N - 1))
+                          / (2.0 * (t.N - 1))) AS BIGINT) AS r_u,
+               CAST(floor((2 * CAST(floor(
+                        (2 * (3 * i.n2 + i.n1) * w.w_u + (t.N - 1))
+                        / (2.0 * (t.N - 1))) AS BIGINT) * 1000000
+                        + i.idcg_u)
+                     / (2.0 * i.idcg_u)) AS BIGINT) AS ndcg_u
+        FROM ideal i, (SELECT count(*) AS N FROM labs) t,
+             (SELECT {w_unit} AS w_u) w
+        WHERE i.idcg_u > 0
+    )
+    SELECT system, CAST(count(*) AS BIGINT) AS n_queries,
+           CAST({EVAL_K} AS BIGINT) AS k,
+           CAST(floor((2 * sum(h) * 1000000 + count(*) * {EVAL_K})
+                      / (2.0 * count(*) * {EVAL_K})) AS BIGINT)
+               AS macro_p_at_k_u,
+           CAST(floor((2 * sum(r_u) + count(*)) / (2.0 * count(*)))
+                AS BIGINT) AS macro_r_at_k_u,
+           CAST(floor((2 * sum(ndcg_u) + count(*)) / (2.0 * count(*)))
+                AS BIGINT) AS macro_ndcg_at_k_u
+    FROM perq GROUP BY system
+    UNION ALL
+    SELECT 'random', CAST(count(*) AS BIGINT), CAST({EVAL_K} AS BIGINT),
+           CAST(floor((2 * sum(p_u) + count(*)) / (2.0 * count(*)))
+                AS BIGINT),
+           CAST(floor((2 * sum(r_u) + count(*)) / (2.0 * count(*)))
+                AS BIGINT),
+           CAST(floor((2 * sum(ndcg_u) + count(*)) / (2.0 * count(*)))
+                AS BIGINT)
+    FROM rnd
+    """
+
+
+def _dcg_term(gain, pos):
+    """Spark twin of _dcg_term_sql — identical expression shape so the
+    doubles agree bitwise: (g·1e6)·ln2/ln(i+1), one rounding per op."""
+    return F.floor(
+        (gain * F.lit(1_000_000))
+        * F.log(F.lit(2.0))
+        / F.log(pos + F.lit(1))
+        + F.lit(0.5)
+    )
+
+
+@register("search_eval_graded", oracle=_search_eval_graded_oracle())
+def search_eval_graded(spark, sf_dir):
+    """GRADED retrieval evaluation — search_eval_labels upgraded from the
+    binary label proxy to a two-level graded qrel set derived from fixture
+    structure (grade 2 = label match; grade 1 = same-language cosine-band
+    neighbor, round(cos,6) >= {GRADE1_COS} without a label match), scored
+    with nDCG@{EVAL_K} (gains 2^rel−1 = 3/1, the standard formulation)
+    alongside binary P/R@{EVAL_K} (relevant = grade >= 1) and the analytic
+    random baseline (expected per-position gain (3·n2+n1)/(N−1) times the
+    unit-gain DCG weight sum).
+
+    Exactness: every DCG term quantizes to integer micro-units via
+    floor((g·1e6)·ln2/ln(rank+1) + 0.5) — the libm-on-integers idiom, so
+    Spark/DuckDB terms agree bitwise and DCG/IDCG/nDCG are pure-integer
+    sums and half-up ratios in any aggregation order. Rankings come from
+    _rrf_rankings VERBATIM and the qrel cosine band reuses
+    _vec_scored_pairs — eval, fused key, and truth share one pipeline.
+
+    Honesty note (inherited from search_eval_labels and stated in the
+    table's contract): the qrels are structural proxies, not human
+    judgments — and the grade-1 band derives from the embedding geometry
+    itself, so the vector system is favored by construction on grade-1
+    rows (its near-misses are graded partially relevant; BM25's lexical
+    near-misses are not). The fixture numbers read accordingly: at sf0.1
+    cosine nDCG@10 = 0.209 while bm25 = 0.109 ≈ random's 0.109 — the
+    grade-2 (label) rows are the system-neutral signal, grade-1 rows
+    reward semantic closeness by definition. What the table certifies is
+    the nDCG machinery and the relative ordering under a STATED graded
+    truth; swap in real judgments and nothing else changes. Scale: qrel
+    construction is |Q|·N cosine pairs — at 100 TB the judgment set is
+    an offline artifact and this key's eval joins are query-panel-
+    sized."""
+    lex, vec, rrf = _rrf_rankings(spark, sf_dir)
+    corpus = _rrf_corpus(spark, sf_dir)
+    langs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "lang"
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), "label"
+    )
+    labs = e.join(langs, "id").join(corpus.select("id"), "id")
+    qinfo = labs.filter(F.col("id") < RRF_N_QUERIES).select(
+        F.col("id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("lang").alias("qlang"),
+    )
+    vs = _vec_scored_pairs(corpus)
+    qrels = (
+        vs.join(F.broadcast(qinfo), "qid")
+        .join(
+            labs.select(
+                "id", F.col("label").alias("clabel"), F.col("lang").alias("clang")
+            ),
+            "id",
+        )
+        .filter(
+            (F.col("clabel") == F.col("qlabel"))
+            | (
+                (F.col("clang") == F.col("qlang"))
+                & (F.col("score") >= GRADE1_COS)
+            )
+        )
+        .select(
+            "qid",
+            "id",
+            F.when(F.col("clabel") == F.col("qlabel"), 2)
+            .otherwise(1)
+            .alias("grade"),
+        )
+    )
+    counts = qrels.groupBy("qid").agg(
+        F.sum(F.when(F.col("grade") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("grade") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+    )
+    n2, n1 = F.col("n2"), F.col("n1")
+    idcg_terms = F.transform(
+        F.sequence(F.lit(1), F.lit(EVAL_K)),
+        lambda i: F.when(
+            i.cast("long") <= F.least(n2, F.lit(EVAL_K).cast("long")),
+            _dcg_term(F.lit(3), i),
+        )
+        .when(
+            i.cast("long") <= F.least(n2 + n1, F.lit(EVAL_K).cast("long")),
+            _dcg_term(F.lit(1), i),
+        )
+        .otherwise(F.lit(0.0)),
+    )
+    ideal = counts.select(
+        "qid",
+        "n2",
+        "n1",
+        (n2 + n1).alias("n_rel"),
+        F.aggregate(
+            idcg_terms, F.lit(0.0), lambda a, x: a + x
+        )
+        .cast("long")
+        .alias("idcg_u"),
+    ).filter(F.col("idcg_u") > 0)
+    sys = (
+        lex.filter(F.col("r") <= EVAL_K)
+        .select(F.lit("bm25").alias("system"), "qid", "id", "r")
+        .unionByName(
+            vec.filter(F.col("r") <= EVAL_K).select(
+                F.lit("cosine").alias("system"), "qid", "id", "r"
+            )
+        )
+        .unionByName(
+            rrf.filter(F.col("rank") <= EVAL_K).select(
+                F.lit("rrf").alias("system"),
+                F.col("query_id").alias("qid"),
+                "id",
+                F.col("rank").alias("r"),
+            )
+        )
+    )
+    gains = sys.join(qrels, ["qid", "id"], "left").select(
+        "system",
+        "qid",
+        "r",
+        F.coalesce(
+            F.when(F.col("grade") == 2, 3).when(F.col("grade") == 1, 1),
+            F.lit(0),
+        ).alias("g"),
+    )
+    dcg = gains.groupBy("system", "qid").agg(
+        F.sum(_dcg_term(F.col("g"), F.col("r"))).cast("long").alias("dcg_u"),
+        F.sum(F.when(F.col("g") > 0, 1).otherwise(0)).cast("long").alias("h"),
+    )
+    perq = dcg.join(F.broadcast(ideal), "qid").select(
+        "system",
+        "h",
+        F.floor(
+            (2 * F.col("h") * F.lit(1_000_000) + F.col("n_rel"))
+            / (2.0 * F.col("n_rel"))
+        )
+        .cast("long")
+        .alias("r_u"),
+        F.floor(
+            (2 * F.col("dcg_u") * F.lit(1_000_000) + F.col("idcg_u"))
+            / (2.0 * F.col("idcg_u"))
+        )
+        .cast("long")
+        .alias("ndcg_u"),
+    )
+    nq = F.count(F.lit(1))
+    systems = perq.groupBy("system").agg(
+        nq.cast("long").alias("n_queries"),
+        F.lit(EVAL_K).cast("long").alias("k"),
+        F.floor(
+            (2 * F.sum("h") * F.lit(1_000_000) + nq * EVAL_K)
+            / (2.0 * nq * EVAL_K)
+        )
+        .cast("long")
+        .alias("macro_p_at_k_u"),
+        F.floor((2 * F.sum("r_u") + nq) / (2.0 * nq))
+        .cast("long")
+        .alias("macro_r_at_k_u"),
+        F.floor((2 * F.sum("ndcg_u") + nq) / (2.0 * nq))
+        .cast("long")
+        .alias("macro_ndcg_at_k_u"),
+    )
+    w_u = (
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(EVAL_K)),
+                lambda i: _dcg_term(F.lit(1), i),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        .cast("long")
+        .alias("w_u")
+    )
+    n_corpus = labs.agg(F.count(F.lit(1)).alias("N"))
+    rnd_dcg_u = F.floor(
+        (
+            2 * (3 * F.col("n2") + F.col("n1")) * F.col("w_u")
+            + (F.col("N") - 1)
+        )
+        / (2.0 * (F.col("N") - 1))
+    ).cast("long")
+    rnd = (
+        ideal.crossJoin(F.broadcast(n_corpus))
+        .crossJoin(F.broadcast(spark.range(1).select(w_u)))
+        .select(
+            F.floor(
+                (2 * F.col("n_rel") * F.lit(1_000_000) + (F.col("N") - 1))
+                / (2.0 * (F.col("N") - 1))
+            )
+            .cast("long")
+            .alias("p_u"),
+            F.floor(
+                (2 * EVAL_K * F.lit(1_000_000) + (F.col("N") - 1))
+                / (2.0 * (F.col("N") - 1))
+            )
+            .cast("long")
+            .alias("r_u"),
+            F.floor(
+                (2 * rnd_dcg_u * F.lit(1_000_000) + F.col("idcg_u"))
+                / (2.0 * F.col("idcg_u"))
+            )
+            .cast("long")
+            .alias("ndcg_u"),
+        )
+    )
+    rnd_row = rnd.agg(
+        nq.cast("long").alias("n_queries"),
+        F.lit(EVAL_K).cast("long").alias("k"),
+        F.floor((2 * F.sum("p_u") + nq) / (2.0 * nq))
+        .cast("long")
+        .alias("macro_p_at_k_u"),
+        F.floor((2 * F.sum("r_u") + nq) / (2.0 * nq))
+        .cast("long")
+        .alias("macro_r_at_k_u"),
+        F.floor((2 * F.sum("ndcg_u") + nq) / (2.0 * nq))
+        .cast("long")
+        .alias("macro_ndcg_at_k_u"),
     ).select(F.lit("random").alias("system"), "*")
     return systems.unionByName(rnd_row)

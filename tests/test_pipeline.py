@@ -2947,3 +2947,152 @@ class TestSearchEvalLabels:
         assert got["cosine"][1] > got["random"][1], (
             "cosine failed to beat the random baseline"
         )
+
+
+class TestSearchEvalGraded:
+    def test_ndcg_replay_and_grading_semantics(self, spark, sf_dir):
+        """Every row of the graded eval must equal a from-scratch python
+        replay of the grading + nDCG arithmetic over the registered
+        rankings and the shared cosine frame: grade 2 = label match,
+        grade 1 = same-lang cosine-band, micro-unit DCG terms via
+        floor((g·1e6)·ln2/ln(i+1)+0.5), half-up nDCG ratios, integer
+        macro means, the analytic random row. Non-degeneracy: the
+        grade-1 band must be non-empty (else the key degenerates to
+        search_eval_labels) and cosine must beat random on nDCG."""
+        import math
+        from collections import defaultdict
+
+        import duckdb
+
+        from data_transform_spark.pipeline.retrieval import (
+            EVAL_K,
+            GRADE1_COS,
+            RRF_N_QUERIES,
+            _rrf_corpus,
+            _rrf_rankings,
+            _vec_scored_pairs,
+        )
+
+        labs = {
+            vid: (label, lang)
+            for vid, label, lang in duckdb.sql(
+                f"""SELECT e.vec_id, e.label, d.lang
+                    FROM '{sf_dir}/embeddings.parquet' e
+                    JOIN '{sf_dir}/documents.parquet' d
+                      ON d.doc_id = e.vec_id"""
+            ).fetchall()
+        }
+        n_corpus = len(labs)
+
+        # qrels from the SHARED cosine frame (its 6dp discipline is
+        # pinned elsewhere; this test verifies the eval arithmetic)
+        vs = _vec_scored_pairs(_rrf_corpus(spark, sf_dir)).collect()
+        qrels: dict = defaultdict(dict)
+        for r in vs:
+            q, c = r["qid"], r["id"]
+            if labs[c][0] == labs[q][0]:
+                qrels[q][c] = 2
+            elif labs[c][1] == labs[q][1] and r["score"] >= GRADE1_COS:
+                qrels[q][c] = 1
+        assert any(
+            1 in g.values() for g in qrels.values()
+        ), "grade-1 band empty — graded eval degenerates to binary"
+
+        def term(g, i):
+            return math.floor(
+                (g * 1_000_000) * math.log(2) / math.log(i + 1) + 0.5
+            )
+
+        ideal = {}
+        for q, g in qrels.items():
+            n2 = sum(1 for v in g.values() if v == 2)
+            n1 = sum(1 for v in g.values() if v == 1)
+            idcg = sum(
+                term(3, i) if i <= min(n2, EVAL_K)
+                else (term(1, i) if i <= min(n2 + n1, EVAL_K) else 0)
+                for i in range(1, EVAL_K + 1)
+            )
+            if idcg > 0:
+                ideal[q] = (n2, n1, n2 + n1, idcg)
+
+        lex, vec, rrf = _rrf_rankings(spark, sf_dir)
+        ranked = {
+            "bm25": [
+                (r["qid"], r["id"], r["r"])
+                for r in lex.filter(lex.r <= EVAL_K).collect()
+            ],
+            "cosine": [
+                (r["qid"], r["id"], r["r"])
+                for r in vec.filter(vec.r <= EVAL_K).collect()
+            ],
+            "rrf": [
+                (r["query_id"], r["id"], r["rank"])
+                for r in rrf.filter(rrf.rank <= EVAL_K).collect()
+            ],
+        }
+        want = {}
+        for name, rows in ranked.items():
+            dcg: dict = defaultdict(int)
+            hits: dict = defaultdict(int)
+            seen_q = set()
+            for q, c, rk in rows:
+                seen_q.add(q)
+                grade = qrels[q].get(c, 0)
+                g = {2: 3, 1: 1}.get(grade, 0)  # gain = 2^rel - 1
+                dcg[q] += term(g, rk)
+                hits[q] += 1 if g > 0 else 0
+            qs = [q for q in seen_q if q in ideal]
+            nq = len(qs)
+            p = (2 * sum(hits[q] for q in qs) * 1_000_000 + nq * EVAL_K) // (
+                2 * nq * EVAL_K
+            )
+            rus = [
+                (2 * hits[q] * 1_000_000 + ideal[q][2]) // (2 * ideal[q][2])
+                for q in qs
+            ]
+            nds = [
+                (2 * dcg[q] * 1_000_000 + ideal[q][3]) // (2 * ideal[q][3])
+                for q in qs
+            ]
+            want[name] = (
+                nq,
+                p,
+                (2 * sum(rus) + nq) // (2 * nq),
+                (2 * sum(nds) + nq) // (2 * nq),
+            )
+        w_u = sum(term(1, i) for i in range(1, EVAL_K + 1))
+        nq = len(ideal)
+        pus, rus, nds = [], [], []
+        for q, (n2, n1, n_rel, idcg) in ideal.items():
+            pus.append(
+                (2 * n_rel * 1_000_000 + (n_corpus - 1))
+                // (2 * (n_corpus - 1))
+            )
+            rus.append(
+                (2 * EVAL_K * 1_000_000 + (n_corpus - 1))
+                // (2 * (n_corpus - 1))
+            )
+            rd = (2 * (3 * n2 + n1) * w_u + (n_corpus - 1)) // (
+                2 * (n_corpus - 1)
+            )
+            nds.append((2 * rd * 1_000_000 + idcg) // (2 * idcg))
+        want["random"] = (
+            nq,
+            (2 * sum(pus) + nq) // (2 * nq),
+            (2 * sum(rus) + nq) // (2 * nq),
+            (2 * sum(nds) + nq) // (2 * nq),
+        )
+
+        got = {
+            r["system"]: (
+                r["n_queries"],
+                r["macro_p_at_k_u"],
+                r["macro_r_at_k_u"],
+                r["macro_ndcg_at_k_u"],
+            )
+            for r in QUERIES["search_eval_graded"](spark, sf_dir).collect()
+        }
+        assert got == want
+        assert got["cosine"][3] > got["random"][3], (
+            "cosine failed to beat the random baseline on nDCG"
+        )
