@@ -1120,7 +1120,11 @@ def _bpe_batched_cte_chain(
     WHERE n_acc < batch guard stops it at quota) → fold the accepted
     replaces with list_reduce (order irrelevant — disjoint — but applied
     in rank order to mirror the driver). Emits ``WITH RECURSIVE``; callers
-    append the final SELECT."""
+    append the final SELECT. w0/w{r} are MATERIALIZED: each w feeds both
+    the next round's pair counts and the next w (two references), and
+    DuckDB's inliner otherwise duplicates the subtree per round —
+    measured 142.7 s -> ~13 s on the 10x-fixture oracle check (the
+    established chained-CTE trap, SCALING.md round-12 note)."""
     seq0_sql = seq0_sql or (
         "' ' || array_to_string("
         "list_transform(generate_series(1, length(word)), "
@@ -1129,7 +1133,7 @@ def _bpe_batched_cte_chain(
     cand = BPE_BATCH_CAND_FACTOR * batch
     parts = [
         f"""
-    WITH RECURSIVE {ns}w0 AS (
+    WITH RECURSIVE {ns}w0 AS MATERIALIZED (
         SELECT word, count(*) AS cnt,
                {seq0_sql} AS seq
         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
@@ -1180,7 +1184,7 @@ def _bpe_batched_cte_chain(
                              ORDER BY cand_rank), []) AS prs
         FROM {ns}m{r}
     ),
-    {ns}w{r} AS (
+    {ns}w{r} AS MATERIALIZED (
         SELECT word, cnt,
                list_reduce(list_prepend(seq, prs),
                    (s2, x) -> replace(s2, string_split(x, chr(1))[1],
