@@ -1206,6 +1206,61 @@ _VOCAB_BPE_BATCHED_ORACLE = (
 )
 
 
+_TOKENIZE_BPE_BATCHED_ORACLE = (
+    _bpe_batched_cte_chain(BPE_BATCH_ROUNDS, BPE_BATCH)
+    + f""",
+    wt AS (
+        SELECT word, len(string_split(trim(seq), '  ')) AS n_bpe,
+               length(word) AS n_chars
+        FROM w{BPE_BATCH_ROUNDS}
+    )
+    SELECT doc_id, count(*) AS n_words,
+           CAST(sum(n_chars) AS BIGINT) AS n_char_tokens,
+           CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents) dw
+    JOIN wt USING (word)
+    GROUP BY doc_id
+"""
+)
+
+
+@register("tokenize_bpe_batched", oracle=_TOKENIZE_BPE_BATCHED_ORACLE)
+def tokenize_bpe_batched(spark, sf_dir):
+    """Encode with the BATCHED trainer's merges — the encoder that makes
+    vocab_bpe_batched a usable tokenizer, not just a merge table: merges
+    apply in learned order ((round, cand_rank) ascending — within a round
+    order is immaterial because the accepted pairs are symbol-disjoint,
+    but the deterministic order keeps the replace chain auditable), over
+    DISTINCT words, broadcast-joined back to the corpus (the tokenize_bpe
+    plan shape verbatim). Per document: word count, character token
+    count, post-merge BPE token count."""
+    merges = _bpe_train_batched(
+        spark, sf_dir, BPE_BATCH_ROUNDS, BPE_BATCH
+    )
+    seq = _bpe_seq0(F.col("word"))
+    for _r, _rk, a, b, m, _c in merges:
+        seq = F.replace(seq, F.lit(f" {a}  {b} "), F.lit(f" {m} "))
+    wtok = _bpe_words(spark, sf_dir).select(
+        "word",
+        F.size(F.split(F.trim(seq), "  ")).alias("n_bpe"),
+        F.length("word").alias("n_chars"),
+    )
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        docs.join(F.broadcast(wtok), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_chars").cast("long").alias("n_char_tokens"),
+            F.sum("n_bpe").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
 @register("vocab_bpe_batched", oracle=_VOCAB_BPE_BATCHED_ORACLE)
 def vocab_bpe_batched(spark, sf_dir):
     """Batched-merge BPE trainer — the production-vocabulary shape of

@@ -780,6 +780,63 @@ class TestBpeBatched:
         ]
         assert got == want
 
+    def test_batched_encoding_round_trips_and_counts_match_gold(
+        self, spark, sf_dir
+    ):
+        """The batched encoder must (a) never lose characters — a word's
+        BPE tokens concatenate back to the word — and (b) match a python
+        greedy-leftmost application of the batched merge table."""
+        from collections import Counter
+
+        import duckdb
+        from pyspark.sql import functions as F
+
+        from data_transform_spark.pipeline.training import (
+            BPE_BATCH,
+            BPE_BATCH_ROUNDS,
+            _bpe_seq0,
+            _bpe_train_batched,
+            _bpe_words,
+        )
+
+        merges = _bpe_train_batched(
+            spark, sf_dir, BPE_BATCH_ROUNDS, BPE_BATCH
+        )
+        assert len(merges) > 0
+        seq = _bpe_seq0(F.col("word"))
+        for _r, _rk, a, b, m, _c in merges:
+            seq = F.replace(seq, F.lit(f" {a}  {b} "), F.lit(f" {m} "))
+        enc = (
+            _bpe_words(spark, sf_dir)
+            .select("word", F.split(F.trim(seq), "  ").alias("toks"))
+            .select(
+                "word",
+                F.size("toks").alias("n_bpe"),
+                F.array_join("toks", "").alias("rejoined"),
+            )
+            .collect()
+        )
+        for r in enc:
+            assert r.rejoined == r.word, f"round-trip lost chars: {r}"
+        rows = duckdb.sql(
+            f"select text from '{sf_dir}/documents.parquet'"
+        ).fetchall()
+        wc = Counter(w for (t,) in rows for w in t.split(" ") if w)
+        words = {w: list(w) for w in wc}
+        for _r, _rk, a, b, m, _c in merges:
+            for w, syms in words.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(m)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                words[w] = out
+        got = {r.word: r.n_bpe for r in enc}
+        assert got == {w: len(s) for w, s in words.items()}
+
     def test_batching_is_nontrivial_on_fixture(self, spark, sf_dir):
         """Non-degeneracy: on the live fixture some round must accept more
         than one merge (the batch actually batches) AND some accepted
