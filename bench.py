@@ -137,8 +137,15 @@ OPTIONAL = [
     "events_forecast_model_select",
     # round-13: batched-merge BPE — benched alongside vocab_bpe above so
     # the committed JSON shows the A/B (12 merges in 3 driver syncs vs 8
-    # merges in 8; fewer rounds each doing a slightly wider top-K).
+    # merges in 8; fewer rounds each doing a slightly wider top-K) —
+    # plus the CCNet-style perplexity gate and the Heaps vocabulary
+    # curve (~0.7 s each warm). tokenize_bpe_batched shares tokenize_bpe's
+    # plan shape (excluded as a duplicate row); search_eval_graded is a
+    # composite of already-benched members (the search_eval_labels
+    # precedent).
     "vocab_bpe_batched",
+    "quality_lm_ppl",
+    "text_heaps_curve",
     # The heavyweight plans excluded from the median-of-3 headline —
     # pipeline_e2e_llm_v3/v4, sim_ann_ivfpq, dedup_image_phash,
     # sim_ann_index_compact, stream_dedup_incr — are all in TIER2 below

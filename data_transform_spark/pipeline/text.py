@@ -940,3 +940,187 @@ def quality_langid_eval(spark, sf_dir):
         .alias("cell_rate_u"),
         (F.col("lang") == F.col("pred_lang")).alias("is_correct"),
     )
+
+
+# --- Vocabulary-growth (Heaps' law) curve (round 13) ----------------------
+HEAPS_POINTS = 10  # checkpoints along the doc_id axis
+
+
+@register(
+    "text_heaps_curve",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ),
+    bounds AS (
+        SELECT CAST(min(doc_id) AS BIGINT) AS lo,
+               CAST(max(doc_id) AS BIGINT) AS hi
+        FROM d
+    ),
+    cps AS (
+        SELECT CAST(k AS BIGINT) AS k,
+               b.lo + CAST(floor(k * (b.hi - b.lo) / {HEAPS_POINTS}.0)
+                           AS BIGINT) AS cutoff_id
+        FROM unnest(generate_series(1, {HEAPS_POINTS})) AS u(k), bounds b
+    ),
+    doctok AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok FROM d),
+    tokside AS (
+        SELECT c.k, c.cutoff_id,
+               CAST(sum(CASE WHEN dt.doc_id <= c.cutoff_id THEN 1
+                        ELSE 0 END) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN dt.doc_id <= c.cutoff_id THEN dt.n_tok
+                        ELSE 0 END) AS BIGINT) AS cum_tokens
+        FROM doctok dt, cps c GROUP BY c.k, c.cutoff_id
+    ),
+    firsts AS (
+        SELECT w, CAST(min(doc_id) AS BIGINT) AS first_doc
+        FROM (SELECT doc_id, unnest(t) AS w FROM d)
+        GROUP BY w
+    ),
+    vocside AS (
+        SELECT c.k,
+               CAST(sum(CASE WHEN f.first_doc <= c.cutoff_id THEN 1
+                        ELSE 0 END) AS BIGINT) AS cum_vocab
+        FROM firsts f, cps c GROUP BY c.k
+    ),
+    curve AS (
+        SELECT t.k, t.cutoff_id, t.n_docs, t.cum_tokens, v.cum_vocab
+        FROM tokside t JOIN vocside v USING (k)
+    )
+    SELECT k, cutoff_id, n_docs, cum_tokens, cum_vocab,
+           CASE WHEN cum_tokens = 0 THEN 0
+                ELSE CAST(floor((2 * cum_vocab * 1000000 + cum_tokens)
+                                / (2.0 * cum_tokens)) AS BIGINT)
+           END AS ttr_u,
+           CASE WHEN lag(cum_tokens) OVER w IS NULL
+                  OR cum_tokens <= lag(cum_tokens) OVER w
+                  OR lag(cum_tokens) OVER w = 0
+                THEN 0
+                ELSE CAST(floor((ln(cum_vocab)
+                                 - ln(lag(cum_vocab) OVER w))
+                                / (ln(cum_tokens)
+                                   - ln(lag(cum_tokens) OVER w))
+                                * 1000000 + 0.5) AS BIGINT)
+           END AS beta_u
+    FROM curve
+    WINDOW w AS (ORDER BY k)
+    """,
+)
+def text_heaps_curve(spark, sf_dir):
+    """Vocabulary-growth curve (Heaps/Herdan law, V ≈ K·T^β) — the table
+    a pipeline owner reads before sizing a tokenizer vocabulary or
+    estimating dedup headroom: at {HEAPS_POINTS} checkpoints along the
+    doc_id axis (value-based cutoffs lo + ⌊k·span/{HEAPS_POINTS}⌋ — pure
+    aggregates, deliberately NOT rank-based, so no global sort exists
+    anywhere in the plan), report docs seen, cumulative tokens,
+    cumulative vocabulary (words whose FIRST occurrence is ≤ the cutoff
+    — a min-aggregate per word), half-up type-token ratio in micro-units,
+    and the local log-log slope β between consecutive checkpoints
+    (ln on integer-valued cumulative counts — the libm-on-integers
+    idiom — quantized half-up to micro-units; degenerate steps report 0).
+
+    Scale: two corpus scans (token counts; word→min(doc_id)) + a
+    10-row broadcast cross join for the conditional cumulative sums + a
+    10-row window for the slopes. The first-occurrence table is
+    vocabulary-sized; nothing shuffles more than once. A real 100 TB run
+    reads the curve to decide where vocabulary growth flattens (β→0 ⇒
+    more data stops buying new types ⇒ vocab size / dedup posture).
+
+    Fixture honesty: the synthetic corpus draws from a ~31-word pool, so
+    cum_vocab saturates before the FIRST checkpoint and every beta_u is
+    0 — which is the correct reading of that corpus, and the TTR column
+    still falls 1127→115 micro-units across checkpoints (pinned). The
+    positive-β regime is pinned by a test on a synthetic corpus with a
+    decaying fresh-word rate (β ≈ 0.5, strictly inside (0,1))."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("t")
+    )
+    bounds = d.agg(
+        F.min("doc_id").cast("long").alias("lo"),
+        F.max("doc_id").cast("long").alias("hi"),
+    )
+    cps = (
+        spark.range(1, HEAPS_POINTS + 1)
+        .select(F.col("id").cast("long").alias("k"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "k",
+            (
+                F.col("lo")
+                + F.floor(
+                    F.col("k") * (F.col("hi") - F.col("lo")) / float(HEAPS_POINTS)
+                ).cast("long")
+            ).alias("cutoff_id"),
+        )
+    )
+    doctok = d.select("doc_id", F.size("t").cast("long").alias("n_tok"))
+    tokside = (
+        doctok.crossJoin(F.broadcast(cps))
+        .groupBy("k", "cutoff_id")
+        .agg(
+            F.sum(F.when(F.col("doc_id") <= F.col("cutoff_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("doc_id") <= F.col("cutoff_id"), F.col("n_tok")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("cum_tokens"),
+        )
+    )
+    firsts = (
+        d.select("doc_id", F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").cast("long").alias("first_doc"))
+    )
+    vocside = (
+        firsts.crossJoin(F.broadcast(cps.select("k", "cutoff_id")))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(F.col("first_doc") <= F.col("cutoff_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("cum_vocab")
+        )
+    )
+    curve = tokside.join(vocside, "k")
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("k")
+    lag_t = F.lag("cum_tokens").over(w)
+    lag_v = F.lag("cum_vocab").over(w)
+    return curve.select(
+        "k",
+        "cutoff_id",
+        "n_docs",
+        "cum_tokens",
+        "cum_vocab",
+        F.when(F.col("cum_tokens") == 0, F.lit(0))
+        .otherwise(
+            F.floor(
+                (2 * F.col("cum_vocab") * F.lit(1_000_000) + F.col("cum_tokens"))
+                / (2.0 * F.col("cum_tokens"))
+            )
+        )
+        .cast("long")
+        .alias("ttr_u"),
+        F.when(
+            lag_t.isNull() | (F.col("cum_tokens") <= lag_t) | (lag_t == 0),
+            F.lit(0),
+        )
+        .otherwise(
+            F.floor(
+                (F.log(F.col("cum_vocab")) - F.log(lag_v))
+                / (F.log(F.col("cum_tokens")) - F.log(lag_t))
+                * 1_000_000
+                + 0.5
+            )
+        )
+        .cast("long")
+        .alias("beta_u"),
+    )

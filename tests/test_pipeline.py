@@ -3096,3 +3096,173 @@ class TestSearchEvalGraded:
         assert got["cosine"][3] > got["random"][3], (
             "cosine failed to beat the random baseline on nDCG"
         )
+
+
+class TestQualityLmPpl:
+    def test_matches_python_bigram_lm_replay(self, spark, sf_dir):
+        """Every per-doc row must equal a from-scratch python bigram-LM
+        replay: reference = en docs, add-one smoothing over |vocab|+1,
+        micronat transition costs floor((ln(ctx+V)-ln(big+1))*1e6+0.5),
+        half-up per-transition mean. Non-degeneracy: en must have the
+        strictly lowest mean xent_u of every language (the CCNet keep
+        signal points at the reference language), and xent_u must vary
+        across docs."""
+        import math
+        from collections import Counter, defaultdict
+
+        import duckdb
+
+        from data_transform_spark.pipeline.curation import LM_REF_LANG
+        from data_transform_spark.registry import QUERIES
+
+        rows = duckdb.sql(
+            f"select doc_id, lang, text from '{sf_dir}/documents.parquet'"
+        ).fetchall()
+        toks = {
+            d: [w for w in t.split(" ") if w] for d, _l, t in rows
+        }
+        lang = {d: l for d, l, _t in rows}
+        big: Counter = Counter()
+        ctx: Counter = Counter()
+        voc = set()
+        for d, t in toks.items():
+            if lang[d] != LM_REF_LANG:
+                continue
+            voc.update(t)
+            for a, b in zip(t, t[1:]):
+                big[(a, b)] += 1
+                ctx[a] += 1
+        V = len(voc) + 1
+        want = {}
+        for d, t in toks.items():
+            costs = [
+                math.floor(
+                    (math.log(ctx.get(a, 0) + V) - math.log(big.get((a, b), 0) + 1))
+                    * 1_000_000
+                    + 0.5
+                )
+                for a, b in zip(t, t[1:])
+            ]
+            n_trans = len(costs)
+            xent = (
+                0
+                if n_trans == 0
+                else (2 * sum(costs) + n_trans) // (2 * n_trans)
+            )
+            n_oov = sum(1 for w in t if w not in voc)
+            want[d] = (lang[d], len(t), n_oov, n_trans, xent)
+
+        got = {
+            r["doc_id"]: (
+                r["lang"], r["n_tokens"], r["n_oov"], r["n_trans"], r["xent_u"]
+            )
+            for r in QUERIES["quality_lm_ppl"](spark, sf_dir).collect()
+        }
+        assert got == want
+
+        by_lang = defaultdict(list)
+        for _d, (l, _n, _o, nt, x) in want.items():
+            if nt > 0:
+                by_lang[l].append(x)
+        means = {l: sum(v) / len(v) for l, v in by_lang.items()}
+        assert len(means) > 1
+        for l, m in means.items():
+            if l != LM_REF_LANG:
+                assert means[LM_REF_LANG] < m, (
+                    f"reference lang not lowest: en={means[LM_REF_LANG]} "
+                    f"{l}={m}"
+                )
+        assert len(set(x for v in by_lang.values() for x in v)) > 10
+
+
+class TestTextHeapsCurve:
+    def test_matches_python_replay_on_fixture(self, spark, sf_dir):
+        """Every checkpoint row must equal a from-scratch python replay:
+        value-based cutoffs lo + floor(k*span/10), cumulative tokens,
+        first-occurrence vocabulary, half-up TTR, micronat log-log slope.
+        Fixture honesty (pinned, not hidden): the synthetic corpus draws
+        from a ~31-word pool, so cum_vocab saturates before the first
+        checkpoint and every beta_u is 0 — TTR must still strictly
+        decrease (tokens grow, types don't)."""
+        import math
+        from collections import defaultdict
+
+        import duckdb
+
+        from data_transform_spark.pipeline.text import HEAPS_POINTS
+        from data_transform_spark.registry import QUERIES
+
+        rows = duckdb.sql(
+            f"select doc_id, text from '{sf_dir}/documents.parquet'"
+        ).fetchall()
+        toks = {d: [w for w in t.split(" ") if w] for d, t in rows}
+        lo, hi = min(toks), max(toks)
+        first = {}
+        for d in sorted(toks):
+            for w in toks[d]:
+                first.setdefault(w, d)
+        want = {}
+        prev = None
+        for k in range(1, HEAPS_POINTS + 1):
+            cut = lo + math.floor(k * (hi - lo) / HEAPS_POINTS)
+            nd = sum(1 for d in toks if d <= cut)
+            ct = sum(len(t) for d, t in toks.items() if d <= cut)
+            cv = sum(1 for w, d in first.items() if d <= cut)
+            ttr = 0 if ct == 0 else (2 * cv * 1_000_000 + ct) // (2 * ct)
+            if prev is None or ct <= prev[0] or prev[0] == 0:
+                beta = 0
+            else:
+                beta = math.floor(
+                    (math.log(cv) - math.log(prev[1]))
+                    / (math.log(ct) - math.log(prev[0]))
+                    * 1_000_000
+                    + 0.5
+                )
+            want[k] = (cut, nd, ct, cv, ttr, beta)
+            prev = (ct, cv)
+
+        got = {
+            r["k"]: (
+                r["cutoff_id"], r["n_docs"], r["cum_tokens"],
+                r["cum_vocab"], r["ttr_u"], r["beta_u"],
+            )
+            for r in QUERIES["text_heaps_curve"](spark, sf_dir).collect()
+        }
+        assert got == want
+        ttrs = [got[k][4] for k in sorted(got)]
+        assert ttrs == sorted(ttrs, reverse=True) and len(set(ttrs)) > 3, (
+            "TTR must strictly decrease as tokens accumulate"
+        )
+
+    def test_beta_positive_on_growing_vocabulary(self, spark, tmp_path):
+        """On a corpus whose vocabulary actually grows (fresh words per
+        doc plus a common stopword mass), the curve must report positive
+        local Heaps exponents strictly below 1 — the operator does
+        something the fixture's saturated pool cannot show."""
+        import pandas as pd
+
+        from data_transform_spark.registry import QUERIES
+
+        rows = []
+        for d in range(100):
+            # fresh-word rate decays ~1/sqrt(d) so vocabulary is genuinely
+            # sublinear in tokens (V ~ T^0.5) — a linear rate would sit at
+            # the beta = 1 boundary and discretization noise crosses it
+            fresh = max(1, int(8 / (1 + d) ** 0.5))
+            words = ["the", "of", "and"] * 10 + [
+                f"w{d}_{j}" for j in range(fresh)
+            ]
+            rows.append((d, " ".join(words)))
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+            f"{tmp_path}/documents.parquet"
+        )
+        out = {
+            r["k"]: r for r in QUERIES["text_heaps_curve"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        betas = [out[k]["beta_u"] for k in sorted(out) if k > 1]
+        assert all(0 < b < 1_000_000 for b in betas), betas
+        vocabs = [out[k]["cum_vocab"] for k in sorted(out)]
+        assert vocabs == sorted(vocabs) and vocabs[0] < vocabs[-1]
