@@ -959,3 +959,41 @@ def test_semdedup_pairs_are_cluster_equijoin_no_cartesian(spark, sf_dir):
         <= {"vec_id", "embedding"}
         for s in schemas
     ), schemas
+
+
+def test_lm_ppl_lang_filter_pushed_and_no_driver_collect(spark, sf_dir):
+    """quality_lm_ppl's reference subset must reach the parquet scan as a
+    pushed lang filter (the reference build reads only the en rows), the
+    documents read schema must prune to what the key uses, and the whole
+    fit+score must be ONE plan (no cartesian, no driver-side loop — the
+    key is a single DataFrame)."""
+    import re
+
+    p = plan_of(spark, "quality_lm_ppl", sf_dir)
+    assert "EqualTo(lang,en)" in p, "reference lang filter not pushed"
+    assert "CartesianProduct" not in p
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert schemas and all(
+        set(f.split(":")[0] for f in s.split(",") if f)
+        <= {"doc_id", "lang", "text"}
+        for s in schemas
+    ), schemas
+
+
+def test_heaps_curve_has_no_corpus_sort(spark, sf_dir):
+    """text_heaps_curve's design claim: value-based cutoffs mean NO
+    global sort or rank over the corpus exists anywhere in the plan —
+    the only Sort allowed is the 10-row checkpoint window's. Verify no
+    Sort node takes a corpus-sized input: every Sort in the plan must
+    sit above the checkpoint aggregation (keyed by k), never above a
+    documents scan, and no Window partitions the corpus."""
+    p = plan_of(spark, "text_heaps_curve", sf_dir)
+    assert "CartesianProduct" not in p
+    # the corpus side is consumed by hash aggregates only; the lag()
+    # window sorts the 10-row curve, which shows as a Sort whose input
+    # is the k-keyed aggregate, not a scan. A corpus sort would appear
+    # as Sort directly over the documents relation or an Exchange
+    # rangepartitioning over it.
+    assert "rangepartitioning" not in p.lower(), (
+        "range partitioning implies a global corpus sort"
+    )
