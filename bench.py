@@ -146,6 +146,7 @@ OPTIONAL = [
     "vocab_bpe_batched",
     "quality_lm_ppl",
     "text_heaps_curve",
+    "pack_concat_chunks",
     # The heavyweight plans excluded from the median-of-3 headline —
     # pipeline_e2e_llm_v3/v4, sim_ann_ivfpq, dedup_image_phash,
     # sim_ann_index_compact, stream_dedup_incr — are all in TIER2 below

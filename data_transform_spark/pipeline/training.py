@@ -130,6 +130,76 @@ def pack_sequences(spark, sf_dir):
     )
 
 
+@register(
+    "pack_concat_chunks",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tok,
+               CAST(sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED
+                                     PRECEDING) - n_tok AS BIGINT)
+                   AS start_tok
+        FROM t
+    )
+    SELECT doc_id, n_tok, start_tok,
+           CAST(floor(start_tok / {PACK_BUDGET}) AS BIGINT) AS first_pack,
+           CAST(floor((start_tok + n_tok - 1) / {PACK_BUDGET}) AS BIGINT)
+               AS last_pack,
+           CAST(floor((start_tok + n_tok - 1) / {PACK_BUDGET})
+                - floor(start_tok / {PACK_BUDGET}) + 1 AS BIGINT)
+               AS n_fragments,
+           CAST(start_tok % {PACK_BUDGET} AS BIGINT) AS head_offset,
+           floor((start_tok + n_tok - 1) / {PACK_BUDGET})
+               > floor(start_tok / {PACK_BUDGET}) AS is_split
+    FROM c
+    """,
+)
+def pack_concat_chunks(spark, sf_dir):
+    """Concat-and-chunk packing with document SPLITTING — the third
+    packing discipline next to pack_sequences (bounded overflow, never
+    splits) and pack_bestfit (capacity-respecting, never splits): the
+    corpus is one token stream in doc_id order, cut every PACK_BUDGET
+    tokens, and a document straddling a cut is split across packs — the
+    GPT-pretraining default (every pack except the last is exactly full;
+    the cost is fragmented documents). Output is the per-document
+    fragment ledger a data loader needs and the number people tune
+    sequence length with: token interval start, first/last pack,
+    fragment count, offset within the first pack, and the split flag
+    (the boundary-crossing rate is sum(is_split)/count — derivable from
+    this frame).
+
+    Exactness: pure integer arithmetic on a token cumsum — pack ids are
+    floor divisions of exact BIGINTs, identical in any engine.
+
+    Scale: the same single global cumsum window as pack_sequences, and
+    the same documented 100 TB posture — shard the stream by the
+    deterministic md5 shard and run per-shard windows, which preserves
+    every property except pack ids crossing shard boundaries."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    c = t.withColumn("start_tok", F.sum("n_tok").over(w) - F.col("n_tok"))
+    first = F.floor(F.col("start_tok") / PACK_BUDGET).cast("long")
+    last = F.floor(
+        (F.col("start_tok") + F.col("n_tok") - 1) / PACK_BUDGET
+    ).cast("long")
+    return c.select(
+        "doc_id",
+        "n_tok",
+        "start_tok",
+        first.alias("first_pack"),
+        last.alias("last_pack"),
+        (last - first + 1).alias("n_fragments"),
+        (F.col("start_tok") % PACK_BUDGET).cast("long").alias("head_offset"),
+        (last > first).alias("is_split"),
+    )
+
+
 PACK_SHARDS = 8  # deterministic md5 shards for best-fit packing
 # Composite-argmin radix for the oracle's best-fit pick, min(cap*R + idx):
 # R must exceed any possible open-bin count per shard or the index term

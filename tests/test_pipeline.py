@@ -3266,3 +3266,56 @@ class TestTextHeapsCurve:
         assert all(0 < b < 1_000_000 for b in betas), betas
         vocabs = [out[k]["cum_vocab"] for k in sorted(out)]
         assert vocabs == sorted(vocabs) and vocabs[0] < vocabs[-1]
+
+
+class TestPackConcatChunks:
+    def test_matches_python_stream_replay_and_invariants(self, spark, sf_dir):
+        """Every per-doc row must equal a python token-stream replay
+        (cumsum in doc_id order, floor-division pack ids), and the
+        chunking invariants must hold: fragment intervals tile the
+        stream exactly (sum over docs of n_fragments = sum over packs of
+        docs-touching-it), every pack id in [0, ceil(total/512)), and
+        at least one doc is split on the fixture (the discipline's
+        defining event actually occurs)."""
+        import duckdb
+
+        from data_transform_spark.pipeline.training import PACK_BUDGET
+        from data_transform_spark.registry import QUERIES
+
+        rows = duckdb.sql(
+            f"select doc_id, len(string_split(text, ' ')) from "
+            f"'{sf_dir}/documents.parquet' order by doc_id"
+        ).fetchall()
+        want = {}
+        start = 0
+        for doc_id, n in rows:
+            first = start // PACK_BUDGET
+            last = (start + n - 1) // PACK_BUDGET
+            want[doc_id] = (
+                n, start, first, last, last - first + 1,
+                start % PACK_BUDGET, last > first,
+            )
+            start += n
+        total = start
+
+        got = {
+            r["doc_id"]: (
+                r["n_tok"], r["start_tok"], r["first_pack"], r["last_pack"],
+                r["n_fragments"], r["head_offset"], r["is_split"],
+            )
+            for r in QUERIES["pack_concat_chunks"](spark, sf_dir).collect()
+        }
+        assert got == want
+        n_packs = -(-total // PACK_BUDGET)
+        assert all(
+            0 <= v[2] <= v[3] < n_packs for v in got.values()
+        )
+        assert any(v[6] for v in got.values()), "no doc was ever split"
+        # fragments tile the stream: each pack is touched by exactly the
+        # docs whose [first,last] interval covers it
+        touched = [0] * n_packs
+        for v in got.values():
+            for p in range(v[2], v[3] + 1):
+                touched[p] += 1
+        assert all(t >= 1 for t in touched)
+        assert sum(v[4] for v in got.values()) == sum(touched)
