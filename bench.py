@@ -187,10 +187,14 @@ def _calib(spark) -> dict:
     (HISTORY round-12) — so the probe exercises exactly the two resources
     the queries contend on:
 
-    - ``gemm_sec``: median-of-3 2048² float64 numpy matmul (~17 GFLOP,
+    - ``gemm_sec``: MIN-of-5 2048² float64 numpy matmul (~17 GFLOP,
       BLAS-threaded) — CPU throughput + memory bandwidth, no JVM.
-    - ``spark_sec``: median-of-3 ``spark.range(10**8)`` codegen sum — the
+    - ``spark_sec``: MIN-of-3 ``spark.range(10**8)`` codegen sum — the
       JVM whole-stage-codegen path with no shuffle and no input I/O.
+
+    MIN, not median (r13 ADVICE doc fix — BASELINE.md's quiet-window
+    thresholds are calibrated against the min): the probe measures host
+    CAPABILITY, see the inline comment below.
 
     Snapshotted before and after the timed block; BASELINE.md documents
     the quiet-window thresholds. A sample whose before/after probes both

@@ -1418,8 +1418,11 @@ def quality_lm_ppl(spark, sf_dir):
     the OOV and bigram signals are both large; the operator's arithmetic
     is what this key certifies.
 
-    Scale: ONE reference scan builds bigram/context/vocab tables
-    (vocabulary-sized artifacts); scoring is the corpus pair explode
+    Scale: the LM artifacts are vocabulary-sized and cheap to build —
+    ONE reference pair explode feeds the bigram table, the context table
+    rolls up from the bigram table itself (c(a) = Σ_b c(a,b) — no second
+    explode, r13 ADVICE), and the vocab is a second reference-subset
+    pass (token distinct); scoring is the corpus pair explode
     joined to those tables — deliberately NO broadcast hints on the
     bigram table (at 100 TB an n-gram table can be many GB; the shuffle
     hash join on the bigram key is the scale-safe plan, and AQE will
@@ -1455,9 +1458,11 @@ def quality_lm_ppl(spark, sf_dir):
     big = refpairs.groupBy("a", "b").agg(
         F.count(F.lit(1)).cast("long").alias("cab")
     )
-    ctx = refpairs.groupBy("a").agg(
-        F.count(F.lit(1)).cast("long").alias("ca")
-    )
+    # c(a) = Σ_b c(a,b) exactly — roll the CONTEXT table up from the
+    # bigram table instead of re-exploding the reference pairs (r13
+    # ADVICE: the second corpus-sized pair explode was pure waste; this
+    # aggregate reads the vocabulary²-bounded bigram frame instead).
+    ctx = big.groupBy("a").agg(F.sum("cab").cast("long").alias("ca"))
     voc = ref.select(F.explode("t").alias("w")).distinct()
     vs = voc.agg((F.count(F.lit(1)) + 1).cast("long").alias("V"))
 

@@ -1889,23 +1889,26 @@ def train_triplet_mine(spark, sf_dir):
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings")
-    arows = (
-        e.select("vec_id", "label", "embedding").orderBy("vec_id").collect()
-    )
-    # Cap guard AFTER the (already required) collect so the check costs no
-    # extra scan (r12 ADVICE): LIMIT cap+1 rows would be cheaper to refuse
-    # with, but the full collect is the key's documented anchors-in-closure
-    # contract anyway; at fixtures beyond the cap this key FAILS LOUDLY by
-    # design — large-SF sweeps must route through the ANN tier instead.
-    n_anchors = len(arows)
-    if n_anchors > TRIPLET_ANCHOR_CAP:
+    # Cap guard FIRST with a BOUNDED probe (r13 ADVICE): vec_id-only,
+    # LIMIT cap+1 — refusing an over-cap fixture must never require
+    # materializing the full embedding matrix it is refusing (the r12
+    # check-after-collect could degrade the documented fail-loud
+    # ValueError into a driver OOM). On in-cap fixtures the probe is one
+    # cheap column-pruned pass; the full collect below is the key's
+    # documented anchors-in-closure contract.
+    probe = e.select("vec_id").limit(TRIPLET_ANCHOR_CAP + 1).collect()
+    if len(probe) > TRIPLET_ANCHOR_CAP:
         raise ValueError(
-            f"train_triplet_mine: anchor set has {n_anchors} vectors, over "
-            f"TRIPLET_ANCHOR_CAP={TRIPLET_ANCHOR_CAP}. Anchors-in-closure "
+            f"train_triplet_mine: anchor set exceeds "
+            f"TRIPLET_ANCHOR_CAP={TRIPLET_ANCHOR_CAP} (probe saw "
+            f"{len(probe)} vec_ids). Anchors-in-closure "
             "is the small-query-side contract; for corpus-as-anchors "
             "mining, generate candidates from the staged ANN index "
             "(sim_ann_persist) instead of raising the cap."
         )
+    arows = (
+        e.select("vec_id", "label", "embedding").orderBy("vec_id").collect()
+    )
     a_ids = np.array([r["vec_id"] for r in arows], dtype=np.int64)
     a_labels = np.array([r["label"] for r in arows], dtype=np.int64)
     am = np.array([r["embedding"] for r in arows], dtype=np.float64)

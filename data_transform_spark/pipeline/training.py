@@ -1111,7 +1111,11 @@ def tokenize_bpe_bytes(spark, sf_dir):
 # 32k-merge vocabulary is 32k bounded collects. Batching picks the top-B
 # NON-OVERLAPPING pairs per round — greedy in (count DESC, a, b) rank
 # order over the top CAND_FACTOR·B candidates, accepting a pair iff
-# neither symbol appears in an already-accepted pair this round. Disjoint
+# neither symbol appears in an already-accepted pair this round — where
+# "appears" covers each accepted pair's OUTPUT string a+b as well as its
+# inputs (r13 ADVICE: a merged output can collide with an identically
+# spelled pre-existing symbol, and without the output block a later-rank
+# replace could consume occurrences an earlier merge created). Disjoint
 # symbol sets make the B replaces commute (no merge can create or destroy
 # another accepted pair's ' a  b ' occurrence), so applying them in rank
 # order inside one round is exact, and a 32k-merge train becomes ~32k/B
@@ -1165,7 +1169,17 @@ def _bpe_train_batched(
                 a, b = row["a"], row["b"]
                 if a in taken or b in taken:
                     continue
-                taken.update((a, b))
+                # taken also holds each accepted OUTPUT a+b (r13 ADVICE):
+                # a merged string can collide with a pre-existing symbol
+                # spelled identically (possible from round 2 on), and a
+                # later-rank replace touching that symbol would then also
+                # consume occurrences the earlier merge just created —
+                # making its recorded round-start pair_count stale. Adding
+                # a+b to taken blocks exactly those candidates, restoring
+                # the strict disjointness/commute invariant the batching
+                # argument rests on. (No fixture knob hits the collision —
+                # verified at all 3 SFs — so outputs are unchanged here.)
+                taken.update((a, b, a + b))
                 n_acc += 1
                 merges.append((r, rk, a, b, a + b, int(row["pc"])))
                 seq = F.replace(
@@ -1230,14 +1244,16 @@ def _bpe_batched_cte_chain(
         QUALIFY row_number() OVER (ORDER BY pc DESC, a, b) <= {cand}
     ),
     {ns}g{r}(rk, a, b, pc, acc, n_acc, taken) AS (
-        SELECT rk, a, b, pc, TRUE, CAST(1 AS BIGINT), [a, b]
+        SELECT rk, a, b, pc, TRUE, CAST(1 AS BIGINT), [a, b, a || b]
         FROM {ns}c{r} WHERE rk = 1
         UNION ALL
         SELECT c.rk, c.a, c.b, c.pc,
                NOT ({blocked}),
                g.n_acc + CASE WHEN {blocked} THEN 0 ELSE 1 END,
                CASE WHEN {blocked} THEN g.taken
-                    ELSE list_append(list_append(g.taken, c.a), c.b) END
+                    ELSE list_append(list_append(
+                             list_append(g.taken, c.a), c.b), c.a || c.b)
+               END
         FROM {ns}g{r} g JOIN {ns}c{r} c ON c.rk = g.rk + 1
         WHERE g.n_acc < {batch}
     ),
@@ -1337,7 +1353,9 @@ def vocab_bpe_batched(spark, sf_dir):
     vocab_bpe (r12 VERDICT #3, retiring the r11 watch item): each round
     accepts the top-BPE_BATCH non-overlapping pairs (greedy in
     (count DESC, pair) rank order over the top 8·B candidates; a pair is
-    skipped if either symbol was already merged this round), so a 32k-
+    skipped if either symbol was already consumed OR produced by a merge
+    this round — the output block closes the string-collision edge where
+    a merged a+b is spelled like a pre-existing symbol), so a 32k-
     merge vocabulary needs ~32k/B driver syncs instead of 32k. Disjoint
     symbol sets per round make the batch's replaces commute — each
     accepted pair's recorded count is its exact corpus count when the

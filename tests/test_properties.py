@@ -749,7 +749,8 @@ class TestBpeBatched:
                     break
                 if a in taken or b in taken:
                     continue
-                taken.update((a, b))
+                # outputs join taken too (r13 ADVICE string-collision edge)
+                taken.update((a, b, a + b))
                 n_acc += 1
                 want.append((r, rk, a, b, a + b, cnt))
                 for w, syms in words.items():
