@@ -147,6 +147,12 @@ OPTIONAL = [
     "quality_lm_ppl",
     "text_heaps_curve",
     "pack_concat_chunks",
+    # round-14: the REGISTERED per-md5-shard packer (r13 VERDICT #2) —
+    # benched next to the global pack_concat_chunks so the JSON shows the
+    # sharded-vs-global A/B directly. pack_sequences_sharded is excluded
+    # as a duplicate row: identical scan + shard window, aggregate-only
+    # tail (same reason vocab_bpe_bytes is excluded above).
+    "pack_concat_chunks_sharded",
     # The heavyweight plans excluded from the median-of-3 headline —
     # pipeline_e2e_llm_v3/v4, sim_ann_ivfpq, dedup_image_phash,
     # sim_ann_index_compact, stream_dedup_incr — are all in TIER2 below

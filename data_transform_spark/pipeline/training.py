@@ -114,10 +114,11 @@ def pack_sequences(spark, sf_dir):
     floor(tokens_before / budget). Deterministic and single-window (one
     shuffle); a straddling doc overflows its pack by at most its own length
     — the standard bounded-overflow concat-then-chunk shape used for LLM
-    pretraining batches. At 100 TB the global window becomes per-shard
-    windows (shard by the deterministic hash above) so no single ordering
-    bottleneck exists; fill accounting per pack comes out of the same
-    aggregation."""
+    pretraining batches. This key keeps the single global window so the
+    corpus-wide pack numbering is exact (the oracle/fixture tier); the
+    100 TB plan — per-md5-shard windows, no single ordering bottleneck —
+    is REGISTERED as pack_sequences_sharded (r13 VERDICT #2), which is
+    what a cluster run should call."""
     d = load_table(spark, sf_dir, "documents")
     t = d.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok"))
     w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
@@ -174,10 +175,11 @@ def pack_concat_chunks(spark, sf_dir):
     Exactness: pure integer arithmetic on a token cumsum — pack ids are
     floor divisions of exact BIGINTs, identical in any engine.
 
-    Scale: the same single global cumsum window as pack_sequences, and
-    the same documented 100 TB posture — shard the stream by the
-    deterministic md5 shard and run per-shard windows, which preserves
-    every property except pack ids crossing shard boundaries."""
+    Scale: the same single global cumsum window as pack_sequences (kept
+    here for exact corpus-wide pack numbering at oracle/fixture tier);
+    the per-md5-shard plan — which preserves every property except pack
+    ids crossing shard boundaries — is REGISTERED as
+    pack_concat_chunks_sharded (r13 VERDICT #2)."""
     d = load_table(spark, sf_dir, "documents")
     t = d.select(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
@@ -206,6 +208,151 @@ PACK_SHARDS = 8  # deterministic md5 shards for best-fit packing
 # bleeds into the capacity term (r12 ADVICE). 1e9 bins/shard ≫ any real
 # shard (caps ≤ PACK_BUDGET=512, so cap*R ≤ 5.12e11 — comfortably BIGINT).
 PACK_BIN_RADIX = 1_000_000_000
+
+# Shared md5-shard SQL/Spark pair for the *_sharded packers (the
+# pack_bestfit shard idiom verbatim — one deterministic, content-stable
+# shard rule across every packing discipline).
+_PACK_SHARD_SQL = (
+    f"CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+    f"AS BIGINT) % {PACK_SHARDS}"
+)
+
+
+def _pack_shard_col():
+    return (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % PACK_SHARDS
+    ).alias("shard")
+
+
+@register(
+    "pack_sequences_sharded",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_PACK_SHARD_SQL} AS shard,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT shard, doc_id, n_tok,
+               CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) - n_tok
+                    AS BIGINT) AS cum_before
+        FROM t
+    )
+    SELECT shard,
+           CAST(floor(cum_before / {PACK_BUDGET}) AS BIGINT) AS pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           round(CAST(sum(n_tok) AS DOUBLE) / {PACK_BUDGET}, 4) AS fill_ratio
+    FROM c
+    GROUP BY 1, 2
+    """,
+)
+def pack_sequences_sharded(spark, sf_dir):
+    """pack_sequences with its documented 100 TB plan REGISTERED (r13
+    VERDICT #2): the corpus shards by the deterministic md5 rule
+    (pack_bestfit's shard idiom) and the cumsum window runs PER SHARD —
+    Window.partitionBy(shard), so the physical plan shuffles by shard
+    hash and every partition packs independently; NO single-partition
+    window exists anywhere in the plan (pinned by test_plans.py). Pack
+    ids are per-shard (output carries the shard column); each shard's
+    packing is EXACTLY the global discipline applied to its own doc_id-
+    ordered sub-stream — the property test replays that equivalence —
+    and the only global property given up is pack numbering across
+    shards, which a loader never needs (shards feed independent workers).
+    Same bounded-overflow semantics, same fill accounting, cluster-width
+    parallel instead of one ordering bottleneck."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        _pack_shard_col(),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = t.withColumn("cum_before", F.sum("n_tok").over(w) - F.col("n_tok"))
+    pack = F.floor(F.col("cum_before") / PACK_BUDGET).cast("long")
+    return c.groupBy("shard", pack.alias("pack_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.round(F.sum("n_tok").cast("double") / PACK_BUDGET, 4).alias(
+            "fill_ratio"
+        ),
+    )
+
+
+@register(
+    "pack_concat_chunks_sharded",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_PACK_SHARD_SQL} AS shard,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT shard, doc_id, n_tok,
+               CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) - n_tok
+                    AS BIGINT) AS start_tok
+        FROM t
+    )
+    SELECT shard, doc_id, n_tok, start_tok,
+           CAST(floor(start_tok / {PACK_BUDGET}) AS BIGINT) AS first_pack,
+           CAST(floor((start_tok + n_tok - 1) / {PACK_BUDGET}) AS BIGINT)
+               AS last_pack,
+           CAST(floor((start_tok + n_tok - 1) / {PACK_BUDGET})
+                - floor(start_tok / {PACK_BUDGET}) + 1 AS BIGINT)
+               AS n_fragments,
+           CAST(start_tok % {PACK_BUDGET} AS BIGINT) AS head_offset,
+           floor((start_tok + n_tok - 1) / {PACK_BUDGET})
+               > floor(start_tok / {PACK_BUDGET}) AS is_split
+    FROM c
+    """,
+)
+def pack_concat_chunks_sharded(spark, sf_dir):
+    """pack_concat_chunks with the per-md5-shard window REGISTERED (r13
+    VERDICT #2): each shard is its own token stream — cut every
+    PACK_BUDGET tokens, documents split at cuts — so the fragment ledger
+    (start interval, first/last pack, fragment count, head offset, split
+    flag) is computed per shard under Window.partitionBy(shard) with NO
+    single-partition window in the plan. Per shard the ledger is EXACTLY
+    the global discipline on that shard's doc_id-ordered sub-stream
+    (property-pinned); pack ids are shard-local, which is what a
+    data-parallel loader consumes anyway. Exactness: unchanged — pure
+    integer cumsum + floor division."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        _pack_shard_col(),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = t.withColumn("start_tok", F.sum("n_tok").over(w) - F.col("n_tok"))
+    first = F.floor(F.col("start_tok") / PACK_BUDGET).cast("long")
+    last = F.floor(
+        (F.col("start_tok") + F.col("n_tok") - 1) / PACK_BUDGET
+    ).cast("long")
+    return c.select(
+        "shard",
+        "doc_id",
+        "n_tok",
+        "start_tok",
+        first.alias("first_pack"),
+        last.alias("last_pack"),
+        (last - first + 1).alias("n_fragments"),
+        (F.col("start_tok") % PACK_BUDGET).cast("long").alias("head_offset"),
+        (last > first).alias("is_split"),
+    )
 
 
 @register(

@@ -997,3 +997,19 @@ def test_heaps_curve_has_no_corpus_sort(spark, sf_dir):
     assert "rangepartitioning" not in p.lower(), (
         "range partitioning implies a global corpus sort"
     )
+
+
+def test_sharded_packers_have_no_single_partition_window(spark, sf_dir):
+    """pack_sequences_sharded / pack_concat_chunks_sharded are the
+    REGISTERED 100 TB packing plans (r13 VERDICT #2): their cumsum
+    windows must partition by the md5 shard — the physical plan shows a
+    hash-partitioned exchange feeding the Window and NO `Exchange
+    SinglePartition` anywhere (the global packers' ordering bottleneck
+    is exactly what these keys exist to remove)."""
+    for key in ("pack_sequences_sharded", "pack_concat_chunks_sharded"):
+        p = plan_of(spark, key, sf_dir)
+        assert "SinglePartition" not in p, f"{key} has a global window:\n{p}"
+        assert "Window" in p, f"{key} lost its cumsum window"
+        assert "hashpartitioning(shard" in p, (
+            f"{key}'s window is not shard-partitioned"
+        )
