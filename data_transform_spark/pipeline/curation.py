@@ -711,6 +711,47 @@ def _nb_fit(d):
 
 
 NB_GATE_PRECISION = 0.8  # PR-curve operating point for the model gate
+NB_RANK_BUCKETS = 256  # equal-width logit bands for the two-phase rank
+
+
+def _held_ranked(held):
+    """EXACT global row_number over (logit_u DESC, doc_id ASC) with NO
+    eval-set-sized single-partition window (r13 VERDICT #3 — the held-out
+    md5 split is ~half the corpus here, so 'eval-set-bounded' did not
+    actually bound the old global rank). Two-phase, the
+    train_shuffle_epoch discipline adapted to a value ordering:
+
+    1. band rows into NB_RANK_BUCKETS equal-width logit_u ranges (bounds
+       from a 1-row broadcast aggregate; ties in logit_u can never
+       straddle a band because the band is a function of logit_u alone);
+    2. per-band counts -> cumulative offsets via a window over the
+       ≤NB_RANK_BUCKETS-row count table (the only single-partition
+       window left — bucket-table-sized by construction, never rows);
+    3. rank = band offset + row_number within the band
+       (Window.partitionBy(band)) — bit-identical to the global
+       row_number, so every downstream decile/threshold hash is
+       unchanged.
+
+    Equal-width bands can skew, but skew only costs balance, never
+    correctness — and the oracle replays the GLOBAL row_number, so the
+    3-SF hash gate is itself the equivalence proof."""
+    mm = held.agg(F.max("logit_u").alias("hi"), F.min("logit_u").alias("lo"))
+    keyed = held.crossJoin(F.broadcast(mm)).withColumn(
+        "bkt",
+        F.floor(
+            ((F.col("hi") - F.col("logit_u")) * NB_RANK_BUCKETS)
+            / (F.col("hi") - F.col("lo") + 1)
+        ).cast("long"),
+    )
+    counts = keyed.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bkt", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
+    )
+    w_in = Window.partitionBy("bkt").orderBy(F.col("logit_u").desc(), "doc_id")
+    return keyed.join(F.broadcast(offsets), "bkt").withColumn(
+        "rn", (F.col("off") + F.row_number().over(w_in)).cast("long")
+    )
 
 
 def _nb_threshold(scored):
@@ -722,13 +763,12 @@ def _nb_threshold(scored):
     to the top decile if no bucket qualifies. Returns a 1-row (thr_u)
     frame in integer micronats — exact to compare, broadcast-sized.
 
-    Same INTENTIONAL single-partition window as quality_pr_curve: ranks
-    run over the held-out md5-split sample only (eval-set-bounded, never
-    the corpus)."""
-    held = scored.filter(~F.col("is_train"))
-    w_rank = Window.orderBy(F.col("logit_u").desc(), "doc_id")
-    ranked = held.select(
-        "label", "logit_u", F.row_number().over(w_rank).alias("rn")
+    Ranks come from the two-phase _held_ranked (r13 VERDICT #3): same
+    values as the old global row_number — the held-out md5 split is
+    ~half the corpus, so the retired 'eval-set-bounded' single-partition
+    window did not actually bound anything."""
+    ranked = _held_ranked(scored.filter(~F.col("is_train"))).select(
+        "label", "logit_u", "rn"
     )
     n = ranked.agg(F.count(F.lit(1)).alias("n"))
     b = ranked.crossJoin(F.broadcast(n)).select(
@@ -829,23 +869,24 @@ def quality_pr_curve(spark, sf_dir):
     edge-semantics dependence), cumulative counts; the only floats are
     the two final rounded divisions. Evaluation runs on the HELD-OUT
     md5-split (never the training half — the split quality_nb already
-    enforces). Scale note: the global rank window is EVAL-SET-sized, not
-    corpus-sized — a production run scores the corpus distributed but
-    calibrates on a bounded held-out sample exactly like this; for
-    corpus-wide curves you'd swap the exact rank for approx_percentile
-    thresholds (agg_approx_percentile's machinery)."""
+    enforces). Scale note: the exact rank is computed TWO-PHASE
+    (_held_ranked — logit bands + per-band offsets + partitioned
+    row_number; no single-partition window over rows), so the curve
+    scales to a corpus-sized eval set; with an approximate curve
+    acceptable you could swap it for approx_percentile thresholds
+    (agg_approx_percentile's machinery), but nothing forces that
+    trade any more."""
     scored = quality_nb(spark, sf_dir).filter(~F.col("is_train"))
-    # INTENTIONAL single-partition window (WindowExec warns "No Partition
-    # Defined"): the rank runs over the HELD-OUT md5-split sample — a
-    # bounded eval set (~1/2 of fixture docs here; a fixed-size calibration
-    # sample in production), never the corpus. Corpus-wide curves would
-    # swap this exact rank for approx_percentile thresholds (SCALING.md
-    # "Calibration windows"). Plan-pinned: tests assert the window input
-    # is the held-out filter, not the full documents scan.
-    w = Window.orderBy(F.col("logit_u").desc(), "doc_id")
-    ranked = scored.select(
-        "label", F.row_number().over(w).alias("rn")
-    )
+    # Two-phase exact rank (r13 VERDICT #3, replacing the old INTENTIONAL
+    # single-partition window): the held-out md5 split is ~half the
+    # corpus, so the rank must scale like any corpus window — logit bands
+    # from a broadcast min/max, per-band offsets from a ≤256-row count
+    # table, row_number per band. Values are bit-identical to the global
+    # rank (the DuckDB oracle still computes row_number() OVER the full
+    # ordering — a hash PASS is the equivalence proof). Plan-pinned:
+    # tests assert the only SinglePartition window input is the band
+    # count table, and the held-out filter is still pushed to the scan.
+    ranked = _held_ranked(scored).select("label", "rn")
     n = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("label"), 1).otherwise(0)).alias("npos"),

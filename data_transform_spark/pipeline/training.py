@@ -728,19 +728,45 @@ def curriculum_buckets(spark, sf_dir):
     schedule, made reproducible because both the score and the ntile
     boundary rule (difficulty, doc_id tiebreak) are deterministic.
 
-    The global ntile is a single-partition window over (doc_id, score)
-    pairs — metadata-narrow, same cheap-by-construction argument as
-    vocab_build's global rank. At 100 TB you'd swap ntile for fixed score
-    quantiles (computed once, broadcast) so the assignment is a pure map;
-    the bucket semantics stay identical."""
+    TWO-PHASE exact ntile (r13 VERDICT #3, replacing the global
+    single-partition ntile window): difficulty is round(·,4) of a mean
+    unigram rank, so its distinct values are HISTOGRAM-bounded by
+    construction (≤ rank-range·1e4, vocabulary-scale — never rows).
+    Phase 1 aggregates that histogram and turns it into cumulative
+    offsets (a window over the histogram — the only single-partition
+    window left, and it is value-bounded); phase 2 computes the global
+    row number as offset + row_number within each difficulty partition,
+    then assigns SQL-ntile buckets by the closed form (first n mod k
+    buckets get ceil(n/k) rows) from the broadcast total. Bit-identical
+    to ntile OVER (ORDER BY difficulty, doc_id) — the oracle still runs
+    the real ntile, so the 3-SF hash gate proves the equivalence."""
     from data_transform_spark.pipeline.text import text_unigram_score
 
     scored = text_unigram_score(spark, sf_dir).select(
         "doc_id", F.col("avg_rank").alias("difficulty")
     )
-    w = Window.orderBy("difficulty", "doc_id")
-    return scored.select(
-        "doc_id", "difficulty", F.ntile(CURR_BUCKETS).over(w).alias("bucket")
+    hist = scored.groupBy("difficulty").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("difficulty").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = hist.select(
+        "difficulty",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+    )
+    n = hist.agg(F.sum("cnt").cast("long").alias("n"))
+    w_in = Window.partitionBy("difficulty").orderBy("doc_id")
+    rn = F.col("off") + F.row_number().over(w_in)
+    q = F.floor(F.col("n") / CURR_BUCKETS)
+    r = F.col("n") % CURR_BUCKETS
+    bucket = (
+        F.when(rn <= r * (q + 1), F.floor((rn - 1) / (q + 1)) + 1)
+        .otherwise(r + F.floor((rn - r * (q + 1) - 1) / q) + 1)
+        .cast("int")
+    )
+    return (
+        scored.join(F.broadcast(offsets), "difficulty")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "difficulty", bucket.alias("bucket"))
     )
 
 

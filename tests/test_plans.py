@@ -887,24 +887,67 @@ def test_index_append_plan_is_training_free(spark, sf_dir):
     assert "posexplode" not in p.lower(), "Lloyd pass leaked into append plan"
 
 
-def test_pr_curve_rank_window_input_is_held_out_sample(spark, sf_dir):
-    """quality_pr_curve's global rank window is INTENTIONALLY
-    single-partition (WindowExec warns): it must run over the held-out
-    md5-split sample only, never the corpus. Pin that Catalyst pushed the
-    held-out restriction (substring(md5(doc_id),1,1) >= 8) below the rank
-    — it appears as a scan-side Filter condition — so the warned window's
-    input is the bounded eval set by plan, not just by intent (r10
-    VERDICT #8)."""
-    p = plan_of(spark, "quality_pr_curve", sf_dir)
-    assert "row_number()" in p and "Window" in p
-    held_out_filters = [
-        seg
-        for seg in p.split("\n\n")
-        if "Filter" in seg.split("\n")[0]
-        and "substring(md5(" in seg
-        and ">= 8" in seg
-    ]
-    assert held_out_filters, "held-out filter was not pushed below the rank"
+def simple_plan_of(spark, key, sf_dir):
+    """df.explain() simple mode: one line per physical operator with
+    arguments inline and tree indentation — what the SinglePartition
+    boundedness checks below parse."""
+    df = QUERIES[key](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+def assert_single_partitions_aggregate_bounded(p, key):
+    """Every `Exchange SinglePartition` in the simple plan must take its
+    input from a HashAggregate (within the next two tree lines — a
+    column-renaming Project may sit between): single-partition hops are
+    allowed only over aggregate-bounded frames (histograms, count
+    tables, 1-row stats), never over row-scale data (r13 VERDICT #3/#4)."""
+    lines = p.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        nxt = "\n".join(lines[i + 1 : i + 3])
+        assert "HashAggregate" in nxt, (
+            f"{key}: SinglePartition exchange over non-aggregate input:\n"
+            f"{ln}\n{nxt}"
+        )
+
+
+def test_pr_curve_rank_is_two_phase_and_held_out_filter_pushed(
+    spark, sf_dir
+):
+    """quality_pr_curve's exact rank is TWO-PHASE since r14 (r13 VERDICT
+    #3): logit bands + per-band offsets + a band-partitioned row_number —
+    the held-out md5 split is ~half the corpus, so the retired global
+    rank window was a real single-partition hop over row-scale data. Pin
+    (a) the row_number window is hash-partitioned by the band, (b) every
+    remaining SinglePartition exchange is aggregate-bounded, and (c) the
+    held-out restriction (substring(md5(doc_id),1,1) >= 8) is still
+    pushed to the scan side."""
+    p = simple_plan_of(spark, "quality_pr_curve", sf_dir)
+    assert "row_number" in p and "hashpartitioning(bkt" in p, (
+        "band-partitioned rank window missing"
+    )
+    assert_single_partitions_aggregate_bounded(p, "quality_pr_curve")
+    assert "substring(md5(" in p and ">= 8" in p, (
+        "held-out filter was not pushed below the rank"
+    )
+
+
+def test_curriculum_buckets_ntile_is_two_phase(spark, sf_dir):
+    """curriculum_buckets assigns SQL-ntile buckets via the closed form
+    over a two-phase exact rank since r14 (r13 VERDICT #3): a difficulty
+    HISTOGRAM (value-bounded by the round(·,4) quantization) provides
+    cumulative offsets, row_number runs partitioned by difficulty, and
+    no ntile window exists. Pin: no ntile in the plan, the row-scale
+    window is hash-partitioned, every SinglePartition exchange is
+    aggregate-bounded."""
+    p = simple_plan_of(spark, "curriculum_buckets", sf_dir)
+    assert "ntile" not in p, "global ntile window still in the plan"
+    assert "row_number" in p
+    assert_single_partitions_aggregate_bounded(p, "curriculum_buckets")
 
 
 def test_image_phash_scan_prunes_to_doc_id_and_no_cartesian(spark, sf_dir):
