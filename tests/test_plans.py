@@ -1056,3 +1056,33 @@ def test_sharded_packers_have_no_single_partition_window(spark, sf_dir):
         assert "hashpartitioning(shard" in p, (
             f"{key}'s window is not shard-partitioned"
         )
+
+
+def test_zorder_ranks_are_two_phase_no_global_sort(spark, sf_dir):
+    """sink_zorder's 256-bucket ranks are two-phase since r14 (r13
+    VERDICT #4): the pre-write frame (z-rank + repartitionByRange, the
+    exact plan that feeds the write) must contain NO single-partition
+    hop over fact rows — every Exchange SinglePartition feeds from a
+    HashAggregate (the date/partkey histograms), the rank windows are
+    hash-partitioned by their leading dimension, and no ntile window
+    exists. The only range partitioning is the zval write split itself."""
+    import io as _io
+    import contextlib as _ctx
+
+    from data_transform_spark.operators.scans import _zorder_ranked
+
+    df = _zorder_ranked(spark, sf_dir).repartitionByRange(16, "zval")
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        df.explain()
+    p = buf.getvalue()
+    assert "ntile" not in p, "global ntile window still in the plan"
+    assert "hashpartitioning(l_shipdate" in p
+    assert "hashpartitioning(l_partkey" in p
+    assert_single_partitions_aggregate_bounded(p, "sink_zorder")
+    # exactly one rangepartitioning: the zval write split, never a sort
+    # of the fact by a clustering dimension
+    import re as _re
+
+    rps = _re.findall(r"rangepartitioning\(([^)]*)\)", p)
+    assert all("zval" in rp for rp in rps), rps
