@@ -173,6 +173,10 @@ OPTIONAL = [
 TIER2 = [
     "pipeline_e2e_llm_v3",   # 7-stage curation funnel, model gate (~5 s warm)
     "pipeline_e2e_llm_v4",   # v3 + NB/rules/DSIR committee gate (~6 s)
+    # r14: graph ANN — first rep pays the one-time kNN-graph build
+    # (tiled gemm + staging, ~15 s at sf0.1); warm serve is ~5 s of
+    # fixed-round beam stages + the brute-force recall check
+    "sim_ann_graph",
     "sim_ann_ivfpq",         # ~9-18 s: trains two quantizers + recall check
     # r12 VERDICT #7: the last three keys whose timings lived only in
     # SCALING.md prose now get a committed number (or are named in

@@ -1583,6 +1583,273 @@ def sim_ann_index_append(spark, sf_dir):
     )
 
 
+# --- graph ANN: kNN graph + beam search (r13 VERDICT #5) ------------------
+#
+# The production-default index class the ladder was missing: vector stacks
+# reach for graph indexes (HNSW/NSW family) in high-recall regimes because
+# a navigable neighbor graph lets a query walk to its neighborhood scoring
+# only the nodes it visits. This tier keeps every established discipline:
+# deterministic build (4dp-quantized integer-composite selection inside the
+# tiled gemm — the train_triplet_mine idiom), train-once/serve-many staged
+# parquet adjacency (the sim_ann_persist discipline), fixed-round in-plan
+# beam search (the graph_pagerank fixed-iteration shape — no data-dependent
+# driver loop), and a bounds-checked recall summary oracle.
+
+GRAPH_DEGREE = 8  # out-degree of the kNN graph (pre-symmetrization)
+GRAPH_BEAM = 8  # beam width per query per round
+GRAPH_ROUNDS = 4  # fixed expansion rounds (plan-deterministic)
+GRAPH_SEEDS = 8  # evenly spaced entry points
+GRAPH_INDEX_MARKER = "_INDEX"
+
+
+def _graph_knn_edges(spark, sf_dir):
+    """Deterministic kNN-graph edges (src, dst, su) via the tiled block
+    gemm (the sim_pairs_threshold machinery re-aimed at top-G instead of
+    a threshold sieve): vectors salt into PAIR_BLOCKS tiles, each
+    unordered tile pair is ONE numpy gemm, and each tile pair emits only
+    its per-source top-GRAPH_DEGREE candidates (a partial argmax —
+    |tile|·G rows per pair, never the full score matrix). A per-src
+    window then cuts the ≤ PAIR_BLOCKS·G candidates to the global top-G.
+    Selection is float-free after quantization: scores quantize to 4dp
+    integer units (⌊s·1e4+0.5⌋) and every argmax maximizes su·2^44 − dst
+    (exact (score DESC, dst ASC) — gemm summation drift ~1e-13 sits four
+    orders below the quantization step). Exact O(N²) compute at fixture
+    tier, distributed as B² BLAS calls; at 100 TB the standard bootstrap
+    (NN-descent, or seeding from the IVF lists of sim_ann_persist)
+    replaces the exact build — serve is unchanged either way."""
+    import pandas as pd
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("emb"),
+            (F.col("vec_id") % PAIR_BLOCKS).cast("int").alias("blk"),
+        )
+        .filter(_dot(F.col("emb"), F.col("emb")) > 0)
+    )
+    tile_pairs = spark.createDataFrame(
+        [(i, j) for i in range(PAIR_BLOCKS) for j in range(PAIR_BLOCKS) if i <= j],
+        "bi int, bj int",
+    )
+    rep_a = e.join(F.broadcast(tile_pairs), e.blk == tile_pairs.bi).select(
+        "bi", "bj", F.lit("a").alias("side"), "vec_id", "emb"
+    )
+    rep_b = e.join(F.broadcast(tile_pairs), e.blk == tile_pairs.bj).select(
+        "bi", "bj", F.lit("b").alias("side"), "vec_id", "emb"
+    )
+    tiles = rep_a.unionByName(rep_b)
+    shift = np.int64(1) << np.int64(44)
+    sentinel = np.int64(-(1 << 62))
+
+    def knn_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        am = pdf[pdf["side"] == "a"]
+        bm = pdf[pdf["side"] == "b"]
+        if am.empty or bm.empty:
+            return pd.DataFrame(
+                {"src": [], "dst": [], "su": []}
+            ).astype("int64")
+        A = np.array(list(am["emb"]), dtype=np.float64)
+        B = np.array(list(bm["emb"]), dtype=np.float64)
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        B /= np.linalg.norm(B, axis=1, keepdims=True)
+        su = np.floor((A @ B.T) * 1e4 + 0.5).astype(np.int64)
+        ida = am["vec_id"].to_numpy(dtype=np.int64)
+        idb = bm["vec_id"].to_numpy(dtype=np.int64)
+        srcs, dsts, sus = [], [], []
+
+        def emit(su_mat, src_ids, dst_ids):
+            comp = su_mat * shift - dst_ids[None, :]
+            comp = np.where(src_ids[:, None] == dst_ids[None, :], sentinel, comp)
+            g = min(GRAPH_DEGREE, comp.shape[1])
+            idx = np.argpartition(-comp, g - 1, axis=1)[:, :g]
+            rows = np.repeat(np.arange(comp.shape[0]), g)
+            cols = idx.reshape(-1)
+            keep = comp[rows, cols] != sentinel
+            srcs.append(np.repeat(src_ids, g)[keep])
+            dsts.append(dst_ids[cols][keep])
+            sus.append(su_mat[rows, cols][keep])
+
+        emit(su, ida, idb)
+        if int(pdf["bi"].iloc[0]) != int(pdf["bj"].iloc[0]):
+            emit(su.T.copy(), idb, ida)
+        return pd.DataFrame(
+            {
+                "src": np.concatenate(srcs),
+                "dst": np.concatenate(dsts),
+                "su": np.concatenate(sus),
+            }
+        )
+
+    cand = tiles.groupBy("bi", "bj").applyInPandas(
+        knn_tile, "src long, dst long, su long"
+    )
+    w = Window.partitionBy("src").orderBy(F.col("su").desc(), "dst")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= GRAPH_DEGREE)
+        .select("src", "dst", "su")
+    )
+
+
+def graph_index_dir(sf_dir: str) -> str:
+    """Staged kNN-graph location — SF-namespaced + content-fingerprinted
+    on the embeddings fixture (the ivfpq_index_dir discipline)."""
+    import os
+
+    from data_transform_spark.io import path_of
+    from data_transform_spark.operators.scans import SCRATCH, _path_fingerprint
+
+    src = path_of(sf_dir, "embeddings")
+    return (
+        f"{SCRATCH}/graph_index_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{_path_fingerprint(src)}"
+    )
+
+
+def graph_stage_index(spark, sf_dir) -> str:
+    """Build the kNN graph ONCE and publish the SYMMETRIZED adjacency
+    atomically as parquet: adjacency = out-edges ∪ reversed out-edges
+    (undirected — the NSW navigability fix: a hub reachable from its
+    neighbors even when they fall outside ITS top-G). Serve sessions scan
+    the staged (src, dst) table and never run the gemm build again."""
+    import os
+
+    from data_transform_spark.operators.scans import _stage_atomic
+
+    staged = graph_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(staged, GRAPH_INDEX_MARKER)):
+        edges = _graph_knn_edges(spark, sf_dir)
+        adj = (
+            edges.select("src", "dst")
+            .unionByName(
+                edges.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+            .distinct()
+        )
+
+        def _build(tmp: str) -> None:
+            adj.write.parquet(f"{tmp}/adjacency")
+            with open(os.path.join(tmp, GRAPH_INDEX_MARKER), "w") as fh:
+                fh.write("ok")
+
+        _stage_atomic(staged, _build, marker=GRAPH_INDEX_MARKER)
+    return staged
+
+
+def sim_ann_graph_topk(spark, sf_dir, rounds: int = GRAPH_ROUNDS):
+    """ANN top-k by beam search over the staged kNN graph.
+
+    Entry points are GRAPH_SEEDS evenly spaced vec_ids (step = ⌊N/S⌋
+    from a broadcast count — content-stable, no RNG); each of
+    GRAPH_ROUNDS fixed rounds expands the current top-GRAPH_BEAM
+    frontier through the adjacency scan, anti-joins already-visited
+    nodes, scores only the NEW candidates against the query (one fold
+    per candidate, 4dp-rounded — the sim_topk_blocked ranking
+    discipline), and re-selects the beam. Fixed rounds keep the plan
+    static (the graph_pagerank shape); per query per round the frontier
+    is ≤ BEAM·(2·DEGREE) rows, so a query visits ≤ S + R·B·2G ≈ 520
+    nodes regardless of corpus size — the whole point of a graph index.
+    Scale: adjacency joins hash-partition on src; queries are
+    panel-sized by the N_QUERIES contract; batch-serve at 100 TB keeps
+    this exact plan with the query panel as the streamed side.
+
+    The per-round visited frame is a share point (each round references
+    it three times: beam window, anti-join, union — unpersisted, the
+    final action would replay round-0 3^R times): persisted via the e2e
+    _persist_share discipline, released on the next invocation. The plan
+    stays lazy — zero driver jobs before the caller's action."""
+    from data_transform_spark.pipeline.e2e import (
+        _persist_share,
+        _release_prior_shares,
+    )
+
+    _release_prior_shares()
+    staged = graph_stage_index(spark, sf_dir)
+    adj = spark.read.parquet(f"{staged}/adjacency")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    nv = e.agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    step = F.greatest(
+        F.floor(F.col("nv") / GRAPH_SEEDS).cast("long"), F.lit(1)
+    )
+    seeds = (
+        e.crossJoin(F.broadcast(nv))
+        .filter(F.col("vec_id") % step == 0)
+        .select(F.col("vec_id").alias("node"), F.col("emb").alias("n_emb"))
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    score = F.round(_cos(F.col("q_emb"), F.col("n_emb")), 4)
+    visited = _persist_share(
+        q.crossJoin(F.broadcast(seeds)).select(
+            "query_id", "node", score.alias("score")
+        )
+    )
+    w_beam = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), "node"
+    )
+    nodes = e.select(F.col("vec_id").alias("node"), F.col("emb").alias("n_emb"))
+    for _ in range(rounds):
+        beam = (
+            visited.withColumn("rn", F.row_number().over(w_beam))
+            .filter(F.col("rn") <= GRAPH_BEAM)
+            .select("query_id", "node")
+        )
+        # every per-round join broadcasts its panel-sized side (beam ≤
+        # |Q|·BEAM rows, visited ≤ |Q|·(S+R·B·2G), cand ≤ |Q|·B·2G): the
+        # only shuffles left per round are the beam window and the
+        # distinct — adjacency and embeddings are scanned, never shuffled
+        cand = (
+            F.broadcast(beam)
+            .join(adj, beam.node == adj.src)
+            .select("query_id", F.col("dst").alias("node"))
+            .distinct()
+            .join(
+                F.broadcast(visited.select("query_id", "node")),
+                ["query_id", "node"],
+                "left_anti",
+            )
+        )
+        scored_new = (
+            F.broadcast(cand)
+            .join(nodes, "node")
+            .join(F.broadcast(q), "query_id")
+            .select("query_id", "node", score.alias("score"))
+        )
+        visited = _persist_share(visited.unionByName(scored_new))
+    return (
+        visited.filter(F.col("node") != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(w_beam))
+        .filter(F.col("rn") <= TOPK)
+        .select(
+            "query_id", F.col("node").alias("neighbor_id"), "score"
+        )
+    )
+
+
+@register("sim_ann_graph", oracle=_ANN_SUMMARY_ORACLE)
+def sim_ann_graph(spark, sf_dir):
+    """Graph ANN (kNN graph + beam search — the NSW/HNSW index class),
+    bounds-checked: recall vs exact top-5 must be >= 0.45, the
+    sim_ann_ivf/lsh bound at the same cost point (measured: 1.00 /
+    1.00 / 0.79 at sf0.001/0.01/0.1 with G=8, beam 8, 4 rounds, 8
+    seeds — the ~520-node visited budget is 21% of the sf0.1 corpus and
+    SHRINKS relatively as N grows, which is the argument for graph
+    indexes; per-SF numbers in SCALING.md). The build is staged
+    train-once/serve-many (graph_stage_index); this key serves from the
+    staged adjacency."""
+    return _ann_recall_summary(
+        sim_ann_graph_topk(spark, sf_dir),
+        sim_topk_bruteforce(spark, sf_dir),
+        0.45,
+    )
+
+
 # --- index compaction + staleness (r10 VERDICT #3) ------------------------
 
 ANN_RETRAIN_RATIO = 1.5  # append-vs-history residual-energy ratio budget

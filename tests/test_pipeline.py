@@ -3412,3 +3412,80 @@ class TestPackSharded:
                             // (2 * PACK_BUDGET)) / 10000
         # some shard must hold more than one pack or the window did nothing
         assert any(p > 0 for (_s, p) in got)
+
+
+class TestSimAnnGraph:
+    """Graph ANN (r13 VERDICT #5): deterministic kNN graph + fixed-round
+    beam search, staged train-once/serve-many."""
+
+    def test_graph_invariants_and_recall_bound(self, spark, sf_dir):
+        """Out-edge table: ≤ GRAPH_DEGREE edges per source, no self
+        loops, quantized scores within [−1e4, 1e4] units. Staged
+        adjacency: symmetric by construction. Serve: exactly TOPK rows
+        per query and recall vs exact top-5 above the declared bound."""
+        from data_transform_spark.pipeline.similarity import (
+            GRAPH_DEGREE,
+            N_QUERIES,
+            TOPK,
+            _graph_knn_edges,
+            graph_stage_index,
+            sim_ann_graph_topk,
+            sim_topk_bruteforce,
+        )
+
+        edges = _graph_knn_edges(spark, sf_dir).collect()
+        per_src = {}
+        for r in edges:
+            assert r.src != r.dst
+            assert -10_000 <= r.su <= 10_000
+            per_src[r.src] = per_src.get(r.src, 0) + 1
+        assert per_src and max(per_src.values()) <= GRAPH_DEGREE
+
+        staged = graph_stage_index(spark, sf_dir)
+        adj = {
+            (r.src, r.dst)
+            for r in spark.read.parquet(f"{staged}/adjacency").collect()
+        }
+        assert all((d, s) in adj for (s, d) in adj), "adjacency not symmetric"
+
+        ann = sim_ann_graph_topk(spark, sf_dir).collect()
+        per_q = {}
+        for r in ann:
+            per_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+        assert len(per_q) == N_QUERIES
+        assert all(len(v) == TOPK for v in per_q.values())
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in sim_topk_bruteforce(spark, sf_dir).collect()
+        }
+        hits = sum(
+            1 for q, ns in per_q.items() for n in ns if (q, n) in exact
+        )
+        assert hits >= 0.45 * len(exact), f"recall {hits/len(exact):.2f}"
+
+    def test_beam_expansion_beats_seeds_only(self, spark, sf_dir):
+        """Non-degeneracy: the beam search must actually NAVIGATE — the
+        full-round serve must strictly beat the rounds=0 (seeds-only)
+        baseline on exact-top-5 recall, and must surface neighbors that
+        are neither seeds nor direct seed neighbors."""
+        from data_transform_spark.pipeline.similarity import (
+            sim_ann_graph_topk,
+            sim_topk_bruteforce,
+        )
+
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in sim_topk_bruteforce(spark, sf_dir).collect()
+        }
+        full = {
+            (r.query_id, r.neighbor_id)
+            for r in sim_ann_graph_topk(spark, sf_dir).collect()
+        }
+        seeds_only = {
+            (r.query_id, r.neighbor_id)
+            for r in sim_ann_graph_topk(spark, sf_dir, rounds=0).collect()
+        }
+        hit_full = len(full & exact)
+        hit_seed = len(seeds_only & exact)
+        assert hit_full > hit_seed, (hit_full, hit_seed)
+        assert full - seeds_only, "expansion surfaced nothing new"

@@ -1086,3 +1086,27 @@ def test_zorder_ranks_are_two_phase_no_global_sort(spark, sf_dir):
 
     rps = _re.findall(r"rangepartitioning\(([^)]*)\)", p)
     assert all("zval" in rp for rp in rps), rps
+
+
+def test_graph_ann_serve_plan_is_build_free(spark, sf_dir):
+    """sim_ann_graph's serve path (r13 VERDICT #5) must contain ZERO
+    build stages: no tiled gemm (FlatMapGroupsInPandas) — only the
+    staged adjacency scan, the embeddings scans and panel-sized
+    broadcast joins. The kNN-graph build runs once in
+    graph_stage_index."""
+    import io as _io
+    import contextlib as _ctx
+
+    from data_transform_spark.pipeline.similarity import (
+        graph_stage_index,
+        sim_ann_graph_topk,
+    )
+
+    graph_stage_index(spark, sf_dir)  # warm: stage the adjacency
+    df = sim_ann_graph_topk(spark, sf_dir)
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "graph_index_" in p, "serve path must scan the staged adjacency"
+    assert "FlatMapGroupsInPandas" not in p, "gemm build leaked into serve"
