@@ -132,6 +132,10 @@ _CHANGED_IN_ROUND = {
     # uniform in the fixture, so every rate was 1.0 and the op was a
     # no-op on its own fixture); output column source -> lang
     "sample_temperature": 11,
+    # round 14: MRR@10 + MAP@10 columns added (r13 VERDICT #7) — the key
+    # had no official green row yet (registered r13), so this entry is
+    # documentation; it stays at the tier-0 sweep head either way
+    "search_eval_graded": 14,
 }
 
 

@@ -819,18 +819,39 @@ def _search_eval_graded_oracle() -> str:
         FROM sys s
         LEFT JOIN qrels qr ON qr.qid = s.qid AND qr.id = s.id
     ),
+    hits AS (
+        SELECT system, qid, r, g,
+               CAST(sum(CASE WHEN g > 0 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY system, qid ORDER BY r
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS h_at
+        FROM gains
+    ),
     dcg AS (
         SELECT system, qid,
                CAST(sum({_dcg_term_sql('g', 'r')}) AS BIGINT) AS dcg_u,
-               CAST(sum(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS BIGINT) AS h
-        FROM gains GROUP BY system, qid
+               CAST(sum(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS BIGINT) AS h,
+               CAST(min(CASE WHEN g > 0 THEN r END) AS BIGINT) AS r_first,
+               CAST(sum(CASE WHEN g > 0 THEN
+                        CAST(floor((2 * h_at * 1000000 + r) / (2.0 * r))
+                             AS BIGINT) ELSE 0 END) AS BIGINT) AS sum_p_u
+        FROM hits GROUP BY system, qid
     ),
     perq AS (
         SELECT d.system, d.qid, d.h, i.n_rel,
                CAST(floor((2 * d.h * 1000000 + i.n_rel)
                           / (2.0 * i.n_rel)) AS BIGINT) AS r_u,
                CAST(floor((2 * d.dcg_u * 1000000 + i.idcg_u)
-                          / (2.0 * i.idcg_u)) AS BIGINT) AS ndcg_u
+                          / (2.0 * i.idcg_u)) AS BIGINT) AS ndcg_u,
+               CASE WHEN d.r_first IS NULL THEN CAST(0 AS BIGINT)
+                    ELSE CAST(floor((2 * 1000000 + d.r_first)
+                                    / (2.0 * d.r_first)) AS BIGINT)
+               END AS rr_u,
+               CASE WHEN d.sum_p_u = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(floor((2 * d.sum_p_u
+                                     + least(i.n_rel, {EVAL_K}))
+                                    / (2.0 * least(i.n_rel, {EVAL_K})))
+                              AS BIGINT)
+               END AS ap_u
         FROM dcg d JOIN ideal i USING (qid)
         WHERE i.idcg_u > 0
     ),
@@ -844,7 +865,28 @@ def _search_eval_graded_oracle() -> str:
                         (2 * (3 * i.n2 + i.n1) * w.w_u + (t.N - 1))
                         / (2.0 * (t.N - 1))) AS BIGINT) * 1000000
                         + i.idcg_u)
-                     / (2.0 * i.idcg_u)) AS BIGINT) AS ndcg_u
+                     / (2.0 * i.idcg_u)) AS BIGINT) AS ndcg_u,
+               CAST(list_sum(list_transform(
+                   generate_series(1, {EVAL_K}), i2 ->
+                   CAST(floor((list_reduce(
+                           list_prepend(CAST(1 AS DOUBLE),
+                               list_transform(generate_series(1, i2 - 1),
+                                   j -> CAST(t.N - 1 - i.n_rel - j + 1
+                                             AS DOUBLE)
+                                        / (t.N - 1 - j + 1))),
+                           (a, x) -> a * x)
+                        * (CAST(i.n_rel AS DOUBLE) / (t.N - 1 - i2 + 1))
+                        / i2) * 1000000 + 0.5) AS BIGINT)))
+                    AS BIGINT) AS rr_u,
+               CAST(floor((2 * CAST(list_sum(list_transform(
+                        generate_series(1, {EVAL_K}), i2 ->
+                        CAST(floor(((CAST(i.n_rel AS DOUBLE) / (t.N - 1)
+                             + CAST(i.n_rel * (i.n_rel - 1) AS DOUBLE)
+                               / ((t.N - 1) * (t.N - 2))
+                               * (i2 - 1)) / i2) * 1000000 + 0.5)
+                             AS BIGINT))) AS BIGINT)
+                        + least(i.n_rel, {EVAL_K}))
+                     / (2.0 * least(i.n_rel, {EVAL_K}))) AS BIGINT) AS ap_u
         FROM ideal i, (SELECT count(*) AS N FROM labs) t,
              (SELECT {w_unit} AS w_u) w
         WHERE i.idcg_u > 0
@@ -857,7 +899,11 @@ def _search_eval_graded_oracle() -> str:
            CAST(floor((2 * sum(r_u) + count(*)) / (2.0 * count(*)))
                 AS BIGINT) AS macro_r_at_k_u,
            CAST(floor((2 * sum(ndcg_u) + count(*)) / (2.0 * count(*)))
-                AS BIGINT) AS macro_ndcg_at_k_u
+                AS BIGINT) AS macro_ndcg_at_k_u,
+           CAST(floor((2 * sum(rr_u) + count(*)) / (2.0 * count(*)))
+                AS BIGINT) AS macro_mrr_at_k_u,
+           CAST(floor((2 * sum(ap_u) + count(*)) / (2.0 * count(*)))
+                AS BIGINT) AS macro_map_at_k_u
     FROM perq GROUP BY system
     UNION ALL
     SELECT 'random', CAST(count(*) AS BIGINT), CAST({EVAL_K} AS BIGINT),
@@ -866,6 +912,10 @@ def _search_eval_graded_oracle() -> str:
            CAST(floor((2 * sum(r_u) + count(*)) / (2.0 * count(*)))
                 AS BIGINT),
            CAST(floor((2 * sum(ndcg_u) + count(*)) / (2.0 * count(*)))
+                AS BIGINT),
+           CAST(floor((2 * sum(rr_u) + count(*)) / (2.0 * count(*)))
+                AS BIGINT),
+           CAST(floor((2 * sum(ap_u) + count(*)) / (2.0 * count(*)))
                 AS BIGINT)
     FROM rnd
     """
@@ -889,14 +939,26 @@ def search_eval_graded(spark, sf_dir):
     structure (grade 2 = label match; grade 1 = same-language cosine-band
     neighbor, round(cos,6) >= {GRADE1_COS} without a label match), scored
     with nDCG@{EVAL_K} (gains 2^rel−1 = 3/1, the standard formulation)
-    alongside binary P/R@{EVAL_K} (relevant = grade >= 1) and the analytic
-    random baseline (expected per-position gain (3·n2+n1)/(N−1) times the
-    unit-gain DCG weight sum).
+    alongside binary P/R@{EVAL_K} (relevant = grade >= 1), MRR@{EVAL_K}
+    and MAP@{EVAL_K} (r13 VERDICT #7 — the full five-metric retrieval
+    report), and the analytic random baseline: expected per-position
+    gain (3·n2+n1)/(N−1) times the unit-gain DCG weight sum for nDCG,
+    the exact hypergeometric first-hit chain
+    Σᵢ (1/i)·P(first hit at i) for MRR (Monte-Carlo-validated), and the
+    exchangeability linearity E[1{relᵢ}·hᵢ] = p1 + p2·(i−1) with
+    p1 = R/(N−1), p2 = R(R−1)/((N−1)(N−2)) for MAP.
 
     Exactness: every DCG term quantizes to integer micro-units via
     floor((g·1e6)·ln2/ln(rank+1) + 0.5) — the libm-on-integers idiom, so
     Spark/DuckDB terms agree bitwise and DCG/IDCG/nDCG are pure-integer
-    sums and half-up ratios in any aggregation order. Rankings come from
+    sums and half-up ratios in any aggregation order. MRR/MAP are pure
+    integer pipelines too: reciprocal ranks and per-position precision
+    terms are half-up micro-unit ratios of integers (floor((2a+b)/(2b))),
+    and the random row's float surfaces (the hypergeometric product
+    chain, the linearity terms) are left-fold products/divisions of
+    integer-valued doubles with IDENTICAL expression shape in
+    Spark/DuckDB/python — bitwise-equal before their single per-term
+    quantization. Rankings come from
     _rrf_rankings VERBATIM and the qrel cosine band reuses
     _vec_scored_pairs — eval, fused key, and truth share one pipeline.
 
@@ -1010,10 +1072,34 @@ def search_eval_graded(spark, sf_dir):
             F.lit(0),
         ).alias("g"),
     )
-    dcg = gains.groupBy("system", "qid").agg(
+    w_h = (
+        Window.partitionBy("system", "qid")
+        .orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hits = gains.withColumn(
+        "h_at",
+        F.sum(F.when(F.col("g") > 0, 1).otherwise(0)).over(w_h).cast("long"),
+    )
+    dcg = hits.groupBy("system", "qid").agg(
         F.sum(_dcg_term(F.col("g"), F.col("r"))).cast("long").alias("dcg_u"),
         F.sum(F.when(F.col("g") > 0, 1).otherwise(0)).cast("long").alias("h"),
+        F.min(F.when(F.col("g") > 0, F.col("r")))
+        .cast("long")
+        .alias("r_first"),
+        F.sum(
+            F.when(
+                F.col("g") > 0,
+                F.floor(
+                    (2 * F.col("h_at") * F.lit(1_000_000) + F.col("r"))
+                    / (2.0 * F.col("r"))
+                ).cast("long"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("sum_p_u"),
     )
+    d_ap = F.least(F.col("n_rel"), F.lit(EVAL_K).cast("long"))
     perq = dcg.join(F.broadcast(ideal), "qid").select(
         "system",
         "h",
@@ -1029,6 +1115,21 @@ def search_eval_graded(spark, sf_dir):
         )
         .cast("long")
         .alias("ndcg_u"),
+        F.when(F.col("r_first").isNull(), F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(
+                (2 * F.lit(1_000_000) + F.col("r_first"))
+                / (2.0 * F.col("r_first"))
+            ).cast("long")
+        )
+        .alias("rr_u"),
+        F.when(F.col("sum_p_u") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(
+                (2 * F.col("sum_p_u") + d_ap) / (2.0 * d_ap)
+            ).cast("long")
+        )
+        .alias("ap_u"),
     )
     nq = F.count(F.lit(1))
     systems = perq.groupBy("system").agg(
@@ -1046,6 +1147,12 @@ def search_eval_graded(spark, sf_dir):
         F.floor((2 * F.sum("ndcg_u") + nq) / (2.0 * nq))
         .cast("long")
         .alias("macro_ndcg_at_k_u"),
+        F.floor((2 * F.sum("rr_u") + nq) / (2.0 * nq))
+        .cast("long")
+        .alias("macro_mrr_at_k_u"),
+        F.floor((2 * F.sum("ap_u") + nq) / (2.0 * nq))
+        .cast("long")
+        .alias("macro_map_at_k_u"),
     )
     w_u = (
         F.aggregate(
@@ -1067,6 +1174,57 @@ def search_eval_graded(spark, sf_dir):
         )
         / (2.0 * (F.col("N") - 1))
     ).cast("long")
+    # analytic E[RR@k] under a uniformly random ranking of the N-1
+    # candidates, R = n_rel relevant: P(first hit at rank i2) =
+    # [Π_{j<i2} (M-R-j+1)/(M-j+1)] · R/(M-i2+1) with M = N-1 — each
+    # per-position term quantizes to micro-units (floor(x·1e6+0.5), the
+    # DCG-term discipline) so the sum is a pure integer; the expression
+    # shape (left-fold product of integer-valued-double ratios, then two
+    # divisions) is IDENTICAL in Spark/DuckDB/python, so the doubles
+    # agree bitwise before the single quantization.
+    rnd_m = F.col("N") - 1
+    rr_terms = F.transform(
+        F.sequence(F.lit(1), F.lit(EVAL_K)),
+        lambda i2: F.floor(
+            (
+                F.aggregate(
+                    F.when(i2 > 1, F.sequence(F.lit(1), i2 - 1)).otherwise(
+                        F.array().cast("array<int>")
+                    ),
+                    F.lit(1.0),
+                    lambda a, j: a
+                    * (
+                        (rnd_m - F.col("n_rel") - j + 1).cast("double")
+                        / (rnd_m - j + 1)
+                    ),
+                )
+                * (F.col("n_rel").cast("double") / (rnd_m - i2 + 1))
+                / i2
+            )
+            * F.lit(1_000_000)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    rnd_rr_u = F.aggregate(
+        rr_terms, F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    # analytic E[AP@k] by linearity: E[1{rel_i}·h_i] = p1 + p2·(i−1)
+    # with p1 = R/M (marginal) and p2 = R(R−1)/(M(M−1)) (pairwise,
+    # exchangeable without-replacement draws) — Monte-Carlo-validated
+    p1 = F.col("n_rel").cast("double") / rnd_m
+    p2 = (F.col("n_rel") * (F.col("n_rel") - 1)).cast("double") / (
+        rnd_m * (F.col("N") - 2)
+    )
+    ap_terms = F.transform(
+        F.sequence(F.lit(1), F.lit(EVAL_K)),
+        lambda i2: F.floor(
+            ((p1 + p2 * (i2 - 1)) / i2) * F.lit(1_000_000) + F.lit(0.5)
+        ).cast("long"),
+    )
+    rnd_s_u = F.aggregate(
+        ap_terms, F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    d_rnd = F.least(F.col("n_rel"), F.lit(EVAL_K).cast("long"))
     rnd = (
         ideal.crossJoin(F.broadcast(n_corpus))
         .crossJoin(F.broadcast(spark.range(1).select(w_u)))
@@ -1089,6 +1247,10 @@ def search_eval_graded(spark, sf_dir):
             )
             .cast("long")
             .alias("ndcg_u"),
+            rnd_rr_u.alias("rr_u"),
+            F.floor((2 * rnd_s_u + d_rnd) / (2.0 * d_rnd))
+            .cast("long")
+            .alias("ap_u"),
         )
     )
     rnd_row = rnd.agg(
@@ -1103,5 +1265,11 @@ def search_eval_graded(spark, sf_dir):
         F.floor((2 * F.sum("ndcg_u") + nq) / (2.0 * nq))
         .cast("long")
         .alias("macro_ndcg_at_k_u"),
+        F.floor((2 * F.sum("rr_u") + nq) / (2.0 * nq))
+        .cast("long")
+        .alias("macro_mrr_at_k_u"),
+        F.floor((2 * F.sum("ap_u") + nq) / (2.0 * nq))
+        .cast("long")
+        .alias("macro_map_at_k_u"),
     ).select(F.lit("random").alias("system"), "*")
     return systems.unionByName(rnd_row)

@@ -3034,6 +3034,7 @@ class TestSearchEvalGraded:
         for name, rows in ranked.items():
             dcg: dict = defaultdict(int)
             hits: dict = defaultdict(int)
+            by_q: dict = defaultdict(list)
             seen_q = set()
             for q, c, rk in rows:
                 seen_q.add(q)
@@ -3041,6 +3042,7 @@ class TestSearchEvalGraded:
                 g = {2: 3, 1: 1}.get(grade, 0)  # gain = 2^rel - 1
                 dcg[q] += term(g, rk)
                 hits[q] += 1 if g > 0 else 0
+                by_q[q].append((rk, g))
             qs = [q for q in seen_q if q in ideal]
             nq = len(qs)
             p = (2 * sum(hits[q] for q in qs) * 1_000_000 + nq * EVAL_K) // (
@@ -3054,15 +3056,39 @@ class TestSearchEvalGraded:
                 (2 * dcg[q] * 1_000_000 + ideal[q][3]) // (2 * ideal[q][3])
                 for q in qs
             ]
+            # MRR / MAP replay (r14): running hit count in rank order,
+            # micro-precision terms at relevant positions, half-up means
+            rrs, aps = [], []
+            for q in qs:
+                h = 0
+                r_first = None
+                sum_p = 0
+                for rk, g in sorted(by_q[q]):
+                    if g > 0:
+                        h += 1
+                        if r_first is None:
+                            r_first = rk
+                        sum_p += (2 * h * 1_000_000 + rk) // (2 * rk)
+                rrs.append(
+                    0 if r_first is None
+                    else (2 * 1_000_000 + r_first) // (2 * r_first)
+                )
+                d_ap = min(ideal[q][2], EVAL_K)
+                aps.append(
+                    0 if sum_p == 0 else (2 * sum_p + d_ap) // (2 * d_ap)
+                )
             want[name] = (
                 nq,
                 p,
                 (2 * sum(rus) + nq) // (2 * nq),
                 (2 * sum(nds) + nq) // (2 * nq),
+                (2 * sum(rrs) + nq) // (2 * nq),
+                (2 * sum(aps) + nq) // (2 * nq),
             )
         w_u = sum(term(1, i) for i in range(1, EVAL_K + 1))
         nq = len(ideal)
-        pus, rus, nds = [], [], []
+        pus, rus, nds, rrs, aps = [], [], [], [], []
+        m_pool = n_corpus - 1
         for q, (n2, n1, n_rel, idcg) in ideal.items():
             pus.append(
                 (2 * n_rel * 1_000_000 + (n_corpus - 1))
@@ -3076,11 +3102,35 @@ class TestSearchEvalGraded:
                 2 * (n_corpus - 1)
             )
             nds.append((2 * rd * 1_000_000 + idcg) // (2 * idcg))
+            # analytic E[RR@k]: hypergeometric first-hit chain, per-term
+            # micro-unit quantization — same float expression shape as
+            # the engines (left-fold products/divisions of integer-valued
+            # doubles agree bitwise)
+            rr = 0
+            for i in range(1, EVAL_K + 1):
+                acc = 1.0
+                for j in range(1, i):
+                    acc = acc * ((m_pool - n_rel - j + 1) / (m_pool - j + 1))
+                rr += math.floor(
+                    (acc * (n_rel / (m_pool - i + 1)) / i) * 1_000_000 + 0.5
+                )
+            rrs.append(rr)
+            # analytic E[AP@k] by linearity: E[1{rel_i}·h_i] = p1+p2·(i−1)
+            p1 = n_rel / m_pool
+            p2 = (n_rel * (n_rel - 1)) / (m_pool * (n_corpus - 2))
+            s_u = sum(
+                math.floor(((p1 + p2 * (i - 1)) / i) * 1_000_000 + 0.5)
+                for i in range(1, EVAL_K + 1)
+            )
+            d_ap = min(n_rel, EVAL_K)
+            aps.append((2 * s_u + d_ap) // (2 * d_ap))
         want["random"] = (
             nq,
             (2 * sum(pus) + nq) // (2 * nq),
             (2 * sum(rus) + nq) // (2 * nq),
             (2 * sum(nds) + nq) // (2 * nq),
+            (2 * sum(rrs) + nq) // (2 * nq),
+            (2 * sum(aps) + nq) // (2 * nq),
         )
 
         got = {
@@ -3089,12 +3139,17 @@ class TestSearchEvalGraded:
                 r["macro_p_at_k_u"],
                 r["macro_r_at_k_u"],
                 r["macro_ndcg_at_k_u"],
+                r["macro_mrr_at_k_u"],
+                r["macro_map_at_k_u"],
             )
             for r in QUERIES["search_eval_graded"](spark, sf_dir).collect()
         }
         assert got == want
         assert got["cosine"][3] > got["random"][3], (
             "cosine failed to beat the random baseline on nDCG"
+        )
+        assert got["cosine"][4] > 0 and got["cosine"][5] > 0, (
+            "MRR/MAP degenerate to zero on the fixture"
         )
 
 
