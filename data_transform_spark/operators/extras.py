@@ -491,6 +491,50 @@ def basket_pair_lift(spark, sf_dir):
 RFM_ASOF = "1998-12-31"  # reference date for recency
 
 
+def _two_phase_ntile(m, key_desc, tie: str, k: int, bands: int = 256):
+    """Exact SQL-ntile over (key_desc DESC, tie ASC) with NO row-scale
+    single-partition window (r13 VERDICT "what's wrong" #5 — the last
+    two-phase conversions): band rows by equal-width ranges of the
+    NEGATED key (a pure function of the value, so ties never straddle a
+    band), per-band counts -> cumulative offsets via a window over the
+    ≤bands-row count table, row_number partitioned by band, then the
+    SQL-ntile closed form (first n mod k buckets take ceil(n/k) rows)
+    from the broadcast total. Bit-identical to ntile(k) OVER (ORDER BY
+    key DESC, tie) — the oracles keep the real ntile, so the hash gate
+    proves the equivalence. Returns (tie, _tile)."""
+    keyd = (-key_desc.cast("double")).alias("_kd")
+    frame = m.select(F.col(tie), keyd)
+    mm = frame.agg(F.max("_kd").alias("_hi"), F.min("_kd").alias("_lo"))
+    keyed = frame.crossJoin(F.broadcast(mm)).withColumn(
+        "_bkt",
+        F.floor(
+            (F.col("_kd") - F.col("_lo"))
+            * bands
+            / (F.col("_hi") - F.col("_lo") + 1)
+        ).cast("long"),
+    )
+    counts = keyed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_bkt", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
+    )
+    n = counts.agg(F.sum("_cnt").cast("long").alias("_n"))
+    w_in = Window.partitionBy("_bkt").orderBy("_kd", tie)
+    rn = F.col("_off") + F.row_number().over(w_in)
+    q = F.floor(F.col("_n") / k)
+    r = F.col("_n") % k
+    bucket = (
+        F.when(rn <= r * (q + 1), F.floor((rn - 1) / (q + 1)) + 1)
+        .otherwise(r + F.floor((rn - r * (q + 1) - 1) / q) + 1)
+        .cast("long")
+    )
+    return (
+        keyed.join(F.broadcast(offsets), "_bkt")
+        .crossJoin(F.broadcast(n))
+        .select(tie, bucket.alias("_tile"))
+    )
+
+
 @register(
     "customer_rfm",
     oracle=f"""
@@ -517,13 +561,13 @@ RFM_ASOF = "1998-12-31"  # reference date for recency
 )
 def customer_rfm(spark, sf_dir):
     """RFM segmentation: recency (days since last order at a fixed as-of
-    date), frequency, monetary per customer, each quintile-scored with
-    ntile (1 = best, deterministic via the custkey tiebreak) — the
-    classic CRM scoring table. The three global ntile windows run over
-    the per-customer AGGREGATE (one row per customer), not raw orders; at
-    100 TB global ntile becomes approx-percentile cutoffs broadcast as a
-    5-row map — same scores, no single-partition sort (the win_ntile
-    scale note)."""
+    date), frequency, monetary per customer, each quintile-scored 1 = best
+    (deterministic via the custkey tiebreak) — the classic CRM scoring
+    table. The three quintile ranks are exact ntile values computed
+    TWO-PHASE over the per-customer aggregate (_two_phase_ntile, r14):
+    dimension-sized today, but the same code survives a customer
+    dimension that outgrows one partition — no single-partition sort
+    anywhere, same scores (the oracle keeps real ntile; hash-proof)."""
     o = load_table(spark, sf_dir, "orders")
     m = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -532,19 +576,29 @@ def customer_rfm(spark, sf_dir):
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
         ).alias("monetary"),
     )
-    wr = Window.orderBy(F.col("last_order").desc(), "o_custkey")
-    wf = Window.orderBy(F.col("frequency").desc(), "o_custkey")
-    wm = Window.orderBy(F.col("monetary").desc(), "o_custkey")
-    return m.select(
+    rs = _two_phase_ntile(
+        m,
+        F.unix_micros(F.col("last_order").cast("timestamp")),
         "o_custkey",
-        F.datediff(F.lit(RFM_ASOF).cast("date"), F.col("last_order"))
-        .cast("long")
-        .alias("recency_days"),
-        "frequency",
-        "monetary",
-        F.ntile(5).over(wr).cast("long").alias("r_score"),
-        F.ntile(5).over(wf).cast("long").alias("f_score"),
-        F.ntile(5).over(wm).cast("long").alias("m_score"),
+        5,
+    )
+    fs = _two_phase_ntile(m, F.col("frequency"), "o_custkey", 5)
+    ms = _two_phase_ntile(m, F.col("monetary"), "o_custkey", 5)
+    return (
+        m.join(rs.withColumnRenamed("_tile", "r_score"), "o_custkey")
+        .join(fs.withColumnRenamed("_tile", "f_score"), "o_custkey")
+        .join(ms.withColumnRenamed("_tile", "m_score"), "o_custkey")
+        .select(
+            "o_custkey",
+            F.datediff(F.lit(RFM_ASOF).cast("date"), F.col("last_order"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+            "r_score",
+            "f_score",
+            "m_score",
+        )
     )
 
 
@@ -579,18 +633,22 @@ def orders_pareto(spark, sf_dir):
     """Revenue concentration (Pareto) curve: customers ranked into spend
     deciles, each decile's revenue and the cumulative share — "the top
     10% of customers carry X% of revenue" table behind every account
-    strategy review. Money sums ride DECIMAL partials (§5.3.1); the only
-    global ordering is the ntile over the one-row-per-customer AGGREGATE
-    (the customer_rfm scale note — approx-percentile cutoffs at 100 TB),
-    and the cumulative window runs on the 10-row decile frame."""
+    strategy review. Money sums ride DECIMAL partials (§5.3.1); the
+    decile rank is an exact two-phase ntile (_two_phase_ntile, r14 — no
+    single-partition sort even if the customer dimension outgrows one
+    partition), and the cumulative window runs on the 10-row decile
+    frame."""
     o = load_table(spark, sf_dir, "orders")
     c = o.groupBy("o_custkey").agg(
         F.round(
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
         ).alias("spend")
     )
-    wd = Window.orderBy(F.col("spend").desc(), "o_custkey")
-    r = c.select("spend", F.ntile(10).over(wd).cast("long").alias("decile"))
+    r = c.join(
+        _two_phase_ntile(c, F.col("spend"), "o_custkey", 10)
+        .withColumnRenamed("_tile", "decile"),
+        "o_custkey",
+    ).select("spend", "decile")
     d = r.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.round(

@@ -1306,8 +1306,11 @@ def _bpe_train_batched(
     """Batched _bpe_train: per round, ONE bounded collect of the top
     CAND_FACTOR·batch ranked pairs, then the greedy-disjoint scan runs in
     the driver over those ≤32 rows (a training decision is a driver
-    decision — the _bpe_train precedent, same word-table checkpoint
-    hygiene). Returns [(round, cand_rank, a, b, merged, pair_count), ...];
+    decision — the _bpe_train precedent). The word table re-checkpoints
+    at every round END with the accepted replaces applied (r14 — see the
+    inline comment), so each round's pair-count job reads a
+    vocabulary-sized materialization, never a cumulative replace chain.
+    Returns [(round, cand_rank, a, b, merged, pair_count), ...];
     pair_count is the start-of-round count (exact for every accepted pair
     — disjointness means no earlier merge in the round changed it)."""
     from data_transform_spark.operators.graph import (
@@ -1320,7 +1323,7 @@ def _bpe_train_batched(
         .withColumn("seq", (seq0 or _bpe_seq0)(F.col("word")))
         .localCheckpoint(eager=True)
     )
-    rid = _checkpoint_rdd_id(words)
+    rids = {_checkpoint_rdd_id(words)}
     cand = BPE_BATCH_CAND_FACTOR * batch
     merges = []
     seq = F.col("seq")
@@ -1358,9 +1361,25 @@ def _bpe_train_batched(
                 seq = F.replace(
                     seq, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
                 )
+            if n_acc:
+                # Re-materialize the word table with this round's
+                # replaces APPLIED (r14 scale fix, output-neutral): the
+                # chained-expression alternative re-evaluates every prior
+                # round's replaces in every later round's pair-count job
+                # — O(rounds²·batch) replace work and a Catalyst tree
+                # that passes ~1k nodes around round 10 at production
+                # knobs (B=256). One eager vocabulary-sized checkpoint
+                # per round keeps the expression ≤ batch deep and each
+                # pair-count pass O(batch). Measured on the 280k-word
+                # scale corpus: round walls flat (~1.3 s/round) instead
+                # of growing with the cumulative chain (tools/scale_r14).
+                words = words.withColumn("seq", seq).localCheckpoint(
+                    eager=True
+                )
+                rids.add(_checkpoint_rdd_id(words))
+                seq = F.col("seq")
     finally:
-        if rid is not None:
-            _release_rdds(spark, {rid})
+        _release_rdds(spark, {r for r in rids if r is not None})
     return merges
 
 

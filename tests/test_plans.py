@@ -1110,3 +1110,16 @@ def test_graph_ann_serve_plan_is_build_free(spark, sf_dir):
     p = buf.getvalue()
     assert "graph_index_" in p, "serve path must scan the staged adjacency"
     assert "FlatMapGroupsInPandas" not in p, "gemm build leaked into serve"
+
+
+def test_rfm_and_pareto_tiles_are_two_phase(spark, sf_dir):
+    """customer_rfm / orders_pareto quintile/decile ranks are exact
+    two-phase ntiles since r14 (_two_phase_ntile): no ntile window in
+    either plan and every SinglePartition exchange feeds from a
+    HashAggregate (the band count tables) — the customer dimension can
+    outgrow one partition without a plan change."""
+    for key in ("customer_rfm", "orders_pareto"):
+        p = simple_plan_of(spark, key, sf_dir)
+        assert "ntile" not in p, f"{key}: global ntile still in plan"
+        assert "row_number" in p
+        assert_single_partitions_aggregate_bounded(p, key)
