@@ -153,6 +153,10 @@ OPTIONAL = [
     # as a duplicate row: identical scan + shard window, aggregate-only
     # tail (same reason vocab_bpe_bytes is excluded above).
     "pack_concat_chunks_sharded",
+    # round-14: the Gopher n-gram repetition battery — map-only like
+    # quality_gopher, benched for the same reason (a zero-shuffle gate's
+    # wall IS its scan throughput).
+    "quality_repetition",
     # The heavyweight plans excluded from the median-of-3 headline —
     # pipeline_e2e_llm_v3/v4, sim_ann_ivfpq, dedup_image_phash,
     # sim_ann_index_compact, stream_dedup_incr — are all in TIER2 below

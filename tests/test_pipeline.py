@@ -1600,6 +1600,72 @@ class TestGopher:
         assert len(rejected_by) >= 2
 
 
+class TestRepetition:
+    def test_coverage_matches_python_and_gate_splits(self, spark, sf_dir):
+        """Every n-gram coverage micro-value must equal a from-scratch
+        python Counter computation, every rule flag must follow its
+        threshold, and the battery must be LIVE on this fixture: kept
+        and rejected docs both exist, more than one rule rejects, and
+        the dup-2 signal is non-zero on a meaningful share of docs (the
+        reason dup was shifted from the paper's n=5..10 to n=2)."""
+        from collections import Counter
+
+        from data_transform_spark.io import load_table
+        from data_transform_spark.pipeline.curation import (
+            REP_DUP2_MAX_MICRO,
+            REP_TOP_MAX_MICRO,
+        )
+
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in load_table(spark, sf_dir, "documents").collect()
+        }
+        got = {
+            r["doc_id"]: r
+            for r in QUERIES["quality_repetition"](spark, sf_dir).collect()
+        }
+        assert set(got) == set(texts)
+        n_kept, dup2_live, rejected_by = 0, 0, set()
+        for did, text in texts.items():
+            toks = text.split(" ")
+            doc_chars = sum(len(t) for t in toks)
+            r = got[did]
+            assert r["n_words"] == len(toks)
+            assert r["doc_chars"] == doc_chars
+            micro = {}
+            for n in (2, 3, 4):
+                cnt = Counter(
+                    tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                )
+                covs = {
+                    g: c * sum(len(t) for t in g) for g, c in cnt.items()
+                }
+                top = max(covs.values(), default=0)
+                dup = sum(v for g, v in covs.items() if cnt[g] >= 2)
+                micro[f"top{n}"] = top * 1_000_000 // doc_chars
+                micro[f"dup{n}"] = dup * 1_000_000 // doc_chars
+            for col in ("top2", "top3", "top4", "dup2", "dup3"):
+                assert r[f"{col}_micro"] == micro[col], (did, col)
+            rules = {
+                "r_top2": micro["top2"] <= REP_TOP_MAX_MICRO[2],
+                "r_top3": micro["top3"] <= REP_TOP_MAX_MICRO[3],
+                "r_top4": micro["top4"] <= REP_TOP_MAX_MICRO[4],
+                "r_dup2": micro["dup2"] <= REP_DUP2_MAX_MICRO,
+            }
+            for rule, want in rules.items():
+                assert r[rule] == want, (did, rule)
+            assert r["kept"] == all(rules.values())
+            if r["kept"]:
+                n_kept += 1
+            else:
+                rejected_by.update(k for k, v in rules.items() if not v)
+            if r["dup2_micro"] > 0:
+                dup2_live += 1
+        assert 0 < n_kept < len(texts)
+        assert len(rejected_by) >= 2
+        assert dup2_live > len(texts) // 10
+
+
 class TestTripletMine:
     def test_triplets_match_python_argmax_and_verdicts(self, spark, sf_dir):
         """Every anchor's positive/negative pick must equal a from-scratch

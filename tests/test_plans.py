@@ -1123,3 +1123,14 @@ def test_rfm_and_pareto_tiles_are_two_phase(spark, sf_dir):
         assert "ntile" not in p, f"{key}: global ntile still in plan"
         assert "row_number" in p
         assert_single_partitions_aggregate_bounded(p, key)
+
+
+def test_quality_repetition_is_map_only(spark, sf_dir):
+    """The Gopher repetition battery is doc-local array folds: zero
+    shuffles, zero Python workers — the whole filter pipelines with the
+    scan exactly like quality_gopher."""
+    import re
+
+    p = plan_of(spark, "quality_repetition", sf_dir)
+    assert not re.findall(r"^\(\d+\) Exchange", p, flags=re.M), "battery shuffled"
+    assert "EvalPython" not in p
