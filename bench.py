@@ -126,7 +126,10 @@ OPTIONAL = [
     "events_ab_srm",
     # round-12: capacity-respecting best-fit packing (0.4 s warm),
     # seasonal smoothing and the forecaster decision table (~2 s each).
-    # NOT benched, with reasons: vocab_bpe_bytes / tokenize_bpe_bytes /
+    # NOT benched, with reasons: vocab_wordpiece / tokenize_wordpiece
+    # (round 14: extra vocab-sized aggregate per round, otherwise
+    # vocab_bpe's plan shape — measured A/B in SCALING.md) and
+    # vocab_bpe_bytes / tokenize_bpe_bytes /
     # vocab_unigram_lm / tokenize_unigram_lm share vocab_bpe's plan shape
     # (one corpus scan + vocab-sized rounds — duplicate rows); the
     # composite evals tokenize_bakeoff / dedup_bakeoff /

@@ -2083,3 +2083,287 @@ def bpe_fertility(spark, sf_dir):
             ).alias("tokens_per_char"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece — the third production tokenizer family (BERT lineage:
+# Schuster & Nakajima 2012; Wu et al. 2016). Same merge MACHINERY as BPE
+# (space-delimited symbol layout, literal-replace rounds, driver-decided
+# top-1), different SELECTION: the merged pair maximizes the likelihood
+# score count(ab) / (count(a) * count(b)) instead of raw count(ab) — the
+# pair whose fusion most increases corpus likelihood under a unigram
+# symbol model. Scores are integer micro-units: pc * 10^12 // (ca * cb)
+# (BIGINT floor division in both engines; pc < 9.2e6 keeps the product
+# in int64 — true by orders of magnitude at every fixture SF; a 100 TB
+# run would drop the scale to 10^6 or widen to DECIMAL(38,0)). Ties
+# after quantization break lexicographically on (a, b) — deterministic
+# in any engine. Measured on this fixture the two families genuinely
+# diverge: WordPiece's first pick is (q, ##u) — 871 of 871 q's precede
+# u, the canonical exclusivity pair — while BPE's is the raw-frequency
+# (e, r); no merge round picks the same pair (gold-test-pinned).
+
+WP_ROUNDS = BPE_ROUNDS  # same bounded-unroll budget as the BPE oracles
+WP_SCORE_SCALE = 10**12
+
+
+def _wp_seq0(word_col):
+    """Initial WordPiece symbol sequence: first character unmarked, every
+    later character carries the '##' continuation mark (BERT convention) —
+    ``' t  ##h  ##e '`` for 'the'. The _bpe_seq0 layout invariants hold
+    verbatim ('#' is not a space), so merge rounds are the same literal
+    replace; a merged symbol keeps the LEFT symbol's marking and strips
+    the right's '##', so word-initial and mid-word fusions of the same
+    characters stay distinct symbols with distinct counts."""
+    return F.concat(
+        F.lit(" "),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.length(word_col)),
+                lambda i: F.when(i == 1, word_col.substr(i, F.lit(1))).otherwise(
+                    F.concat(F.lit("##"), word_col.substr(i, F.lit(1)))
+                ),
+            ),
+            "  ",
+        ),
+        F.lit(" "),
+    )
+
+
+def _wp_symbol_counts(words, seq):
+    """Corpus-weighted occurrence count of every CURRENT symbol — the
+    score's denominator terms. Same explode discipline as
+    _bpe_pair_counts; the frame is vocabulary-sized."""
+    return (
+        words.select("cnt", F.explode(F.split(F.trim(seq), "  ")).alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("cnt").alias("sc"))
+    )
+
+
+def _wp_merged(a: str, b: str) -> str:
+    return a + (b[2:] if b.startswith("##") else b)
+
+
+def _wp_train(spark, sf_dir, rounds: int = WP_ROUNDS):
+    """Learn ``rounds`` WordPiece merges deterministically — the _bpe_train
+    loop with likelihood selection. Per round: pair counts + symbol counts
+    (both vocabulary-sized aggregates over the checkpointed word table),
+    score join, 1-row argmax collect (a training decision is a driver
+    decision — the vocab_bpe precedent), literal replace. Returns
+    [(round, a, b, merged, pc, ca, cb, score_u), ...] as plain literals."""
+    from data_transform_spark.operators.graph import (
+        _checkpoint_rdd_id,
+        _release_rdds,
+    )
+
+    words = (
+        _bpe_words(spark, sf_dir)
+        .withColumn("seq", _wp_seq0(F.col("word")))
+        .localCheckpoint(eager=True)
+    )
+    rid = _checkpoint_rdd_id(words)
+    merges = []
+    seq = F.col("seq")
+    try:
+        for r in range(1, rounds + 1):
+            pairs = _bpe_pair_counts(words, seq)
+            syms = _wp_symbol_counts(words, seq)
+            sa = syms.select(F.col("sym").alias("a"), F.col("sc").alias("ca"))
+            sb = syms.select(F.col("sym").alias("b"), F.col("sc").alias("cb"))
+            top = (
+                pairs.join(sa, "a")
+                .join(sb, "b")
+                .select(
+                    "a",
+                    "b",
+                    "pc",
+                    "ca",
+                    "cb",
+                    F.expr(f"pc * {WP_SCORE_SCALE} DIV (ca * cb)").alias(
+                        "score_u"
+                    ),
+                )
+                .orderBy(F.col("score_u").desc(), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            t = top[0]
+            a, b = t["a"], t["b"]
+            merges.append(
+                (
+                    r,
+                    a,
+                    b,
+                    _wp_merged(a, b),
+                    int(t["pc"]),
+                    int(t["ca"]),
+                    int(t["cb"]),
+                    int(t["score_u"]),
+                )
+            )
+            seq = F.replace(
+                seq, F.lit(f" {a}  {b} "), F.lit(f" {_wp_merged(a, b)} ")
+            )
+    finally:
+        if rid is not None:
+            _release_rdds(spark, {rid})
+    return merges
+
+
+_WP_SEQ0_SQL = (
+    "' ' || array_to_string(list_transform(generate_series(1, length(word)), "
+    "i -> CASE WHEN i = 1 THEN substring(word, 1, 1) "
+    "ELSE '##' || substring(word, i, 1) END), '  ') || ' '"
+)
+
+
+def _wp_cte_chain(rounds: int) -> str:
+    """DuckDB replay of _wp_train — the _bpe_cte_chain pattern with the
+    likelihood score: per round pair counts p{r} AND symbol counts y{r},
+    argmax of the BIGINT-quantized score, replace. w/m CTEs are
+    MATERIALIZED: each round reads w{r-1} THREE times (pairs, symbols,
+    replace), so un-materialized inlining re-expands the chain 3^rounds
+    ways (the tokenize_bakeoff lesson, worse by the extra branch)."""
+    parts = [
+        f"""
+    WITH w0 AS MATERIALIZED (
+        SELECT word, count(*) AS cnt, {_WP_SEQ0_SQL} AS seq
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> '' GROUP BY word
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    p{r} AS (
+        SELECT s[i] AS a, s[i + 1] AS b, sum(cnt) AS pc
+        FROM (SELECT cnt, string_split(trim(seq), '  ') AS s FROM w{r - 1}),
+             unnest(generate_series(1, len(s) - 1)) AS t(i)
+        GROUP BY 1, 2
+    ),
+    y{r} AS (
+        SELECT sym, sum(cnt) AS sc
+        FROM (SELECT cnt, unnest(string_split(trim(seq), '  ')) AS sym
+              FROM w{r - 1})
+        GROUP BY 1
+    ),
+    m{r} AS MATERIALIZED (
+        SELECT CAST({r} AS INTEGER) AS merge_round, a, b,
+               a || CASE WHEN b LIKE '##%' THEN substring(b, 3) ELSE b END
+                   AS merged,
+               CAST(pc AS BIGINT) AS pair_count,
+               CAST(sa.sc AS BIGINT) AS count_a,
+               CAST(sb.sc AS BIGINT) AS count_b,
+               CAST(CAST(pc AS BIGINT) * {WP_SCORE_SCALE}
+                    // (CAST(sa.sc AS BIGINT) * CAST(sb.sc AS BIGINT))
+                    AS BIGINT) AS score_u
+        FROM p{r} JOIN y{r} sa ON p{r}.a = sa.sym
+                  JOIN y{r} sb ON p{r}.b = sb.sym
+        ORDER BY score_u DESC, a, b LIMIT 1
+    ),
+    w{r} AS MATERIALIZED (
+        SELECT word, cnt,
+               replace(seq, ' ' || a || '  ' || b || ' ',
+                       ' ' || merged || ' ') AS seq
+        FROM w{r - 1}, m{r}
+    )""")
+    return "".join(parts)
+
+
+_VOCAB_WP_ORACLE = (
+    _wp_cte_chain(WP_ROUNDS)
+    + "\n    SELECT * FROM ("
+    + "\n    UNION ALL ".join(
+        f"SELECT merge_round, a AS pair_a, b AS pair_b, merged, pair_count, "
+        f"count_a, count_b, score_u FROM m{r}"
+        for r in range(1, WP_ROUNDS + 1)
+    )
+    + ") ORDER BY merge_round"
+)
+
+_TOKENIZE_WP_ORACLE = (
+    _wp_cte_chain(WP_ROUNDS)
+    + f""",
+    wt AS (
+        SELECT word, len(string_split(trim(seq), '  ')) AS n_wp,
+               length(word) AS n_chars
+        FROM w{WP_ROUNDS}
+    )
+    SELECT doc_id, count(*) AS n_words,
+           CAST(sum(n_chars) AS BIGINT) AS n_char_tokens,
+           CAST(sum(n_wp) AS BIGINT) AS n_wp_tokens
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents) dw
+    JOIN wt USING (word)
+    GROUP BY doc_id
+"""
+)
+
+
+@register("vocab_wordpiece", oracle=_VOCAB_WP_ORACLE)
+def vocab_wordpiece(spark, sf_dir):
+    """WordPiece trainer — the BERT-family tokenizer (Schuster & Nakajima
+    2012; Wu et al. 2016), completing the production trio next to BPE
+    (frequency merges, GPT lineage) and unigram-LM (prune-down,
+    SentencePiece): WP_ROUNDS deterministic rounds each fusing the
+    adjacent symbol pair with the highest likelihood score
+    count(ab)/(count(a)*count(b)) — quantized to integer micro-units, see
+    WP_SCORE_SCALE's comment — with the '##' continuation-mark symbol
+    space. Output is the shippable merge table with the full selection
+    audit: (merge_round, pair_a, pair_b, merged, pair_count, count_a,
+    count_b, score_u).
+
+    Scale shape: identical to vocab_bpe — ONE corpus scan builds the
+    word-frequency table; each round is two vocabulary-sized aggregates
+    (pairs + symbols), a broadcast-sized score join, a 1-row argmax
+    collect, and a literal replace. At 100 TB rounds cost O(vocab); the
+    batched-acceptance upgrade (vocab_bpe_batched) applies unchanged if
+    ever needed since accepted pairs are symbol-disjoint under either
+    scoring."""
+    merges = _wp_train(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, pair_a string, pair_b string, merged string, "
+        "pair_count long, count_a long, count_b long, score_u long",
+    )
+
+
+@register("tokenize_wordpiece", oracle=_TOKENIZE_WP_ORACLE)
+def tokenize_wordpiece(spark, sf_dir):
+    """Segment the corpus with the learned WordPiece merges applied in
+    learned order — the TRAINING-STATE segmentation (what the trainer's
+    final round sees; the tokenize_bpe twin). NOTE: shipped WordPiece
+    inference is greedy longest-match-first over the final vocab, which
+    can differ from merge replay on words whose pieces were learned via
+    other words — this key certifies the trainer's corpus state, the
+    quantity fertility/compression accounting needs, and says so rather
+    than conflating the two. Per document: word count, character count,
+    and WordPiece token count.
+
+    Scale shape: training as in vocab_wordpiece; encoding is a replace
+    chain over DISTINCT words + one broadcast join against the exploded
+    corpus (the tokenize_vocab pattern) — no corpus shuffle beyond the
+    per-doc rollup."""
+    merges = _wp_train(spark, sf_dir)
+    seq = _wp_seq0(F.col("word"))
+    for _r, a, b, m, *_rest in merges:
+        seq = F.replace(seq, F.lit(f" {a}  {b} "), F.lit(f" {m} "))
+    wtok = _bpe_words(spark, sf_dir).select(
+        "word",
+        F.size(F.split(F.trim(seq), "  ")).alias("n_wp"),
+        F.length("word").alias("n_chars"),
+    )
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        docs.join(F.broadcast(wtok), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_chars").cast("long").alias("n_char_tokens"),
+            F.sum("n_wp").cast("long").alias("n_wp_tokens"),
+        )
+    )

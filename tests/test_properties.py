@@ -1450,3 +1450,134 @@ def test_holt_integer_recursion_is_translation_equivariant(xs):
     for (l0, b0), (l1, b1) in zip(run(base), run(shifted)):
         assert l1 == l0 + 37_000_000
         assert b1 == b0
+
+
+class TestWordPiece:
+    def test_merge_table_matches_canonical_python_wordpiece(
+        self, spark, sf_dir
+    ):
+        """The whole trainer — word counts, symbol counts, the integer
+        micro-unit likelihood score, quantized-tie lexicographic breaks,
+        '##'-mark merge semantics, greedy-leftmost fusing — must equal a
+        from-the-paper python WordPiece on the live fixture; and the
+        selection must genuinely differ from BPE's raw-frequency picks
+        (measured: ZERO overlapping merges at any SF — if the two tables
+        ever coincide the likelihood scoring is not doing anything)."""
+        from collections import Counter
+
+        import duckdb
+
+        from data_transform_spark.pipeline.training import (
+            WP_ROUNDS,
+            WP_SCORE_SCALE,
+        )
+        from data_transform_spark.registry import QUERIES
+
+        rows = duckdb.sql(
+            f"select text from '{sf_dir}/documents.parquet'"
+        ).fetchall()
+        wc = Counter(w for (t,) in rows for w in t.split(" ") if w)
+
+        seqs = {w: [w[0]] + ["##" + c for c in w[1:]] for w in wc}
+        want = []
+        for r in range(1, WP_ROUNDS + 1):
+            pc, sc = Counter(), Counter()
+            for w, cnt in wc.items():
+                s = seqs[w]
+                for sym in s:
+                    sc[sym] += cnt
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += cnt
+            if not pc:
+                break
+            best = None
+            for (a, b), c in pc.items():
+                score = c * WP_SCORE_SCALE // (sc[a] * sc[b])
+                key = (-score, a, b)
+                if best is None or key < best[0]:
+                    best = (key, a, b, c, sc[a], sc[b], score)
+            _, a, b, c, ca, cb, score = best
+            merged = a + (b[2:] if b.startswith("##") else b)
+            want.append((r, a, b, merged, c, ca, cb, score))
+            for w, s in seqs.items():
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                seqs[w] = out
+
+        got = [
+            (
+                r.merge_round,
+                r.pair_a,
+                r.pair_b,
+                r.merged,
+                r.pair_count,
+                r.count_a,
+                r.count_b,
+                r.score_u,
+            )
+            for r in QUERIES["vocab_wordpiece"](spark, sf_dir).collect()
+        ]
+        assert got == want
+
+        # BPE divergence: replay raw-frequency BPE in python (cheap) and
+        # require zero common (a, b) pairs modulo the '##' marks.
+        bseqs = {w: list(w) for w in wc}
+        bpe_pairs = set()
+        for _r in range(WP_ROUNDS):
+            pc = Counter()
+            for w, s in bseqs.items():
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += wc[w]
+            if not pc:
+                break
+            (a, b), _c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            bpe_pairs.add((a, b))
+            for w, s in bseqs.items():
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                bseqs[w] = out
+        wp_pairs = {(a, b.lstrip("#")) for _r, a, b, *_x in want}
+        assert not (wp_pairs & bpe_pairs)
+
+    def test_segmentation_round_trips_and_counts_match_gold(
+        self, spark, sf_dir
+    ):
+        """Replaying the learned merges must never lose characters —
+        stripping the '##' marks and concatenating a word's pieces
+        reproduces the word — and per-doc token counts must equal the
+        python replay's."""
+        from pyspark.sql import functions as F
+
+        from data_transform_spark.pipeline.training import (
+            _bpe_words,
+            _wp_seq0,
+            _wp_train,
+        )
+
+        merges = _wp_train(spark, sf_dir)
+        assert len(merges) > 0
+        seq = _wp_seq0(F.col("word"))
+        for _r, a, b, m, *_rest in merges:
+            seq = F.replace(seq, F.lit(f" {a}  {b} "), F.lit(f" {m} "))
+        enc = (
+            _bpe_words(spark, sf_dir)
+            .select("word", F.split(F.trim(seq), "  ").alias("pieces"))
+            .collect()
+        )
+        for r in enc:
+            assert r.pieces[0][:2] != "##"
+            assert all(p.startswith("##") for p in r.pieces[1:])
+            rebuilt = r.pieces[0] + "".join(p[2:] for p in r.pieces[1:])
+            assert rebuilt == r.word
