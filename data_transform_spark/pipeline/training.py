@@ -2367,3 +2367,183 @@ def tokenize_wordpiece(spark, sf_dir):
             F.sum("n_wp").cast("long").alias("n_wp_tokens"),
         )
     )
+
+
+# Longest-match inference unroll depth for the DuckDB oracle: each step
+# consumes >= 1 character, so WP_INFER_MAX_STEPS bounds the segmentable
+# word length (fixture max is 8 chars at every SF; a longer word would
+# make the oracle's truncated segmentation disagree with Spark's
+# length-driven fold and FAIL the hash — the bounded-unroll contract).
+WP_INFER_MAX_STEPS = 16
+
+
+def _wp_infer_seq(word_col, unmarked: list, marked_bodies: list):
+    """Greedy longest-match-first WordPiece segmentation of a word as a
+    doc-local fold (shipped-tokenizer semantics — Wu et al. 2016 §4.1):
+    at each position take the LONGEST vocab piece matching there
+    (word-initial pieces at position 1, '##'-continuation bodies after),
+    fall back to a single character when nothing matches. Folds over the
+    character index range keeping (pos, seq); indices before the current
+    position pass through, so the fold is O(len · |vocab|) Column
+    arithmetic with no Python. Emits the SAME ' p1  p2 ' layout as the
+    replay seq, so divergence is one string comparison."""
+    unm = F.lit(sorted(unmarked))
+    mkd = F.lit(sorted(marked_bodies))
+
+    def step(acc, i):
+        cand = F.when(acc.pos == 1, unm).otherwise(mkd)
+        best = F.aggregate(
+            cand,
+            F.lit(0),
+            lambda m, p: F.when(
+                (F.length(p) > m)
+                & (word_col.substr(acc.pos, F.length(p)) == p),
+                F.length(p),
+            ).otherwise(m),
+        )
+        ln = F.greatest(best, F.lit(1))
+        piece = word_col.substr(acc.pos, ln)
+        mark = F.when(acc.pos == 1, piece).otherwise(
+            F.concat(F.lit("##"), piece)
+        )
+        return F.when(i != acc.pos, acc).otherwise(
+            F.struct(
+                (acc.pos + ln).alias("pos"),
+                F.concat(acc.seq, F.lit(" "), mark, F.lit(" ")).alias("seq"),
+            )
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(word_col)),
+        F.struct(F.lit(1).alias("pos"), F.lit("").alias("seq")),
+        step,
+        lambda acc: acc.seq,
+    )
+
+
+_TOKENIZE_WP_INFER_ORACLE = (
+    _wp_cte_chain(WP_ROUNDS)
+    + f""",
+    alpha AS (
+        SELECT DISTINCT unnest(string_split(trim(seq), '  ')) AS piece
+        FROM w0
+    ),
+    v AS MATERIALIZED (
+        SELECT piece, piece LIKE '##%' AS cont,
+               CASE WHEN piece LIKE '##%' THEN substring(piece, 3)
+                    ELSE piece END AS body
+        FROM (SELECT piece FROM alpha
+              UNION {" UNION ".join(f"SELECT merged AS piece FROM m{r}" for r in range(1, WP_ROUNDS + 1))})
+    ),
+    t0 AS (SELECT word, cnt, seq, 1 AS pos, '' AS iseq FROM w{WP_ROUNDS})"""
+    + "".join(
+        f""",
+    t{s} AS MATERIALIZED (
+        SELECT word, cnt, seq,
+               CASE WHEN pos > length(word) THEN pos ELSE pos + L END AS pos,
+               CASE WHEN pos > length(word) THEN iseq
+                    ELSE iseq || ' ' ||
+                         CASE WHEN pos = 1 THEN substring(word, pos, L)
+                              ELSE '##' || substring(word, pos, L) END
+                         || ' ' END AS iseq
+        FROM (
+            SELECT word, cnt, seq, pos, iseq,
+                   COALESCE((SELECT max(length(v.body)) FROM v
+                             WHERE v.cont = (t.pos > 1)
+                               AND substring(t.word, t.pos, length(v.body))
+                                   = v.body), 1) AS L
+            FROM t{s - 1} t
+        )
+    )"""
+        for s in range(1, WP_INFER_MAX_STEPS + 1)
+    )
+    + f""",
+    wt AS (
+        SELECT word, cnt,
+               len(string_split(trim(seq), '  ')) AS n_replay,
+               len(string_split(trim(iseq), '  ')) AS n_infer,
+               iseq <> seq AS diverged
+        FROM t{WP_INFER_MAX_STEPS}
+    )
+    SELECT doc_id, count(*) AS n_words,
+           CAST(sum(n_replay) AS BIGINT) AS n_wp_tokens_replay,
+           CAST(sum(n_infer) AS BIGINT) AS n_wp_tokens_infer,
+           CAST(sum(CASE WHEN diverged THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_diverged_words
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents) dw
+    JOIN wt USING (word)
+    GROUP BY doc_id
+"""
+)
+
+
+@register("tokenize_wordpiece_infer", oracle=_TOKENIZE_WP_INFER_ORACLE)
+def tokenize_wordpiece_infer(spark, sf_dir):
+    """SHIPPED WordPiece inference — greedy longest-match-first over the
+    final vocabulary (alphabet + merged pieces; Wu et al. 2016 §4.1) —
+    side by side with the training-state merge replay, measuring exactly
+    the caveat tokenize_wordpiece documents: per doc, both token counts
+    plus the number of word occurrences whose SEGMENTATION differs
+    (string-compared in the identical ' p1  p2 ' layout). Fixture
+    honesty: with 8 merges over this ~31-word vocabulary the two
+    procedures agree everywhere — n_diverged_words is verified zero at
+    every SF (both engines computing it independently) — so the genuine
+    divergence regime (a merge formed under priority order that
+    longest-match overrides, e.g. replay [a ##bc] vs inference [ab ##c])
+    is pinned by a property test on a synthetic corpus built to diverge
+    (the text_heaps_curve posture).
+
+    Scale shape: training as in vocab_wordpiece; inference is a
+    doc-local fold over DISTINCT words against two broadcast-literal
+    piece arrays (O(len·|vocab|) JVM Column arithmetic, no Python, no
+    shuffle) + the same broadcast join / per-doc rollup as every
+    tokenize twin. The oracle unrolls the greedy loop
+    WP_INFER_MAX_STEPS=16 bounded steps (ml_kmeans_1d pattern)."""
+    merges = _wp_train(spark, sf_dir)
+    words = _bpe_words(spark, sf_dir)
+    alpha = [
+        r["p"]
+        for r in words.select(
+            F.explode(
+                F.split(F.trim(_wp_seq0(F.col("word"))), "  ")
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    ]
+    vocab = set(alpha) | {m[3] for m in merges}
+    unmarked = [p for p in vocab if not p.startswith("##")]
+    marked_bodies = [p[2:] for p in vocab if p.startswith("##")]
+    replay = _wp_seq0(F.col("word"))
+    for _r, a, b, m, *_rest in merges:
+        replay = F.replace(replay, F.lit(f" {a}  {b} "), F.lit(f" {m} "))
+    wtok = words.select(
+        "word",
+        F.size(F.split(F.trim(replay), "  ")).alias("n_replay"),
+        F.size(
+            F.split(
+                F.trim(_wp_infer_seq(F.col("word"), unmarked, marked_bodies)),
+                "  ",
+            )
+        ).alias("n_infer"),
+        (
+            _wp_infer_seq(F.col("word"), unmarked, marked_bodies) != replay
+        ).alias("diverged"),
+    )
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        docs.join(F.broadcast(wtok), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_replay").cast("long").alias("n_wp_tokens_replay"),
+            F.sum("n_infer").cast("long").alias("n_wp_tokens_infer"),
+            F.sum(F.col("diverged").cast("long"))
+            .cast("long")
+            .alias("n_diverged_words"),
+        )
+    )

@@ -1581,3 +1581,70 @@ class TestWordPiece:
             assert all(p.startswith("##") for p in r.pieces[1:])
             rebuilt = r.pieces[0] + "".join(p[2:] for p in r.pieces[1:])
             assert rebuilt == r.word
+
+
+class TestWordPieceInference:
+    def test_inference_diverges_from_replay_on_priority_override(
+        self, spark, tmp_path_factory
+    ):
+        """The genuine replay-vs-inference divergence regime (zero on the
+        driver fixture — pinned by the oracle's n_diverged_words column):
+        a corpus engineered so merge priority forms ##bc BEFORE ab makes
+        the trained state of 'abc' = [a ##bc], while longest-match-first
+        inference takes the word-initial piece 'ab' first = [ab ##c].
+        Token COUNTS tie (2 vs 2) — exactly why divergence must be
+        detected on the segmentation STRING, not the counts."""
+        import pandas as pd
+
+        from pyspark.sql import functions as F
+
+        from data_transform_spark.pipeline.training import (
+            _bpe_words,
+            _wp_infer_seq,
+            _wp_seq0,
+            _wp_train,
+        )
+
+        words = ["ab"] * 50 + ["xbc"] * 40 + ["abc"] * 5
+        base = tmp_path_factory.mktemp("wp_infer_prop")
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [1],
+                "text": [" ".join(words)],
+                "lang": "en",
+                "source": "synth",
+                "n_chars": [len(" ".join(words))],
+            }
+        )
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+            f"{base}/documents.parquet"
+        )
+
+        merges = _wp_train(spark, str(base), rounds=3)
+        assert [(m[1], m[2]) for m in merges] == [
+            ("##b", "##c"),
+            ("x", "##bc"),
+            ("a", "##b"),
+        ]
+        alpha = {"a", "x", "##b", "##c"}
+        vocab = alpha | {m[3] for m in merges}
+        unmarked = [p for p in vocab if not p.startswith("##")]
+        bodies = [p[2:] for p in vocab if p.startswith("##")]
+        replay = _wp_seq0(F.col("word"))
+        for _r, a, b, m, *_rest in merges:
+            replay = F.replace(replay, F.lit(f" {a}  {b} "), F.lit(f" {m} "))
+        got = {
+            r["word"]: (r["rseq"], r["iseq"])
+            for r in _bpe_words(spark, str(base))
+            .select(
+                "word",
+                replay.alias("rseq"),
+                _wp_infer_seq(F.col("word"), unmarked, bodies).alias("iseq"),
+            )
+            .collect()
+        }
+        assert got["ab"] == (" ab ", " ab ")
+        assert got["xbc"] == (" xbc ", " xbc ")
+        assert got["abc"][0] == " a  ##bc "
+        assert got["abc"][1] == " ab  ##c "
+        assert got["abc"][0] != got["abc"][1]
