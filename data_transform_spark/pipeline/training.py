@@ -2520,16 +2520,13 @@ def tokenize_wordpiece_infer(spark, sf_dir):
         replay = F.replace(replay, F.lit(f" {a}  {b} "), F.lit(f" {m} "))
     wtok = words.select(
         "word",
-        F.size(F.split(F.trim(replay), "  ")).alias("n_replay"),
-        F.size(
-            F.split(
-                F.trim(_wp_infer_seq(F.col("word"), unmarked, marked_bodies)),
-                "  ",
-            )
-        ).alias("n_infer"),
-        (
-            _wp_infer_seq(F.col("word"), unmarked, marked_bodies) != replay
-        ).alias("diverged"),
+        replay.alias("rseq"),
+        _wp_infer_seq(F.col("word"), unmarked, marked_bodies).alias("iseq"),
+    ).select(
+        "word",
+        F.size(F.split(F.trim("rseq"), "  ")).alias("n_replay"),
+        F.size(F.split(F.trim("iseq"), "  ")).alias("n_infer"),
+        (F.col("iseq") != F.col("rseq")).alias("diverged"),
     )
     d = load_table(spark, sf_dir, "documents")
     docs = d.select(
