@@ -136,6 +136,9 @@ _CHANGED_IN_ROUND = {
     # had no official green row yet (registered r13), so this entry is
     # documentation; it stays at the tier-0 sweep head either way
     "search_eval_graded": 14,
+    # round 14: the bakeoff gains the 'wordpiece' row (the trainer trio
+    # became a quartet) — 6 families now, same metric columns
+    "tokenize_bakeoff": 14,
 }
 
 

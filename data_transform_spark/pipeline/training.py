@@ -1886,205 +1886,6 @@ def tokenize_unigram_lm(spark, sf_dir):
     )
 
 
-def _bakeoff_oracle() -> str:
-    """Compose the char-BPE, byte-BPE and unigram-LM oracle chains into
-    ONE query (namespaces: default / y / u — the quality_ensemble
-    member-composition pattern applied to tokenizers), then join the
-    three final per-word segmentations and roll up corpus totals."""
-    char_chain = (
-        _bpe_cte_chain(BPE_ROUNDS, materialized=True)
-        .lstrip()
-        .removeprefix("WITH ")
-    )
-    byte_chain = (
-        _bpe_cte_chain(BPE_ROUNDS, _BPE_BYTES_SEQ0_SQL, ns="y",
-                       materialized=True)
-        .lstrip()
-        .removeprefix("WITH ")
-    )
-    uni_chain = (
-        _uni_cte_chain(UNI_ROUNDS + 1, ns="u")
-        .lstrip()
-        .removeprefix("WITH RECURSIVE ")
-    )
-    return f"""
-    WITH RECURSIVE {char_chain},
-    {byte_chain},
-    {uni_chain},
-    tot AS (
-        SELECT CAST(sum(c.cnt) AS BIGINT) AS nw,
-               CAST(sum(c.cnt * length(c.word)) AS BIGINT) AS nc,
-               CAST(sum(c.cnt * len(string_split(trim(c.seq), '  ')))
-                    AS BIGINT) AS t_bpe,
-               CAST(sum(c.cnt * len(string_split(trim(b.seq), '  ')))
-                    AS BIGINT) AS t_bytes,
-               CAST(sum(c.cnt * len(string_split(g.path, ' ')))
-                    AS BIGINT) AS t_uni
-        FROM w{BPE_ROUNDS} c
-        JOIN yw{BPE_ROUNDS} b USING (word)
-        JOIN ubest{UNI_ROUNDS + 1} g USING (word)
-    )
-    SELECT family, n_tokens,
-           CAST(floor((2 * n_tokens * 1000000 + nw) / (2.0 * nw))
-                AS BIGINT) AS per_word_u,
-           CAST(floor((2 * n_tokens * 1000000 + nc) / (2.0 * nc))
-                AS BIGINT) AS per_char_u
-    FROM (
-        SELECT 'whitespace' AS family, nw AS n_tokens, nw, nc FROM tot
-        UNION ALL SELECT 'char', nc, nw, nc FROM tot
-        UNION ALL SELECT 'bpe', t_bpe, nw, nc FROM tot
-        UNION ALL SELECT 'bpe_bytes', t_bytes, nw, nc FROM tot
-        UNION ALL SELECT 'unigram_lm', t_uni, nw, nc FROM tot
-    )
-    """
-
-
-@register("tokenize_bakeoff", oracle=_bakeoff_oracle())
-def tokenize_bakeoff(spark, sf_dir):
-    """The tokenizer BAKEOFF — the measure-before-you-trust rung for the
-    tokenizer family (what sim_ann_recall_curve is for ANN): train all
-    three learned tokenizers on the same corpus (char BPE, byte BPE,
-    unigram LM — their exact registered trainers, shared code) and
-    report corpus-level fertility side by side: total tokens,
-    tokens-per-word and tokens-per-char in round-half-up micro-units,
-    with 'whitespace' (words) and 'char' (characters) as the bracketing
-    baselines. per_char_u of the 'char' row is exactly 1e6 — a built-in
-    self-check; every learned family must land strictly between the
-    brackets. This is the table a pipeline owner reads before picking
-    the tokenizer for a 100 TB run.
-
-    Scale: the three trainers share the one-scan word-frequency
-    contract; the rollup is a vocabulary-sized 3-way join. Oracle: the
-    three oracle chains composed into one query under CTE namespaces
-    (default/y/u), totals from the joined final segmentations."""
-    merges_c = _bpe_train(spark, sf_dir)
-    merges_b = _bpe_train(spark, sf_dir, seq0=_bpe_seq0_bytes)
-    _usage, cost = _uni_train(spark, sf_dir)
-
-    seq_c = _bpe_seq0(F.col("word"))
-    for _r, a, b, m, _c in merges_c:
-        seq_c = F.replace(seq_c, F.lit(f" {a}  {b} "), F.lit(f" {m} "))
-    seq_b = _bpe_seq0_bytes(F.col("word"))
-    for _r, a, b, m, _c in merges_b:
-        seq_b = F.replace(seq_b, F.lit(f" {a}  {b} "), F.lit(f" {m} "))
-
-    words = _bpe_words(spark, sf_dir)
-    per = _uni_segment_frame(words, cost).select(
-        "word",
-        "cnt",
-        F.size(F.split("path", " ")).alias("t_uni_w"),
-    ).join(
-        words.select(
-            "word",
-            F.length("word").alias("nch_w"),
-            F.size(F.split(F.trim(seq_c), "  ")).alias("t_bpe_w"),
-            F.size(F.split(F.trim(seq_b), "  ")).alias("t_bytes_w"),
-        ),
-        "word",
-    )
-    tot = per.agg(
-        F.sum("cnt").cast("long").alias("nw"),
-        F.sum(F.col("cnt") * F.col("nch_w")).cast("long").alias("nc"),
-        F.sum(F.col("cnt") * F.col("t_bpe_w")).cast("long").alias("t_bpe"),
-        F.sum(F.col("cnt") * F.col("t_bytes_w")).cast("long").alias("t_bytes"),
-        F.sum(F.col("cnt") * F.col("t_uni_w")).cast("long").alias("t_uni"),
-    )
-    fam = tot.select(
-        F.explode(
-            F.array(
-                F.struct(F.lit("whitespace").alias("family"),
-                         F.col("nw").alias("n_tokens")),
-                F.struct(F.lit("char").alias("family"),
-                         F.col("nc").alias("n_tokens")),
-                F.struct(F.lit("bpe").alias("family"),
-                         F.col("t_bpe").alias("n_tokens")),
-                F.struct(F.lit("bpe_bytes").alias("family"),
-                         F.col("t_bytes").alias("n_tokens")),
-                F.struct(F.lit("unigram_lm").alias("family"),
-                         F.col("t_uni").alias("n_tokens")),
-            )
-        ).alias("f"),
-        "nw",
-        "nc",
-    )
-    ratio = lambda tok, den: F.floor(  # noqa: E731 — the shared half-up idiom
-        (2 * tok * F.lit(1_000_000) + den) / (2.0 * den)
-    ).cast("long")
-    return fam.select(
-        F.col("f.family").alias("family"),
-        F.col("f.n_tokens").alias("n_tokens"),
-        ratio(F.col("f.n_tokens"), F.col("nw")).alias("per_word_u"),
-        ratio(F.col("f.n_tokens"), F.col("nc")).alias("per_char_u"),
-    )
-
-
-@register(
-    "bpe_fertility",
-    oracle=_bpe_cte_chain(BPE_ROUNDS) + f""",
-    wt AS (
-        SELECT word, len(string_split(trim(seq), '  ')) AS n_bpe,
-               length(word) AS n_chars
-        FROM w{BPE_ROUNDS}
-    ),
-    dw AS (
-        SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
-        FROM documents
-    )
-    SELECT source,
-           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-           CAST(count(*) AS BIGINT) AS n_words,
-           CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
-           ROUND(CAST(sum(n_bpe) AS DOUBLE) / count(*), 6) AS fertility,
-           ROUND(CAST(sum(n_bpe) AS DOUBLE) / sum(n_chars), 6)
-               AS tokens_per_char
-    FROM dw JOIN wt USING (word)
-    GROUP BY source
-    """,
-)
-def bpe_fertility(spark, sf_dir):
-    """Tokenizer fertility audit — the number every tokenizer change is
-    judged by: BPE tokens per word (fertility) and per character, rolled
-    up by SOURCE domain. High-fertility domains cost disproportionate
-    training compute per byte; this is how a pipeline decides whether the
-    tokenizer (or the mix) needs rebalancing, and the honest way to
-    convert a token budget into a byte budget per domain.
-
-    Shape: one BPE training (see _bpe_train — corpus scanned once), the
-    replace-chain encode over DISTINCT words, a broadcast join of
-    per-word token counts onto the exploded corpus, one source-keyed
-    rollup. Integer sums and two exact divisions — deterministic in both
-    engines; the DuckDB twin replays the merge rounds with the same
-    chained CTEs as vocab_bpe."""
-    merges = _bpe_train(spark, sf_dir)
-    seq = _bpe_seq0(F.col("word"))
-    for _r, a, b, m, _c in merges:
-        seq = F.replace(seq, F.lit(f" {a}  {b} "), F.lit(f" {m} "))
-    wtok = _bpe_words(spark, sf_dir).select(
-        "word",
-        F.size(F.split(F.trim(seq), "  ")).alias("n_bpe"),
-        F.length("word").alias("n_chars"),
-    )
-    d = load_table(spark, sf_dir, "documents")
-    dw = d.select(
-        "doc_id", "source", F.explode(F.split("text", " ")).alias("word")
-    ).filter(F.col("word") != "")
-    return (
-        dw.join(F.broadcast(wtok), "word")
-        .groupBy("source")
-        .agg(
-            F.countDistinct("doc_id").cast("long").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum("n_bpe").cast("long").alias("n_bpe_tokens"),
-            F.round(
-                F.sum("n_bpe").cast("double") / F.count(F.lit(1)), 6
-            ).alias("fertility"),
-            F.round(
-                F.sum("n_bpe").cast("double") / F.sum("n_chars"), 6
-            ).alias("tokens_per_char"),
-        )
-    )
-
-
 # ---------------------------------------------------------------------------
 # WordPiece — the third production tokenizer family (BERT lineage:
 # Schuster & Nakajima 2012; Wu et al. 2016). Same merge MACHINERY as BPE
@@ -2219,16 +2020,18 @@ _WP_SEQ0_SQL = (
 )
 
 
-def _wp_cte_chain(rounds: int) -> str:
+def _wp_cte_chain(rounds: int, ns: str = "") -> str:
     """DuckDB replay of _wp_train — the _bpe_cte_chain pattern with the
     likelihood score: per round pair counts p{r} AND symbol counts y{r},
     argmax of the BIGINT-quantized score, replace. w/m CTEs are
     MATERIALIZED: each round reads w{r-1} THREE times (pairs, symbols,
     replace), so un-materialized inlining re-expands the chain 3^rounds
-    ways (the tokenize_bakeoff lesson, worse by the extra branch)."""
+    ways (the tokenize_bakeoff lesson, worse by the extra branch).
+    ``ns`` prefixes every CTE name so the chain composes into the
+    bakeoff query, exactly like _bpe_cte_chain's namespaces."""
     parts = [
         f"""
-    WITH w0 AS MATERIALIZED (
+    WITH {ns}w0 AS MATERIALIZED (
         SELECT word, count(*) AS cnt, {_WP_SEQ0_SQL} AS seq
         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         WHERE word <> '' GROUP BY word
@@ -2236,19 +2039,20 @@ def _wp_cte_chain(rounds: int) -> str:
     ]
     for r in range(1, rounds + 1):
         parts.append(f""",
-    p{r} AS (
+    {ns}p{r} AS (
         SELECT s[i] AS a, s[i + 1] AS b, sum(cnt) AS pc
-        FROM (SELECT cnt, string_split(trim(seq), '  ') AS s FROM w{r - 1}),
+        FROM (SELECT cnt, string_split(trim(seq), '  ') AS s
+              FROM {ns}w{r - 1}),
              unnest(generate_series(1, len(s) - 1)) AS t(i)
         GROUP BY 1, 2
     ),
-    y{r} AS (
+    {ns}y{r} AS (
         SELECT sym, sum(cnt) AS sc
         FROM (SELECT cnt, unnest(string_split(trim(seq), '  ')) AS sym
-              FROM w{r - 1})
+              FROM {ns}w{r - 1})
         GROUP BY 1
     ),
-    m{r} AS MATERIALIZED (
+    {ns}m{r} AS MATERIALIZED (
         SELECT CAST({r} AS INTEGER) AS merge_round, a, b,
                a || CASE WHEN b LIKE '##%' THEN substring(b, 3) ELSE b END
                    AS merged,
@@ -2258,15 +2062,15 @@ def _wp_cte_chain(rounds: int) -> str:
                CAST(CAST(pc AS BIGINT) * {WP_SCORE_SCALE}
                     // (CAST(sa.sc AS BIGINT) * CAST(sb.sc AS BIGINT))
                     AS BIGINT) AS score_u
-        FROM p{r} JOIN y{r} sa ON p{r}.a = sa.sym
-                  JOIN y{r} sb ON p{r}.b = sb.sym
+        FROM {ns}p{r} pp JOIN {ns}y{r} sa ON pp.a = sa.sym
+                  JOIN {ns}y{r} sb ON pp.b = sb.sym
         ORDER BY score_u DESC, a, b LIMIT 1
     ),
-    w{r} AS MATERIALIZED (
+    {ns}w{r} AS MATERIALIZED (
         SELECT word, cnt,
                replace(seq, ' ' || a || '  ' || b || ' ',
                        ' ' || merged || ' ') AS seq
-        FROM w{r - 1}, m{r}
+        FROM {ns}w{r - 1}, {ns}m{r}
     )""")
     return "".join(parts)
 
@@ -2542,5 +2346,222 @@ def tokenize_wordpiece_infer(spark, sf_dir):
             F.sum(F.col("diverged").cast("long"))
             .cast("long")
             .alias("n_diverged_words"),
+        )
+    )
+
+
+def _bakeoff_oracle() -> str:
+    """Compose the char-BPE, byte-BPE, unigram-LM and WordPiece oracle
+    chains into ONE query (namespaces: default / y / u / p — the
+    quality_ensemble member-composition pattern applied to tokenizers),
+    then join the four final per-word segmentations and roll up corpus
+    totals."""
+    char_chain = (
+        _bpe_cte_chain(BPE_ROUNDS, materialized=True)
+        .lstrip()
+        .removeprefix("WITH ")
+    )
+    byte_chain = (
+        _bpe_cte_chain(BPE_ROUNDS, _BPE_BYTES_SEQ0_SQL, ns="y",
+                       materialized=True)
+        .lstrip()
+        .removeprefix("WITH ")
+    )
+    uni_chain = (
+        _uni_cte_chain(UNI_ROUNDS + 1, ns="u")
+        .lstrip()
+        .removeprefix("WITH RECURSIVE ")
+    )
+    wp_chain = (
+        _wp_cte_chain(WP_ROUNDS, ns="p").lstrip().removeprefix("WITH ")
+    )
+    return f"""
+    WITH RECURSIVE {char_chain},
+    {byte_chain},
+    {uni_chain},
+    {wp_chain},
+    tot AS (
+        SELECT CAST(sum(c.cnt) AS BIGINT) AS nw,
+               CAST(sum(c.cnt * length(c.word)) AS BIGINT) AS nc,
+               CAST(sum(c.cnt * len(string_split(trim(c.seq), '  ')))
+                    AS BIGINT) AS t_bpe,
+               CAST(sum(c.cnt * len(string_split(trim(b.seq), '  ')))
+                    AS BIGINT) AS t_bytes,
+               CAST(sum(c.cnt * len(string_split(g.path, ' ')))
+                    AS BIGINT) AS t_uni,
+               CAST(sum(c.cnt * len(string_split(trim(w.seq), '  ')))
+                    AS BIGINT) AS t_wp
+        FROM w{BPE_ROUNDS} c
+        JOIN yw{BPE_ROUNDS} b USING (word)
+        JOIN ubest{UNI_ROUNDS + 1} g USING (word)
+        JOIN pw{WP_ROUNDS} w USING (word)
+    )
+    SELECT family, n_tokens,
+           CAST(floor((2 * n_tokens * 1000000 + nw) / (2.0 * nw))
+                AS BIGINT) AS per_word_u,
+           CAST(floor((2 * n_tokens * 1000000 + nc) / (2.0 * nc))
+                AS BIGINT) AS per_char_u
+    FROM (
+        SELECT 'whitespace' AS family, nw AS n_tokens, nw, nc FROM tot
+        UNION ALL SELECT 'char', nc, nw, nc FROM tot
+        UNION ALL SELECT 'bpe', t_bpe, nw, nc FROM tot
+        UNION ALL SELECT 'bpe_bytes', t_bytes, nw, nc FROM tot
+        UNION ALL SELECT 'unigram_lm', t_uni, nw, nc FROM tot
+        UNION ALL SELECT 'wordpiece', t_wp, nw, nc FROM tot
+    )
+    """
+
+
+@register("tokenize_bakeoff", oracle=_bakeoff_oracle())
+def tokenize_bakeoff(spark, sf_dir):
+    """The tokenizer BAKEOFF — the measure-before-you-trust rung for the
+    tokenizer family (what sim_ann_recall_curve is for ANN): train all
+    FOUR learned tokenizers on the same corpus (char BPE, byte BPE,
+    unigram LM, WordPiece — their exact registered trainers, shared
+    code; wordpiece joined `_CHANGED_IN_ROUND=14` when the trainer
+    landed) and report corpus-level fertility side by side: total
+    tokens, tokens-per-word and tokens-per-char in round-half-up
+    micro-units, with 'whitespace' (words) and 'char' (characters) as
+    the bracketing baselines. per_char_u of the 'char' row is exactly
+    1e6 — a built-in self-check; every learned family must land
+    strictly between the brackets. This is the table a pipeline owner
+    reads before picking the tokenizer for a 100 TB run.
+
+    Scale: the four trainers share the one-scan word-frequency
+    contract; the rollup is a vocabulary-sized 4-way join. Oracle: the
+    four oracle chains composed into one query under CTE namespaces
+    (default/y/u/p), totals from the joined final segmentations."""
+    merges_c = _bpe_train(spark, sf_dir)
+    merges_b = _bpe_train(spark, sf_dir, seq0=_bpe_seq0_bytes)
+    _usage, cost = _uni_train(spark, sf_dir)
+    merges_w = _wp_train(spark, sf_dir)
+
+    seq_c = _bpe_seq0(F.col("word"))
+    for _r, a, b, m, _c in merges_c:
+        seq_c = F.replace(seq_c, F.lit(f" {a}  {b} "), F.lit(f" {m} "))
+    seq_w = _wp_seq0(F.col("word"))
+    for _r, a, b, m, *_rest in merges_w:
+        seq_w = F.replace(seq_w, F.lit(f" {a}  {b} "), F.lit(f" {m} "))
+    seq_b = _bpe_seq0_bytes(F.col("word"))
+    for _r, a, b, m, _c in merges_b:
+        seq_b = F.replace(seq_b, F.lit(f" {a}  {b} "), F.lit(f" {m} "))
+
+    words = _bpe_words(spark, sf_dir)
+    per = _uni_segment_frame(words, cost).select(
+        "word",
+        "cnt",
+        F.size(F.split("path", " ")).alias("t_uni_w"),
+    ).join(
+        words.select(
+            "word",
+            F.length("word").alias("nch_w"),
+            F.size(F.split(F.trim(seq_c), "  ")).alias("t_bpe_w"),
+            F.size(F.split(F.trim(seq_b), "  ")).alias("t_bytes_w"),
+            F.size(F.split(F.trim(seq_w), "  ")).alias("t_wp_w"),
+        ),
+        "word",
+    )
+    tot = per.agg(
+        F.sum("cnt").cast("long").alias("nw"),
+        F.sum(F.col("cnt") * F.col("nch_w")).cast("long").alias("nc"),
+        F.sum(F.col("cnt") * F.col("t_bpe_w")).cast("long").alias("t_bpe"),
+        F.sum(F.col("cnt") * F.col("t_bytes_w")).cast("long").alias("t_bytes"),
+        F.sum(F.col("cnt") * F.col("t_uni_w")).cast("long").alias("t_uni"),
+        F.sum(F.col("cnt") * F.col("t_wp_w")).cast("long").alias("t_wp"),
+    )
+    fam = tot.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("whitespace").alias("family"),
+                         F.col("nw").alias("n_tokens")),
+                F.struct(F.lit("char").alias("family"),
+                         F.col("nc").alias("n_tokens")),
+                F.struct(F.lit("bpe").alias("family"),
+                         F.col("t_bpe").alias("n_tokens")),
+                F.struct(F.lit("bpe_bytes").alias("family"),
+                         F.col("t_bytes").alias("n_tokens")),
+                F.struct(F.lit("unigram_lm").alias("family"),
+                         F.col("t_uni").alias("n_tokens")),
+                F.struct(F.lit("wordpiece").alias("family"),
+                         F.col("t_wp").alias("n_tokens")),
+            )
+        ).alias("f"),
+        "nw",
+        "nc",
+    )
+    ratio = lambda tok, den: F.floor(  # noqa: E731 — the shared half-up idiom
+        (2 * tok * F.lit(1_000_000) + den) / (2.0 * den)
+    ).cast("long")
+    return fam.select(
+        F.col("f.family").alias("family"),
+        F.col("f.n_tokens").alias("n_tokens"),
+        ratio(F.col("f.n_tokens"), F.col("nw")).alias("per_word_u"),
+        ratio(F.col("f.n_tokens"), F.col("nc")).alias("per_char_u"),
+    )
+
+
+@register(
+    "bpe_fertility",
+    oracle=_bpe_cte_chain(BPE_ROUNDS) + f""",
+    wt AS (
+        SELECT word, len(string_split(trim(seq), '  ')) AS n_bpe,
+               length(word) AS n_chars
+        FROM w{BPE_ROUNDS}
+    ),
+    dw AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+           ROUND(CAST(sum(n_bpe) AS DOUBLE) / count(*), 6) AS fertility,
+           ROUND(CAST(sum(n_bpe) AS DOUBLE) / sum(n_chars), 6)
+               AS tokens_per_char
+    FROM dw JOIN wt USING (word)
+    GROUP BY source
+    """,
+)
+def bpe_fertility(spark, sf_dir):
+    """Tokenizer fertility audit — the number every tokenizer change is
+    judged by: BPE tokens per word (fertility) and per character, rolled
+    up by SOURCE domain. High-fertility domains cost disproportionate
+    training compute per byte; this is how a pipeline decides whether the
+    tokenizer (or the mix) needs rebalancing, and the honest way to
+    convert a token budget into a byte budget per domain.
+
+    Shape: one BPE training (see _bpe_train — corpus scanned once), the
+    replace-chain encode over DISTINCT words, a broadcast join of
+    per-word token counts onto the exploded corpus, one source-keyed
+    rollup. Integer sums and two exact divisions — deterministic in both
+    engines; the DuckDB twin replays the merge rounds with the same
+    chained CTEs as vocab_bpe."""
+    merges = _bpe_train(spark, sf_dir)
+    seq = _bpe_seq0(F.col("word"))
+    for _r, a, b, m, _c in merges:
+        seq = F.replace(seq, F.lit(f" {a}  {b} "), F.lit(f" {m} "))
+    wtok = _bpe_words(spark, sf_dir).select(
+        "word",
+        F.size(F.split(F.trim(seq), "  ")).alias("n_bpe"),
+        F.length("word").alias("n_chars"),
+    )
+    d = load_table(spark, sf_dir, "documents")
+    dw = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        dw.join(F.broadcast(wtok), "word")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_bpe").cast("long").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_bpe").cast("double") / F.count(F.lit(1)), 6
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_bpe").cast("double") / F.sum("n_chars"), 6
+            ).alias("tokens_per_char"),
         )
     )

@@ -2651,19 +2651,21 @@ class TestTokenizeBakeoff:
             for r in QUERIES["tokenize_bakeoff"](spark, sf_dir).collect()
         }
         assert set(rows) == {
-            "whitespace", "char", "bpe", "bpe_bytes", "unigram_lm"
+            "whitespace", "char", "bpe", "bpe_bytes", "unigram_lm",
+            "wordpiece",
         }
         assert rows["char"]["per_char_u"] == 1_000_000
         assert rows["whitespace"]["per_word_u"] == 1_000_000
         nw = rows["whitespace"]["n_tokens"]
         nc = rows["char"]["n_tokens"]
-        for fam in ("bpe", "bpe_bytes", "unigram_lm"):
+        for fam in ("bpe", "bpe_bytes", "unigram_lm", "wordpiece"):
             assert nw < rows[fam]["n_tokens"] < nc, fam
 
         members = {
             "bpe": ("tokenize_bpe", "n_bpe_tokens"),
             "bpe_bytes": ("tokenize_bpe_bytes", "n_bpe_tokens"),
             "unigram_lm": ("tokenize_unigram_lm", "n_piece_tokens"),
+            "wordpiece": ("tokenize_wordpiece", "n_wp_tokens"),
         }
         for fam, (key, col) in members.items():
             total = sum(
