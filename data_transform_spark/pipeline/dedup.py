@@ -706,7 +706,16 @@ def dedup_simhash(spark, sf_dir):
 
     a = chunks.alias("a")
     b = chunks.alias("b")
-    cand = (
+    # r14 (guide §2.3 — shuffle fewer bytes): hamming is a function of the
+    # pair's two fingerprints, identical on every duplicate candidate row,
+    # so compute it IN the join output and filter > max-hamming BEFORE the
+    # distinct. The dedup shuffle then carries only surviving
+    # (doc_a, doc_b, hamming) triples instead of every same-chunk
+    # candidate with both 8-byte fingerprints.
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("long")
+    return (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
@@ -716,15 +725,10 @@ def dedup_simhash(spark, sf_dir):
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("fp_a"),
-            F.col("b.simhash").alias("fp_b"),
+            hamming.alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("long")
-    return (
-        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .dropDuplicates(["doc_a", "doc_b"])
         .orderBy("doc_a", "doc_b")
     )
 

@@ -75,20 +75,31 @@ def _sql_cos(a: str, b: str) -> str:
     """,
 )
 def sim_topk_bruteforce(spark, sf_dir):
-    """Top-k cosine neighbors for each query vector (broadcast queries)."""
+    """Top-k cosine neighbors for each query vector (broadcast queries).
+
+    r14: per-row norms are computed ONCE per side before the pair join
+    (the dedup_semdedup idiom) so each of the N_QUERIES×N pairs pays a
+    single dot fold instead of _cos's three — sqrt(dot(v,v)) is the same
+    IEEE value either way, so scores and the hash are bit-identical."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    en = e.withColumn("nrm", F.sqrt(_dot("emb", "emb")))
+    q = en.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     scored = (
         F.broadcast(q)
-        .join(e, F.col("query_id") != F.col("vec_id"))
+        .join(en, F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            _cos(F.col("q_emb"), F.col("emb")).alias("score"),
+            (
+                _dot(F.col("q_emb"), F.col("emb"))
+                / (F.col("q_nrm") * F.col("nrm"))
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
@@ -401,19 +412,32 @@ def _train_sample(e):
 
 
 def _nearest_centroid(vectors, cent, id_col, out_col, keep_cols=()):
-    """Assign each vector to its nearest centroid (broadcast K × corpus)."""
+    """Assign each vector to its nearest centroid (broadcast K × corpus).
+
+    r14 (guide §2.3 "aggregate before you shuffle"): the argmin is a
+    ``min_by`` aggregate over the totally-ordered (dist, c_id) key instead
+    of a row_number window — identical row out (the order is total, ties
+    impossible past c_id), but the K×corpus candidate rows now reduce
+    map-side to one row per vector BEFORE the exchange, and no per-group
+    sort ever runs."""
     sqdiff = F.aggregate(
         F.zip_with("emb", "c_emb", lambda x, c: (x - c) * (x - c)),
         F.lit(0.0),
         lambda s, v: s + v,
     )
-    w = Window.partitionBy(id_col).orderBy("dist", "c_id")
+    best = F.min_by(
+        F.struct("c_id", *keep_cols), F.struct("dist", "c_id")
+    ).alias("_best")
     return (
         vectors.crossJoin(F.broadcast(cent))
         .select(id_col, *keep_cols, "c_id", sqdiff.alias("dist"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, *keep_cols, F.col("c_id").alias(out_col))
+        .groupBy(id_col)
+        .agg(best)
+        .select(
+            id_col,
+            *[F.col(f"_best.{c}").alias(c) for c in keep_cols],
+            F.col("_best.c_id").alias(out_col),
+        )
     )
 
 
@@ -748,18 +772,33 @@ def _subvectors(frame):
 
 def _pq_assign(codebook, frame):
     """Nearest-codeword assignment per (vec_id, m); ties (dist, c_id) —
-    deterministic everywhere. Broadcast the M×Ks codebook."""
+    deterministic everywhere. Broadcast the M×Ks codebook.
+
+    r14: argmin as a ``min_by`` aggregate over the totally-ordered
+    (dist, c_id) key instead of a row_number window (the
+    _nearest_centroid change) — same row out, but the ×Ks candidate
+    explosion reduces map-side before the exchange and the per-group
+    sort disappears."""
     sqd = F.aggregate(
         F.zip_with("sub", "c_sub", lambda x, c: (x - c) * (x - c)),
         F.lit(0.0),
         lambda s, v: s + v,
     )
-    wa = Window.partitionBy("vec_id", "m").orderBy("dist", "c_id")
     return (
         frame.join(F.broadcast(codebook), "m")
         .select("vec_id", "m", "sub", "c_id", sqd.alias("dist"))
-        .withColumn("_rn", F.row_number().over(wa))
-        .filter(F.col("_rn") == 1)
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min_by(
+                F.struct("sub", "c_id"), F.struct("dist", "c_id")
+            ).alias("_best")
+        )
+        .select(
+            "vec_id",
+            "m",
+            F.col("_best.sub").alias("sub"),
+            F.col("_best.c_id").alias("c_id"),
+        )
     )
 
 
@@ -2404,12 +2443,24 @@ def dedup_semdedup(spark, sf_dir):
         (F.col("a_cid") == F.col("c_id"))
         & (F.col("nn_earlier") < F.col("vec_id")),
     ).select("vec_id", "nn_earlier", sim_u.alias("sim_u"))
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("sim_u").desc(), "nn_earlier"
+    # r14: the per-vector best-earlier-mate argmax is a min_by aggregate
+    # over the totally-ordered (-sim_u, nn_earlier) key instead of a
+    # row_number window — same row out, but the Σn_c² candidate pairs
+    # reduce map-side before the exchange and no per-group sort runs.
+    nn = (
+        pairs.groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("nn_earlier", "sim_u"),
+                F.struct((-F.col("sim_u")).alias("neg"), F.col("nn_earlier")),
+            ).alias("_best")
+        )
+        .select(
+            "vec_id",
+            F.col("_best.nn_earlier").alias("nn_earlier"),
+            F.col("_best.sim_u").alias("sim_u"),
+        )
     )
-    nn = pairs.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") == 1
-    ).select("vec_id", "nn_earlier", "sim_u")
     return (
         assign.select("vec_id", F.col("c_id").cast("long").alias("c_id"))
         .join(nn, "vec_id", "left")
@@ -2733,17 +2784,40 @@ def sim_dim_truncation_curve(spark, sf_dir):
     )
 
     def topk_at(d: int | None):
+        # r14: slice + norm are computed ONCE per row per side before the
+        # pair join (the dedup_semdedup idiom), so each of the
+        # N_QUERIES×N pairs pays a single dot fold instead of _cos's
+        # three over freshly re-sliced arrays. sqrt(dot(v,v)) on the same
+        # slice is the same IEEE value, so sim_u is bit-identical.
         qe = F.col("q_emb") if d is None else F.slice("q_emb", 1, d)
         ae = F.col("emb") if d is None else F.slice("emb", 1, d)
+        qs = q.select(
+            "query_id",
+            qe.alias("qe"),
+            F.sqrt(_dot(qe, qe)).alias("q_nrm"),
+        )
+        es = e.select(
+            "vec_id",
+            ae.alias("ae"),
+            F.sqrt(_dot(ae, ae)).alias("a_nrm"),
+        )
         sim_u = (
-            F.round(F.round(_cos(qe, ae), 6) * 1e6, 0).cast("long")
+            F.round(
+                F.round(
+                    _dot(F.col("qe"), F.col("ae"))
+                    / (F.col("q_nrm") * F.col("a_nrm")),
+                    6,
+                )
+                * 1e6,
+                0,
+            ).cast("long")
         )
         w = Window.partitionBy("query_id").orderBy(
             F.col("sim_u").desc(), "neighbor_id"
         )
         return (
-            F.broadcast(q)
-            .join(e, F.col("query_id") != F.col("vec_id"))
+            F.broadcast(qs)
+            .join(es, F.col("query_id") != F.col("vec_id"))
             .select(
                 "query_id",
                 F.col("vec_id").alias("neighbor_id"),

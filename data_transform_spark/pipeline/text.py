@@ -603,42 +603,57 @@ def text_ngram_novelty(spark, sf_dir):
     you can rank marginal sources before paying to ingest them.
 
     Integer-exact end to end (counts and one division, rounded): no
-    floats cross engines un-rounded. Shape: one distinct-gram explode,
-    one gram-keyed min aggregate (the content-hash layout shuffle every
-    dedup key already pays), one broadcast-free keyed join back, one
-    per-doc rollup. Grams shuffle as md5 DIGESTS, not raw ~50-char
-    strings (the text_substring_dedup trick): narrower shuffle + join
-    key, and because BOTH engines hash the same bytes, even a collision
-    (~2^-128) would be attributed identically. Docs shorter than the
-    gram width emit no row — they contribute no attributable text."""
+    floats cross engines un-rounded. Shape (r14 optimization — guide
+    §2.3/§2.4 "aggregate before you shuffle / remove shuffles outright"):
+    n_grams per doc is the SIZE of the distinct-gram array, computed
+    map-side with no explode and no shuffle; n_novel per doc falls out of
+    the ownership table alone — every gram has exactly one first owner
+    (min doc_id), so counting owners per doc IS the novel-gram count.
+    That retires the old gram-keyed join-back (which re-shuffled every
+    gram row a second time) and the doc-keyed rollup of the joined rows:
+    one corpus-sized shuffle (the gram-keyed min aggregate every dedup
+    key already pays) instead of three. The final doc-level join of two
+    narrow doc-sized frames auto-broadcasts at fixture scale and is a
+    plain doc-keyed shuffle join at 100 TB. Grams still shuffle as md5
+    DIGESTS, not raw ~50-char strings (the text_substring_dedup trick):
+    narrower shuffle key, and because BOTH engines hash the same bytes,
+    even a collision (~2^-128) would be attributed identically. Docs
+    shorter than the gram width emit no row — they contribute no
+    attributable text."""
     d = load_table(spark, sf_dir, "documents")
     t = F.split("text", " ")
-    grams = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.when(
-                    F.size(t) >= NOVELTY_N,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(t) - (NOVELTY_N - 1)),
-                        lambda s: F.md5(
-                            F.array_join(F.slice(t, s, NOVELTY_N), " ")
-                        ),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            )
-        ).alias("g"),
+    garr = F.array_distinct(
+        F.when(
+            F.size(t) >= NOVELTY_N,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (NOVELTY_N - 1)),
+                lambda s: F.md5(F.array_join(F.slice(t, s, NOVELTY_N), " ")),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     )
-    first_owner = grams.groupBy("g").agg(F.min("doc_id").alias("owner"))
-    is_novel = F.when(F.col("owner") == F.col("doc_id"), 1).otherwise(0)
-    return (
-        grams.join(first_owner, "g")
+    # branch 1 — map-side per-doc gram counts: one row per doc, no shuffle
+    per_doc = d.select(
+        "doc_id", F.size(garr).cast("long").alias("n_grams")
+    ).filter(F.col("n_grams") > 0)
+    # branch 2 — ownership: distinct grams -> min(doc_id) owner -> count
+    # per owner. Both aggregates do map-side partial aggregation; nothing
+    # corpus-sized is ever joined back.
+    grams = d.select("doc_id", F.explode(garr).alias("g"))
+    novel = (
+        grams.groupBy("g")
+        .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(is_novel).cast("long").alias("n_novel"),
-            F.round(F.sum(is_novel) / F.count(F.lit(1)), 6).alias("novelty"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    # no broadcast hint: at fixture scale the planner auto-broadcasts the
+    # doc-sized ownership counts; at 100 TB both sides are corpus-sized
+    # narrow frames and a doc-keyed shuffle join is the right plan.
+    n_novel = F.coalesce(F.col("n_novel"), F.lit(0)).cast("long")
+    return per_doc.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        n_novel.alias("n_novel"),
+        F.round(n_novel / F.col("n_grams"), 6).alias("novelty"),
     )
 
 
