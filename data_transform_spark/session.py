@@ -35,8 +35,14 @@ RUNTIME_CONFS = {
     # 4-15 s at 300. Keep the default limit; the wide aggs are fine
     # interpreted because their per-row work is trivial bit math.
     # Fixture-tier setting (sf <= 0.1): the default 200 is pure stage overhead
-    # at this size. Cluster tiers override per SCALING.md (2-3x total cores).
-    "spark.sql.shuffle.partitions": "32",
+    # at this size. Derived from SPARK_GRAFT_CPUS rather than pinned (r14,
+    # guide §2 "scale-adaptive partitioning"): the driver also runs the bench
+    # at a lower core count, and a constant tuned for 32 cores would leave
+    # partitions 4x the parallelism there. Cluster tiers override per
+    # SCALING.md (2-3x total cores; AQE coalesces down either way).
+    "spark.sql.shuffle.partitions": str(
+        max(int(os.environ.get("SPARK_GRAFT_CPUS", "32")), 8)
+    ),
 }
 
 
