@@ -672,9 +672,18 @@ def _nb_fit(d):
     )
     tok = d.select("doc_id", F.explode("toks").alias("tok"))
     ttr = tok.join(lab, "doc_id").filter("is_train")
-    cls = ttr.groupBy("tok").agg(
-        F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("long").alias("cp"),
-        F.sum(F.when(F.col("label"), 0).otherwise(1)).cast("long").alias("cn"),
+    # r14 (guide §5): the vocab-sized class-count table feeds the 1-row
+    # totals aggregate AND the weight projection, which meet at a
+    # broadcast crossJoin (no runtime exchange reuse) — unshared, the
+    # token explode + train join + vocab count ran twice per fit.
+    # Vocab-sized, so the cache is broadcast-scale at any corpus size.
+    from data_transform_spark.pipeline.e2e import _persist_share
+
+    cls = _persist_share(
+        ttr.groupBy("tok").agg(
+            F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("long").alias("cp"),
+            F.sum(F.when(F.col("label"), 0).otherwise(1)).cast("long").alias("cn"),
+        )
     )
     tot = cls.agg(
         F.sum("cp").cast("long").alias("np"),
@@ -734,7 +743,17 @@ def _held_ranked(held):
 
     Equal-width bands can skew, but skew only costs balance, never
     correctness — and the oracle replays the GLOBAL row_number, so the
-    3-SF hash gate is itself the equivalence proof."""
+    3-SF hash gate is itself the equivalence proof.
+
+    r14 (guide §5): ``held`` — the full NB fit+score chain — feeds the
+    min/max aggregate AND the banding select, which meet at a broadcast
+    crossJoin where runtime exchange reuse does not fire (the e2e
+    ReusedExchange=0 measurement): unshared, the classifier trained and
+    scored TWICE per curve/threshold. Lazily persisted (_persist_share,
+    released at the next top-level key build)."""
+    from data_transform_spark.pipeline.e2e import _persist_share
+
+    held = _persist_share(held)
     mm = held.agg(F.max("logit_u").alias("hi"), F.min("logit_u").alias("lo"))
     keyed = held.crossJoin(F.broadcast(mm)).withColumn(
         "bkt",
@@ -767,8 +786,15 @@ def _nb_threshold(scored):
     values as the old global row_number — the held-out md5 split is
     ~half the corpus, so the retired 'eval-set-bounded' single-partition
     window did not actually bound anything."""
-    ranked = _held_ranked(scored.filter(~F.col("is_train"))).select(
-        "label", "logit_u", "rn"
+    from data_transform_spark.pipeline.e2e import _persist_share
+
+    # same sharing note as quality_pr_curve: ranked meets its own 1-row
+    # count at a broadcast crossJoin, so unshared it would run the band
+    # window (and everything under it) twice.
+    ranked = _persist_share(
+        _held_ranked(scored.filter(~F.col("is_train"))).select(
+            "label", "logit_u", "rn"
+        )
     )
     n = ranked.agg(F.count(F.lit(1)).alias("n"))
     b = ranked.crossJoin(F.broadcast(n)).select(
@@ -886,7 +912,13 @@ def quality_pr_curve(spark, sf_dir):
     # ordering — a hash PASS is the equivalence proof). Plan-pinned:
     # tests assert the only SinglePartition window input is the band
     # count table, and the held-out filter is still pushed to the scan.
-    ranked = _held_ranked(scored).select("label", "rn")
+    from data_transform_spark.pipeline.e2e import _persist_share
+
+    # ranked feeds the 1-row count aggregate and the bucket select
+    # across a broadcast crossJoin (no runtime exchange reuse there —
+    # the _held_ranked rationale); persisting it keeps the band
+    # window single-run per action.
+    ranked = _persist_share(_held_ranked(scored).select("label", "rn"))
     n = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("label"), 1).otherwise(0)).alias("npos"),

@@ -260,6 +260,11 @@ def _rrf_rankings(spark, sf_dir):
     Rankings use (round(score, 6) DESC, id) so cross-engine sub-ulp float
     noise cannot reorder; RRF terms divide integers (IEEE-identical both
     engines) and sum in fixed order."""
+    # r14 note: persisting the corpus join + postings frame here was
+    # A/B-measured (profile_bench, 4 reps each way) at NO win — unlike
+    # the broadcast-separated ANN summaries, the rrf subtrees meet at
+    # shuffle joins where Spark's exchange reuse already deduplicates —
+    # so the frames stay unpersisted.
     corpus = _rrf_corpus(spark, sf_dir)
     dl = corpus.select("id", F.size("toks").alias("dl"))
     stats = dl.agg(
@@ -485,6 +490,15 @@ def _mmr_rerank(e, cand):
     swap a drop-in at 100 TB, and it is pinned by the composition test
     (tests/test_pipeline.py::TestMmrOverAnn)."""
     from data_transform_spark.pipeline.similarity import _cos
+
+    # r14 (guide §5): the shortlist feeds three subtrees (both sides of
+    # the pairwise-sims self-join + the cogroup's relevance side) —
+    # persist the |Q|·MMR_CAND-row frame so whatever produced it (the
+    # exact broadcast scan here, the ANN serve path at 100 TB) runs once
+    # per action instead of three times.
+    from data_transform_spark.pipeline.e2e import _persist_share
+
+    cand = _persist_share(cand)
 
     # fresh column objects for the self-join (failAmbiguousSelfJoin trap)
     a = cand.select(F.col("qid").alias("qa"), F.col("id").alias("ia")).select(

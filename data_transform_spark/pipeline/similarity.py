@@ -485,8 +485,16 @@ def ivf_index(e):
             .agg(F.sort_array(F.collect_list(F.struct("pos", "cv"))).alias("pc"))
             .select("c_id", F.col("pc.cv").alias("c_emb"))
         )
+    # r14 (guide §5): same sharing argument as _pq_train_encode — the
+    # K-row centroid table and the N-row assignment feed several
+    # broadcast-separated consumers (probe LUT, residual build, list
+    # scans, shape counts), each of which would otherwise replay the
+    # Lloyd chain. Lazy persist (see _pq_train_encode for the measured
+    # eager-checkpoint comparison).
+    from data_transform_spark.pipeline.e2e import _persist_share
+
     assign = _nearest_centroid(e.select("vec_id", "emb"), cent, "vec_id", "list_id")
-    return cent, assign
+    return _persist_share(cent), _persist_share(assign)
 
 
 def sim_ann_ivf_topk(spark, sf_dir, probes: int = IVF_PROBES):
@@ -540,6 +548,21 @@ def sim_ann_ivf_topk(spark, sf_dir, probes: int = IVF_PROBES):
     )
 
 
+def _fresh_shares() -> None:
+    """Release the previous key's persisted share frames (the e2e
+    discipline) at registered-key entry. Every ANN key persists its
+    shared intermediates (trained index frames, the summary's pair
+    frames) for WITHIN-action branch sharing; releasing at entry keeps
+    live cache bounded to one key's shares AND guarantees each
+    invocation recomputes from the parquet inputs — a repeated build in
+    one session must never serve a prior build's cache via
+    CacheManager plan-matching (that would turn a timed rep into a
+    cache read)."""
+    from data_transform_spark.pipeline.e2e import _release_prior_shares
+
+    _release_prior_shares()
+
+
 def _ann_recall_summary(ann, exact, recall_bound: float):
     """One-row verification summary: result counts + a recall bound check.
 
@@ -547,9 +570,21 @@ def _ann_recall_summary(ann, exact, recall_bound: float):
     oracle emits the deterministic counts plus TRUE, and the hash matches
     iff the (seeded, deterministic) index achieves the declared recall
     against the exact top-k. Measured recall floors across sf0.001/0.01/0.1
-    are recorded in the key docstrings."""
-    exact_pairs = exact.select("query_id", "neighbor_id")
-    ann_pairs = ann.select("query_id", "neighbor_id")
+    are recorded in the key docstrings.
+
+    r14 (guide §2.4/§5): ``ann`` and ``exact`` each feed TWO branches
+    (their own count + the hit join), and the three 1-row frames meet as
+    broadcast crossJoins — which execute as separate broadcast jobs
+    where AQE's runtime exchange reuse does NOT fire (the e2e
+    measurement: ReusedExchange=0 across broadcast branches). Without
+    sharing, every ANN key re-ran its ENTIRE index build + serve
+    pipeline and the brute-force check twice each. Both frames are
+    ≤N_QUERIES×TOPK rows; persist is lazy (_persist_share), so the
+    zero-driver-jobs contract holds and the pipelines run once."""
+    from data_transform_spark.pipeline.e2e import _persist_share
+
+    exact_pairs = _persist_share(exact.select("query_id", "neighbor_id"))
+    ann_pairs = _persist_share(ann.select("query_id", "neighbor_id"))
     counts = ann_pairs.agg(
         F.count(F.lit(1)).alias("n_results"),
         F.countDistinct("query_id").alias("n_queries"),
@@ -580,6 +615,7 @@ _ANN_SUMMARY_ORACLE = f"""
 def sim_ann_ivf(spark, sf_dir):
     """IVF-Flat ANN, bounds-checked: recall vs exact top-5 must be >= 0.45
     (measured 0.57–0.63 across sf0.001/0.01/0.1 with K=16, 4 probes)."""
+    _fresh_shares()
     return _ann_recall_summary(
         sim_ann_ivf_topk(spark, sf_dir), sim_topk_bruteforce(spark, sf_dir), 0.45
     )
@@ -595,6 +631,7 @@ def sim_ann_lsh(spark, sf_dir):
     0.35–0.37 at ~13% for the old 8×6 single-probe config, and vs IVF's
     0.57–0.63 at ~25% with 4/16 probes; full measured grid in SCALING.md
     "Round-8 LSH retune")."""
+    _fresh_shares()
     return _ann_recall_summary(
         sim_ann_lsh_topk(spark, sf_dir), sim_topk_bruteforce(spark, sf_dir), 0.45
     )
@@ -747,8 +784,22 @@ def _pq_train_encode(e):
             .agg(F.sort_array(F.collect_list(F.struct("pos", "cv"))).alias("pc"))
             .select("m", "c_id", F.col("pc.cv").alias("c_sub"))
         )
+    # r14 (guide §5): the trained codebook (M×Ks rows) and the code table
+    # (N×M narrow rows) are each consumed by several broadcast-separated
+    # branches downstream (LUT build + shape counts; ADC scan + shape
+    # counts) where runtime exchange reuse does not fire (the e2e
+    # ReusedExchange=0 measurement) — lazily persist both so the Lloyd
+    # chain and the corpus encode run once per action instead of once
+    # per branch. Lazy persist, not an eager checkpoint: measured
+    # (profile_bench, 4 reps each) the eager variant was ~1.5-2x slower
+    # here — the separate materialization jobs forgo the pipelined
+    # single-action execution, and the truncation saves less planning
+    # time than it costs because the registered keys release + rebuild
+    # per invocation.
+    from data_transform_spark.pipeline.e2e import _persist_share
+
     codes = _pq_assign(cent, sub).select("vec_id", "m", F.col("c_id").alias("code"))
-    return cent, codes
+    return _persist_share(cent), _persist_share(codes)
 
 
 def _subvectors(frame):
@@ -905,6 +956,7 @@ def sim_ann_pq(spark, sf_dir):
     row per (vector, subspace) — corpus × PQ_M — and a full M × Ks
     codebook (no empty-cluster collapse; min cluster membership measured
     9/12/68 at the three SFs)."""
+    _fresh_shares()
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -1073,6 +1125,7 @@ def sim_ann_ivfpq(spark, sf_dir):
     code rows, the full M×Ks residual codebook (no empty-cluster
     collapse; min membership 13/14/24 at the three SFs), and all IVF_K
     coarse lists materialized."""
+    _fresh_shares()
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -1210,6 +1263,7 @@ def sim_ann_persist(spark, sf_dir):
     all IVF_K lists for THIS SF: an index from another SF (different
     corpus count) can neither live at this dir name (SF-namespaced,
     content-fingerprinted) nor pass the n_code_rows pin."""
+    _fresh_shares()
     staged = ivfpq_stage_index(spark, sf_dir)
     cent, books, codes_l = ivfpq_read_index(spark, staged)
     e = load_table(spark, sf_dir, "embeddings").select(
@@ -1592,6 +1646,7 @@ def sim_ann_index_append(spark, sf_dir):
     ×M staged code rows, batch ×M appended rows, full codebook, all
     lists. At 100 TB this is how the index grows nightly: the training
     job never re-runs; each crawl batch pays one assignment scan."""
+    _fresh_shares()
     staged = ivfpq_stage_hist_index(spark, sf_dir)
     cent, books, codes_hist = ivfpq_read_index(spark, staged)
     e = load_table(spark, sf_dir, "embeddings").select(
@@ -1796,14 +1851,19 @@ def sim_ann_graph_topk(spark, sf_dir, rounds: int = GRAPH_ROUNDS):
     this exact plan with the query panel as the streamed side.
 
     The per-round visited frame is a share point (each round references
-    it three times: beam window, anti-join, union — unpersisted, the
-    final action would replay round-0 3^R times): persisted via the e2e
-    _persist_share discipline, released on the next invocation. The plan
-    stays lazy — zero driver jobs before the caller's action."""
-    from data_transform_spark.pipeline.e2e import (
-        _persist_share,
-        _release_prior_shares,
-    )
+    it three times: beam window, anti-join, union — unshared, the final
+    action would replay round-0 3^R times). r14: shared via an EAGER
+    ``localCheckpoint`` per round instead of the lazy persist — the
+    lazy-persist plan still embeds the full unrolled lineage (the
+    committed before-dump is a 1.7 MB formatted plan whose Catalyst
+    optimization alone cost seconds), while each round's checkpoint
+    materializes a panel-sized frame (≤ |Q|·(S+R·B·2G) ≈ 10k rows) and
+    truncates the tree, so round R+1 plans against a flat scan
+    (guide §3.3 "materialise to truncate the plan"). The LAST round
+    stays lazy so the returned frame's plan still shows the staged
+    adjacency scan (plan-pinned by the serve-plan test); the 3-way
+    intra-round sharing rides the checkpoint scan."""
+    from data_transform_spark.pipeline.e2e import _release_prior_shares
 
     _release_prior_shares()
     staged = graph_stage_index(spark, sf_dir)
@@ -1824,16 +1884,14 @@ def sim_ann_graph_topk(spark, sf_dir, rounds: int = GRAPH_ROUNDS):
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
     )
     score = F.round(_cos(F.col("q_emb"), F.col("n_emb")), 4)
-    visited = _persist_share(
-        q.crossJoin(F.broadcast(seeds)).select(
-            "query_id", "node", score.alias("score")
-        )
-    )
+    visited = q.crossJoin(F.broadcast(seeds)).select(
+        "query_id", "node", score.alias("score")
+    ).localCheckpoint(eager=True)
     w_beam = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), "node"
     )
     nodes = e.select(F.col("vec_id").alias("node"), F.col("emb").alias("n_emb"))
-    for _ in range(rounds):
+    for r in range(rounds):
         beam = (
             visited.withColumn("rn", F.row_number().over(w_beam))
             .filter(F.col("rn") <= GRAPH_BEAM)
@@ -1860,7 +1918,9 @@ def sim_ann_graph_topk(spark, sf_dir, rounds: int = GRAPH_ROUNDS):
             .join(F.broadcast(q), "query_id")
             .select("query_id", "node", score.alias("score"))
         )
-        visited = _persist_share(visited.unionByName(scored_new))
+        visited = visited.unionByName(scored_new)
+        if r < rounds - 1:
+            visited = visited.localCheckpoint(eager=True)
     return (
         visited.filter(F.col("node") != F.col("query_id"))
         .withColumn("rn", F.row_number().over(w_beam))
@@ -2029,6 +2089,7 @@ def sim_ann_index_compact(spark, sf_dir):
     staleness probe is one assignment scan over the appended slice — both
     are the nightly maintenance cost, and historical raw vectors are
     never re-read."""
+    _fresh_shares()
     staged = ivfpq_stage_compact(spark, sf_dir)
     appends = ivfpq_stage_appends(spark, sf_dir)
     hist_staged = ivfpq_stage_hist_index(spark, sf_dir)
@@ -2599,6 +2660,7 @@ def sim_ann_recall_curve(spark, sf_dir):
     per level. Scale: candidate volume is |Q|·(N/K)·max_probes rows and
     the exact side |Q|·N — both linear in the corpus for a fixed query
     panel, shuffled once each."""
+    _fresh_shares()
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -2657,14 +2719,21 @@ def sim_ann_recall_curve(spark, sf_dir):
     wl = Window.partitionBy("probes", "query_id").orderBy(
         F.col("sim_u").desc(), "neighbor_id"
     )
-    ann = (
+    # r14 (guide §5): ann feeds two branches (hit join + per-level
+    # counts) and exact feeds two (n_exact + hit join) across broadcast
+    # crossJoins where exchange reuse does not fire — persist both tiny
+    # frames (≤ levels·|Q|·TOPK rows) so the probed scan and the exact
+    # top-k run once per action (_fresh_shares at entry releases them).
+    from data_transform_spark.pipeline.e2e import _persist_share
+
+    ann = _persist_share(
         cand.join(F.broadcast(levels), F.col("probe_rank") <= F.col("probes"))
         .withColumn("rn", F.row_number().over(wl))
         .filter(F.col("rn") <= TOPK)
         .select("probes", "query_id", "neighbor_id")
     )
     we = Window.partitionBy("query_id").orderBy(F.col("sim_u").desc(), "neighbor_id")
-    exact = (
+    exact = _persist_share(
         F.broadcast(q)
         .join(e_n, F.col("query_id") != F.col("vec_id"))
         .select(
