@@ -23,7 +23,7 @@ import pandas as pd
 
 from pyspark.sql import functions as F
 
-from data_transform_spark.io import load_table
+from data_transform_spark.io import load_table, spread
 from data_transform_spark.registry import register
 
 
@@ -168,7 +168,14 @@ def multimodal_features(spark, sf_dir):
     value hash. Shape of a real image pipeline: binary in -> metadata
     columns out, one Python worker pass per Arrow batch, no driver
     involvement; at 100 TB the decode cost is the corpus scan and the
-    emitted metadata is what every later stage filters on."""
+    emitted metadata is what every later stage filters on.
+
+    NOT spread (r14 A/B): unlike phash_fingerprints' per-pixel md5
+    loop, the per-doc decode here is a handful of vectorized numpy ops
+    — repartitioning the single-split fixture scan measured ~30%
+    SLOWER (0.59 → 0.78 s median of 4: the shuffle + 32-task overhead
+    exceeds the serialized Python it parallelizes). At 100 TB the scan
+    has thousands of splits and parallelism is free."""
     d = load_table(spark, sf_dir, "documents")
     payload = F.encode(F.col("text"), "UTF-8")
     src = d.select("doc_id", payload.alias("payload"))
@@ -269,7 +276,9 @@ def multimodal_resize(spark, sf_dir):
     the same integer index maps, so the hash pins the entire decode ->
     resample path at the pixel level. Per-batch Python pass via
     mapInPandas; at 100 TB this is the standard thumbnail/preprocess
-    stage — corpus-scan-shaped, no shuffle."""
+    stage — corpus-scan-shaped, no shuffle. (NOT spread — the
+    multimodal_features A/B: vectorized per-doc decode is cheaper than
+    the repartition at fixture scale.)"""
     d = load_table(spark, sf_dir, "documents")
     payload = F.encode(F.col("text"), "UTF-8")
     src = d.select("doc_id", payload.alias("payload"))
@@ -327,7 +336,9 @@ def multimodal_frame_sample(spark, sf_dir):
     The payload is ASCII text bytes, so the DuckDB twin samples the same
     offsets with substring — a full value hash over the fan-out. A real
     decoder body would replace the slicing with ffmpeg calls; schema,
-    batching and partitioning are unchanged."""
+    batching and partitioning are unchanged. (NOT spread — the
+    multimodal_features A/B: slicing bytes per doc is cheaper than the
+    repartition at fixture scale.)"""
     d = load_table(spark, sf_dir, "documents")
     payload = F.encode(F.col("text"), "UTF-8")
     src = d.select("doc_id", payload.alias("payload"))
@@ -379,15 +390,19 @@ def noise_image(source: int, w: int, h: int) -> "np.ndarray":
     are balanced fair coins (the banding join stays uniform, unlike the
     gradient synth_image whose monotone rows would concentrate chunk
     buckets) and (b) the DuckDB twin recomputes any SAMPLED position's
-    gray value from the same md5 rule without decoding bytes."""
-    img = np.empty((h, w, 3), dtype=np.uint8)
-    for r in range(h):
-        for c in range(w):
-            dg = hashlib.md5(f"img:{source}:{r}:{c}".encode()).digest()
-            img[r, c, 0] = dg[0]
-            img[r, c, 1] = dg[1]
-            img[r, c, 2] = dg[2]
-    return img
+    gray value from the same md5 rule without decoding bytes.
+
+    Implementation (r14, guide §4.2): one bytes-join of digest[:3]
+    slices + a single frombuffer/reshape instead of 3 numpy scalar
+    stores per pixel — identical bytes (digest bytes 0..2 are channels
+    0..2), ~3× less Python per pixel in the hot synthesis loop."""
+    md5 = hashlib.md5
+    buf = b"".join(
+        md5(b"img:%d:%d:%d" % (source, r, c)).digest()[:3]
+        for r in range(h)
+        for c in range(w)
+    )
+    return np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 3).copy()
 
 
 def dhash64(img: "np.ndarray") -> int:
@@ -472,8 +487,15 @@ def phash_fingerprints(docs):
     doc_id - 4, channel 0 shifted +1 mod 256) — each round-tripped
     through the real BMP codec before hashing. Needs only doc_id from the
     input frame (pixels are synthesized), so the scan prunes to one
-    column."""
-    src = docs.select("doc_id")
+    column.
+
+    Parallelism (r14, guide §2/§6): the single-file fixture scan is one
+    input split, which serialized the entire per-pixel md5 synthesis +
+    codec round-trip onto ONE core (this dominated dedup_image_phash's
+    wall). ``spread`` repartitions the 8-byte doc_id rows across every
+    core before the Python stage; row placement cannot affect the
+    row-wise fingerprints."""
+    src = spread(docs.select("doc_id"))
 
     def fingerprint(batches):
         for pdf in batches:
@@ -868,7 +890,9 @@ def multimodal_audio_stats(spark, sf_dir):
     rule, so any codec bug — endianness, header offset, chunk-length
     mismatch, sign handling — breaks the value hash. Same 100 TB shape
     as the image keys: binary in → metadata columns out, one Python pass
-    per Arrow batch, decode cost = the corpus scan."""
+    per Arrow batch, decode cost = the corpus scan. (NOT spread — the
+    multimodal_features A/B: 0.68 → 0.91 s median of 4; the vectorized
+    per-doc decode is cheaper than the repartition at fixture scale.)"""
     d = load_table(spark, sf_dir, "documents")
     payload = F.encode(F.col("text"), "UTF-8")
     src = d.select("doc_id", payload.alias("payload"))
