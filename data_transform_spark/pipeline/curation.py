@@ -683,7 +683,8 @@ def _nb_fit(d):
         ttr.groupBy("tok").agg(
             F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("long").alias("cp"),
             F.sum(F.when(F.col("label"), 0).otherwise(1)).cast("long").alias("cn"),
-        )
+        ),
+        eager=True,
     )
     tot = cls.agg(
         F.sum("cp").cast("long").alias("np"),
@@ -753,7 +754,7 @@ def _held_ranked(held):
     released at the next top-level key build)."""
     from data_transform_spark.pipeline.e2e import _persist_share
 
-    held = _persist_share(held)
+    held = _persist_share(held, eager=True)
     mm = held.agg(F.max("logit_u").alias("hi"), F.min("logit_u").alias("lo"))
     keyed = held.crossJoin(F.broadcast(mm)).withColumn(
         "bkt",
@@ -794,7 +795,8 @@ def _nb_threshold(scored):
     ranked = _persist_share(
         _held_ranked(scored.filter(~F.col("is_train"))).select(
             "label", "logit_u", "rn"
-        )
+        ),
+        eager=True,
     )
     n = ranked.agg(F.count(F.lit(1)).alias("n"))
     b = ranked.crossJoin(F.broadcast(n)).select(
@@ -918,7 +920,7 @@ def quality_pr_curve(spark, sf_dir):
     # across a broadcast crossJoin (no runtime exchange reuse there —
     # the _held_ranked rationale); persisting it keeps the band
     # window single-run per action.
-    ranked = _persist_share(_held_ranked(scored).select("label", "rn"))
+    ranked = _persist_share(_held_ranked(scored).select("label", "rn"), eager=True)
     n = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("label"), 1).otherwise(0)).alias("npos"),

@@ -288,9 +288,35 @@ def _e2e_llm_oracle() -> str:
 _E2E_PERSISTED: list = []
 
 
-def _persist_share(df):
+def _persist_share(df, eager: bool = False):
+    """Register a shared frame in the release-tracked cache.
+
+    ``eager=True`` (r14, guide §5): additionally fill the cache NOW with
+    one count(). Lazy persist is enough when the consumers are
+    shuffle-separated subtrees of ONE job — but the capstone funnel rows
+    meet at ~10 broadcast crossJoins whose subtrees Spark materializes
+    on CONCURRENT broadcast threads, and branches racing a still-cold
+    share each recompute its entire lineage (the stage_e2e_prefix
+    diagnosis; the A/B is in OPTIMIZATION_r14.md). The fills run the
+    work the final action needs anyway, merely re-SEQUENCED in
+    dependency order, so nothing is precomputed across bench reps —
+    each invocation still recomputes from parquet (the release
+    discipline is unchanged)."""
     from pyspark import StorageLevel
 
+    if eager:
+        # Eager shares use localCheckpoint, not persist+count: a cached
+        # frame's tasks still SERIALIZE the whole recompute lineage (the
+        # InMemoryRelation child plan) into every task binary — measured
+        # on v3: ~1 MB binaries, 23 s/invocation of task deserialization
+        # + 20 s GC on 34 s of actual executor CPU. localCheckpoint
+        # truncates the lineage, so downstream branch tasks carry a bare
+        # RDD scan (the sim_ann_graph Fix C mechanism, funnel-tier).
+        # Blocks are invocation-local RDDs — CacheManager can never serve
+        # them to a later invocation, so the no-cross-rep-caching
+        # discipline holds by construction; ContextCleaner frees them
+        # when the frame is dropped.
+        return df.localCheckpoint(eager=True)
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     _E2E_PERSISTED.append(df)
     return df
@@ -558,7 +584,9 @@ def pipeline_e2e_llm(spark, sf_dir):
     # SHARE POINT: gated (metadata-narrow) feeds the sampling-rate
     # aggregate, the sampled join, and the c4 count — caching it stops the
     # decontamination grams + Gopher bigram explode from re-running per
-    # funnel branch
+    # funnel branch. Measured r14: the eager-checkpoint variant is +33%
+    # CPU here — the gate lineage above the staged prefix is shallow, so
+    # the lazy persist wins (unlike the v3/v4 NB chains).
     gated = _persist_share(
         base.join(top_bi, "doc_id", "left")
         .filter(
@@ -871,8 +899,9 @@ def pipeline_e2e_llm_v3(spark, sf_dir):
     d0 = d.select("doc_id", F.split("text", " ").alias("toks"))
     lab, tok, w, prior = _nb_fit(d0)
     # SHARE POINT: w feeds the held-out calibration scoring AND the
-    # cleaned-corpus gate scoring — persist or the fit aggregate runs twice
-    w = _persist_share(w)
+    # cleaned-corpus gate scoring — persist or the fit aggregate runs twice.
+    # Eager (r14): the funnel's broadcast branches race cold caches.
+    w = _persist_share(w, eager=True)
     score = (
         tok.join(F.broadcast(w), "tok", "left")
         .groupBy("doc_id")
@@ -890,11 +919,12 @@ def pipeline_e2e_llm_v3(spark, sf_dir):
     )
     # SHARE POINT: the 1-row threshold — its lineage is the whole held-out
     # scoring pass; persisting collapses that to one execution
-    thr = _persist_share(_nb_threshold(scored))
+    thr = _persist_share(_nb_threshold(scored), eager=True)
 
     # 4. length gate on the cleaned text
     lgate = _persist_share(
-        decon.filter(F.col("n_tok").between(E2E_MIN_TOK, E2E_MAX_TOK))
+        decon.filter(F.col("n_tok").between(E2E_MIN_TOK, E2E_MAX_TOK)),
+        eager=True,
     )
 
     # 5b. model gate: score the CLEANED text, keep logit >= threshold
@@ -909,7 +939,8 @@ def pipeline_e2e_llm_v3(spark, sf_dir):
         .crossJoin(F.broadcast(prior))
         .crossJoin(F.broadcast(thr))
         .filter(F.col("su") + F.col("pu") >= F.col("thr_u"))
-        .select("doc_id", "source", "n_tok")
+        .select("doc_id", "source", "n_tok"),
+        eager=True,
     )
 
     # 6. temperature sampling from the MODEL-gated source distribution
@@ -1184,7 +1215,7 @@ def pipeline_e2e_llm_v4(spark, sf_dir):
     # NB fit on the raw corpus + PR-curve threshold (v3's stage 5a)
     d0 = d.select("doc_id", F.split("text", " ").alias("toks"))
     lab, tok, w, prior = _nb_fit(d0)
-    w = _persist_share(w)
+    w = _persist_share(w, eager=True)
     score = (
         tok.join(F.broadcast(w), "tok", "left")
         .groupBy("doc_id")
@@ -1198,11 +1229,12 @@ def pipeline_e2e_llm_v4(spark, sf_dir):
             (F.col("su") + F.col("pu")).cast("long").alias("logit_u"),
         )
     )
-    thr = _persist_share(_nb_threshold(scored))
+    thr = _persist_share(_nb_threshold(scored), eager=True)
 
     # length gate (stage 4)
     lgate = _persist_share(
-        decon.filter(F.col("n_tok").between(E2E_MIN_TOK, E2E_MAX_TOK))
+        decon.filter(F.col("n_tok").between(E2E_MIN_TOK, E2E_MAX_TOK)),
+        eager=True,
     )
 
     # member 1: NB at the picked threshold, on the CLEANED text
@@ -1212,14 +1244,17 @@ def pipeline_e2e_llm_v4(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.sum(F.coalesce("wu", F.lit(0))).cast("long").alias("su"))
     )
-    m_nb = (
+    # SHARE POINT (r14): m_nb feeds the committee join AND its own g1
+    # count branch — unshared, the cleaned-text scoring explode ran twice.
+    m_nb = _persist_share(
         lgate.join(cscore, "doc_id")
         .crossJoin(F.broadcast(prior))
         .crossJoin(F.broadcast(thr))
         .select(
             "doc_id",
             (F.col("su") + F.col("pu") >= F.col("thr_u")).alias("pass_nb"),
-        )
+        ),
+        eager=True,
     )
 
     # member 2: Gopher rules (frame-generic 4-rule form) on the CLEANED text
@@ -1250,12 +1285,14 @@ def pipeline_e2e_llm_v4(spark, sf_dir):
         ).alias("is_target"),
     )
     _, dw = _dsir_fit(dlab)
-    dw = _persist_share(dw)
-    dscore = (
+    dw = _persist_share(dw, eager=True)
+    # SHARE POINT (r14): dscore feeds the committee join AND the g3 count.
+    dscore = _persist_share(
         ctok.select("doc_id", _dsir_bucket("tok").alias("b"))
         .join(F.broadcast(dw), "b")
         .groupBy("doc_id")
-        .agg(F.sum("wu").cast("long").alias("sd"))
+        .agg(F.sum("wu").cast("long").alias("sd")),
+        eager=True,
     )
 
     votes = (
@@ -1268,7 +1305,8 @@ def pipeline_e2e_llm_v4(spark, sf_dir):
         .join(m_rules, "doc_id")
         .join(dscore, "doc_id")
         .filter(votes >= 2)
-        .select("doc_id", "source", "n_tok")
+        .select("doc_id", "source", "n_tok"),
+        eager=True,
     )
 
     # sampling / sharding / packing from the committee-gated distribution

@@ -489,12 +489,17 @@ def ivf_index(e):
     # K-row centroid table and the N-row assignment feed several
     # broadcast-separated consumers (probe LUT, residual build, list
     # scans, shape counts), each of which would otherwise replay the
-    # Lloyd chain. Lazy persist (see _pq_train_encode for the measured
-    # eager-checkpoint comparison).
+    # Lloyd chain. Eager localCheckpoint since the r14 optimization
+    # round (see _pq_train_encode — the lineage-truncation rationale and
+    # the subtree-CPU A/B: sim_ann_ivf 18.4 -> 11.5 CPU-s).
     from data_transform_spark.pipeline.e2e import _persist_share
 
-    assign = _nearest_centroid(e.select("vec_id", "emb"), cent, "vec_id", "list_id")
-    return _persist_share(cent), _persist_share(assign)
+    cent = _persist_share(cent, eager=True)
+    assign = _persist_share(
+        _nearest_centroid(e.select("vec_id", "emb"), cent, "vec_id", "list_id"),
+        eager=True,
+    )
+    return cent, assign
 
 
 def sim_ann_ivf_topk(spark, sf_dir, probes: int = IVF_PROBES):
@@ -579,12 +584,15 @@ def _ann_recall_summary(ann, exact, recall_bound: float):
     measurement: ReusedExchange=0 across broadcast branches). Without
     sharing, every ANN key re-ran its ENTIRE index build + serve
     pipeline and the brute-force check twice each. Both frames are
-    ≤N_QUERIES×TOPK rows; persist is lazy (_persist_share), so the
-    zero-driver-jobs contract holds and the pipelines run once."""
+    ≤N_QUERIES×TOPK rows. Eager localCheckpoints since the r14
+    optimization round: their lineage is the ENTIRE serve pipeline, and
+    the lazy persist's consumers serialized it into every count-branch
+    task (the v3 deser/GC mechanism, OPTIMIZATION_r14.md wave 4/5 —
+    subtree-CPU A/B: lsh 14.6 -> 10.0 CPU-s from this change alone)."""
     from data_transform_spark.pipeline.e2e import _persist_share
 
-    exact_pairs = _persist_share(exact.select("query_id", "neighbor_id"))
-    ann_pairs = _persist_share(ann.select("query_id", "neighbor_id"))
+    exact_pairs = _persist_share(exact.select("query_id", "neighbor_id"), eager=True)
+    ann_pairs = _persist_share(ann.select("query_id", "neighbor_id"), eager=True)
     counts = ann_pairs.agg(
         F.count(F.lit(1)).alias("n_results"),
         F.countDistinct("query_id").alias("n_queries"),
@@ -784,22 +792,25 @@ def _pq_train_encode(e):
             .agg(F.sort_array(F.collect_list(F.struct("pos", "cv"))).alias("pc"))
             .select("m", "c_id", F.col("pc.cv").alias("c_sub"))
         )
-    # r14 (guide §5): the trained codebook (M×Ks rows) and the code table
-    # (N×M narrow rows) are each consumed by several broadcast-separated
-    # branches downstream (LUT build + shape counts; ADC scan + shape
-    # counts) where runtime exchange reuse does not fire (the e2e
-    # ReusedExchange=0 measurement) — lazily persist both so the Lloyd
-    # chain and the corpus encode run once per action instead of once
-    # per branch. Lazy persist, not an eager checkpoint: measured
-    # (profile_bench, 4 reps each) the eager variant was ~1.5-2x slower
-    # here — the separate materialization jobs forgo the pipelined
-    # single-action execution, and the truncation saves less planning
-    # time than it costs because the registered keys release + rebuild
-    # per invocation.
+    # r14 (guide §3.3/§5): the trained codebook (M×Ks rows) and the code
+    # table (N×M narrow rows) are each consumed by several
+    # broadcast-separated branches downstream (LUT build + shape counts;
+    # ADC scan + shape counts) where runtime exchange reuse does not
+    # fire. EAGER localCheckpoint since the r14 optimization round: a
+    # lazily-persisted frame's consumers still serialize the whole Lloyd
+    # lineage into every task binary (the pipeline_e2e_llm_v3 deser/GC
+    # measurement, OPTIMIZATION_r14.md wave 4/5) — the wall-based wave-2
+    # A/B that kept lazy persist could not see that through host noise;
+    # the subtree-CPU A/B did: sim_ann_pq 30.6 -> 12.8 CPU-s, ivfpq
+    # 51.9 -> 15.8.
     from data_transform_spark.pipeline.e2e import _persist_share
 
-    codes = _pq_assign(cent, sub).select("vec_id", "m", F.col("c_id").alias("code"))
-    return _persist_share(cent), _persist_share(codes)
+    cent = _persist_share(cent, eager=True)
+    codes = _persist_share(
+        _pq_assign(cent, sub).select("vec_id", "m", F.col("c_id").alias("code")),
+        eager=True,
+    )
+    return cent, codes
 
 
 def _subvectors(frame):
@@ -2726,6 +2737,10 @@ def sim_ann_recall_curve(spark, sf_dir):
     # top-k run once per action (_fresh_shares at entry releases them).
     from data_transform_spark.pipeline.e2e import _persist_share
 
+    # (r14 A/B: the EAGER checkpoint variant measured 2x CPU here —
+    # 3.9 -> 7.5 CPU-s — unlike the trained-index keys: this frame's
+    # single consumer pair shares exchanges within one action, so the
+    # fill only added jobs. Lazy persist stays.)
     ann = _persist_share(
         cand.join(F.broadcast(levels), F.col("probe_rank") <= F.col("probes"))
         .withColumn("rn", F.row_number().over(wl))

