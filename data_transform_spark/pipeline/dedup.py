@@ -1898,7 +1898,7 @@ def dedup_bakeoff(spark, sf_dir):
     )
 
     _release_prior_shares()
-    truth = _persist_share(truth)
+    truth = _persist_share(truth, eager=True)
 
     h = docs.select("doc_id", F.md5("text").alias("h"))
     ex = (

@@ -498,7 +498,7 @@ def _mmr_rerank(e, cand):
     # per action instead of three times.
     from data_transform_spark.pipeline.e2e import _persist_share
 
-    cand = _persist_share(cand)
+    cand = _persist_share(cand, eager=True)
 
     # fresh column objects for the self-join (failAmbiguousSelfJoin trap)
     a = cand.select(F.col("qid").alias("qa"), F.col("id").alias("ia")).select(
