@@ -659,8 +659,15 @@ def run_stream_dedup_incr(spark, sf_dir, run: str):
 
     def process(batch_df, batch_id: int):
         s = batch_df.sparkSession
-        bands_b = _sig_bands(minhash_signatures(batch_df))
-        sh_b = _shingle_digests(batch_df)
+        # r14 (guide §3.3/§5): the body runs THREE write actions per
+        # micro-batch and the batch band/digest frames feed all of them —
+        # eager localCheckpoints run the shingle explode + 48-min
+        # signature aggregate once per batch AND truncate the lineage the
+        # downstream join tasks would otherwise serialize per task (the
+        # capstone-share mechanism; plain lazy/eager PERSIST variants
+        # measured SLOWER here — OPTIMIZATION_r14.md wave 3/6).
+        bands_b = _sig_bands(minhash_signatures(batch_df)).localCheckpoint()
+        sh_b = _shingle_digests(batch_df).localCheckpoint()
         store_bands = s.read.parquet(*_prior(bands_dir, batch_id))
         store_sh = s.read.parquet(*_prior(sh_dir, batch_id))
         h, n = store_bands.alias("h"), bands_b.alias("n")
