@@ -568,7 +568,7 @@ def _fresh_shares() -> None:
     _release_prior_shares()
 
 
-def _ann_recall_summary(ann, exact, recall_bound: float):
+def _ann_recall_summary(ann, exact, recall_bound: float, eager: bool = True):
     """One-row verification summary: result counts + a recall bound check.
 
     ANN recall < 1 by design, so the hashable contract is the bound: the
@@ -591,8 +591,14 @@ def _ann_recall_summary(ann, exact, recall_bound: float):
     subtree-CPU A/B: lsh 14.6 -> 10.0 CPU-s from this change alone)."""
     from data_transform_spark.pipeline.e2e import _persist_share
 
-    exact_pairs = _persist_share(exact.select("query_id", "neighbor_id"), eager=True)
-    ann_pairs = _persist_share(ann.select("query_id", "neighbor_id"), eager=True)
+    # eager=False for the STAGED-serve keys (persist/append/compact/
+    # graph): their pipelines are parquet reads + a shallow probe, so
+    # there is no duplicated deep chain for the fill to save and the
+    # serialized fill phases just idle the cores — paired A/B measured
+    # sim_ann_persist wall 3.3 -> 9.4 s with eager fills, CPU flat. The
+    # in-plan-training keys keep eager (ivfpq 51.9 -> 15.8 CPU-s).
+    exact_pairs = _persist_share(exact.select("query_id", "neighbor_id"), eager=eager)
+    ann_pairs = _persist_share(ann.select("query_id", "neighbor_id"), eager=eager)
     counts = ann_pairs.agg(
         F.count(F.lit(1)).alias("n_results"),
         F.countDistinct("query_id").alias("n_queries"),
@@ -1284,6 +1290,7 @@ def sim_ann_persist(spark, sf_dir):
         _ivfpq_topk(e, cent, books, codes_l),
         sim_topk_bruteforce(spark, sf_dir),
         0.45,
+        eager=False,
     )
     shape = (
         codes_l.agg(F.count(F.lit(1)).alias("n_code_rows"))
@@ -1670,6 +1677,7 @@ def sim_ann_index_append(spark, sf_dir):
         _ivfpq_topk(e, cent, books, merged),
         sim_topk_bruteforce(spark, sf_dir),
         0.45,
+        eager=False,
     )
     shape = (
         codes_hist.agg(F.count(F.lit(1)).alias("n_hist_codes"))
@@ -1953,6 +1961,9 @@ def sim_ann_graph(spark, sf_dir):
     indexes; per-SF numbers in SCALING.md). The build is staged
     train-once/serve-many (graph_stage_index); this key serves from the
     staged adjacency."""
+    # (graph keeps the eager fill: unlike persist/append/compact its
+    # serve+verify chains measured 6.8 vs 9.8 CPU-s in its favor with
+    # walls equal — the beam rounds re-run per branch without it.)
     return _ann_recall_summary(
         sim_ann_graph_topk(spark, sf_dir),
         sim_topk_bruteforce(spark, sf_dir),
@@ -2121,6 +2132,7 @@ def sim_ann_index_compact(spark, sf_dir):
         _ivfpq_topk(e, cent, books, compact_codes),
         sim_topk_bruteforce(spark, sf_dir),
         0.45,
+        eager=False,
     )
     cols = codes_hist.columns
     diff = (
