@@ -286,6 +286,48 @@ def _e2e_llm_oracle() -> str:
 # live cache to one key's share frames (the graph.py release discipline,
 # DataFrame-tier).
 _E2E_PERSISTED: list = []
+# Eager localCheckpoint shares, tracked separately (r15, VERDICT #6 /
+# ADVICE): their blocks are RDD-cached, not CacheManager entries, so
+# unpersist() on the DataFrame cannot free them — _release_prior_shares
+# unpersists the checkpointed RDD itself (LogicalRDD.rdd) and drops the
+# reference, keeping executor storage flat across a 394-key session
+# instead of waiting on Python GC -> ContextCleaner. Local-mode note:
+# a localCheckpoint truncates lineage, so these frames are NOT
+# recomputable after executor/block loss — acceptable here because the
+# engine runs local[N] where executor loss is process death anyway; a
+# cluster deployment would flip these to reliable checkpoints.
+_E2E_EAGER: list = []
+
+# One small shared driver-thread pool for concurrent share fills (r15,
+# VERDICT #5; guide §2.6 "overlap independent jobs"): each eager fill is
+# its own Spark action, and filling independent shares sequentially
+# leaves most of the cluster idle during every fill's tail. Only
+# top-level key bodies submit (helpers never do), so the pool can never
+# deadlock on nested submissions. Job groups/descriptions are
+# thread-local per guide §2.6 — labels stay correct per fill.
+_FILL_POOL = None
+
+
+def _submit_fill(thunk):
+    """Run ``thunk`` (which builds AND eagerly fills a share frame) on the
+    shared fill pool; returns a Future. The caller must .result() before
+    its key returns, so fills never outlive their invocation."""
+    global _FILL_POOL
+    if _FILL_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _FILL_POOL = ThreadPoolExecutor(
+            max_workers=4, thread_name_prefix="share-fill"
+        )
+    return _FILL_POOL.submit(thunk)
+
+
+def _fill_concurrently(*thunks):
+    """Fill several INDEPENDENT share frames as concurrent Spark actions;
+    returns their results in submission order (guide §2.6: the scheduler
+    back-fills idle cores across the overlapping fills)."""
+    futs = [_submit_fill(t) for t in thunks]
+    return [f.result() for f in futs]
 
 
 def _persist_share(df, eager: bool = False):
@@ -314,12 +356,28 @@ def _persist_share(df, eager: bool = False):
         # RDD scan (the sim_ann_graph Fix C mechanism, funnel-tier).
         # Blocks are invocation-local RDDs — CacheManager can never serve
         # them to a later invocation, so the no-cross-rep-caching
-        # discipline holds by construction; ContextCleaner frees them
-        # when the frame is dropped.
-        return df.localCheckpoint(eager=True)
+        # discipline holds by construction; _release_prior_shares frees
+        # the blocks explicitly at the next top-level key build (r15).
+        ck = df.localCheckpoint(eager=True)
+        _E2E_EAGER.append(ck)
+        return ck
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     _E2E_PERSISTED.append(df)
     return df
+
+
+def _free_local_checkpoint(df) -> None:
+    """Explicitly drop a localCheckpoint's RDD blocks. The checkpointed
+    data is RDD-cached (not a CacheManager entry), reachable only through
+    the LogicalRDD at the plan root — DataFrame.unpersist() is a no-op on
+    it. Best-effort: any py4j/plan-shape surprise just falls back to the
+    old GC -> ContextCleaner path."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def _release_prior_shares() -> None:
@@ -332,6 +390,8 @@ def _release_prior_shares() -> None:
             _E2E_PERSISTED.pop().unpersist(False)
         except Exception:
             pass
+    while _E2E_EAGER:
+        _free_local_checkpoint(_E2E_EAGER.pop())
 
 
 def _e2e_prefix(spark, sf_dir):
@@ -895,6 +955,18 @@ def pipeline_e2e_llm_v3(spark, sf_dir):
 
     d, _stats, decon = _e2e_prefix_staged(spark, sf_dir)
 
+    # 4. length gate on the cleaned text — depends only on the staged
+    # decon frame, NOT on the NB chain, so its fill runs on a driver
+    # thread CONCURRENTLY with the fit/threshold fills below (r15,
+    # guide §2.6 "overlap independent jobs": the serial fills left most
+    # of the box idle; same work, overlapped actions).
+    lgate_f = _submit_fill(
+        lambda: _persist_share(
+            decon.filter(F.col("n_tok").between(E2E_MIN_TOK, E2E_MAX_TOK)),
+            eager=True,
+        )
+    )
+
     # 5a. fit the NB on the RAW corpus (quality_nb's exact contract)
     d0 = d.select("doc_id", F.split("text", " ").alias("toks"))
     lab, tok, w, prior = _nb_fit(d0)
@@ -921,11 +993,7 @@ def pipeline_e2e_llm_v3(spark, sf_dir):
     # scoring pass; persisting collapses that to one execution
     thr = _persist_share(_nb_threshold(scored), eager=True)
 
-    # 4. length gate on the cleaned text
-    lgate = _persist_share(
-        decon.filter(F.col("n_tok").between(E2E_MIN_TOK, E2E_MAX_TOK)),
-        eager=True,
-    )
+    lgate = lgate_f.result()
 
     # 5b. model gate: score the CLEANED text, keep logit >= threshold
     ctok = lgate.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
@@ -1212,6 +1280,26 @@ def pipeline_e2e_llm_v4(spark, sf_dir):
 
     d, _stats, decon = _e2e_prefix_staged(spark, sf_dir)
 
+    # length gate (stage 4) and the DSIR fit (member 3's weights) are both
+    # independent of the NB chain — fill them on driver threads
+    # CONCURRENTLY with the fit/threshold fills below (r15, guide §2.6).
+    lgate_f = _submit_fill(
+        lambda: _persist_share(
+            decon.filter(F.col("n_tok").between(E2E_MIN_TOK, E2E_MAX_TOK)),
+            eager=True,
+        )
+    )
+    dlab = d.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        (
+            F.size(F.filter(F.split("text", " "), lambda x: x.isin(*QNB_POS)))
+            > F.size(F.filter(F.split("text", " "), lambda x: x.isin(*QNB_NEG)))
+        ).alias("is_target"),
+    )
+    _, dw0 = _dsir_fit(dlab)
+    dw_f = _submit_fill(lambda: _persist_share(dw0, eager=True))
+
     # NB fit on the raw corpus + PR-curve threshold (v3's stage 5a)
     d0 = d.select("doc_id", F.split("text", " ").alias("toks"))
     lab, tok, w, prior = _nb_fit(d0)
@@ -1231,11 +1319,7 @@ def pipeline_e2e_llm_v4(spark, sf_dir):
     )
     thr = _persist_share(_nb_threshold(scored), eager=True)
 
-    # length gate (stage 4)
-    lgate = _persist_share(
-        decon.filter(F.col("n_tok").between(E2E_MIN_TOK, E2E_MAX_TOK)),
-        eager=True,
-    )
+    lgate = lgate_f.result()
 
     # member 1: NB at the picked threshold, on the CLEANED text
     ctok = lgate.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
@@ -1275,17 +1359,9 @@ def pipeline_e2e_llm_v4(spark, sf_dir):
         ).alias("pass_rules"),
     )
 
-    # member 3: DSIR fit on the RAW corpus, scored on the CLEANED text
-    dlab = d.select(
-        "doc_id",
-        F.split("text", " ").alias("toks"),
-        (
-            F.size(F.filter(F.split("text", " "), lambda x: x.isin(*QNB_POS)))
-            > F.size(F.filter(F.split("text", " "), lambda x: x.isin(*QNB_NEG)))
-        ).alias("is_target"),
-    )
-    _, dw = _dsir_fit(dlab)
-    dw = _persist_share(dw, eager=True)
+    # member 3: DSIR fit on the RAW corpus (filled above, concurrently
+    # with the NB chain), scored on the CLEANED text
+    dw = dw_f.result()
     # SHARE POINT (r14): dscore feeds the committee join AND the g3 count.
     dscore = _persist_share(
         ctok.select("doc_id", _dsir_bucket("tok").alias("b"))

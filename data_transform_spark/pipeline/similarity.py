@@ -589,7 +589,12 @@ def _ann_recall_summary(ann, exact, recall_bound: float, eager: bool = True):
     the lazy persist's consumers serialized it into every count-branch
     task (the v3 deser/GC mechanism, OPTIMIZATION_r14.md wave 4/5 —
     subtree-CPU A/B: lsh 14.6 -> 10.0 CPU-s from this change alone)."""
-    from data_transform_spark.pipeline.e2e import _persist_share
+    from concurrent.futures import Future
+
+    from data_transform_spark.pipeline.e2e import (
+        _fill_concurrently,
+        _persist_share,
+    )
 
     # eager=False for the STAGED-serve keys (persist/append/compact/
     # graph): their pipelines are parquet reads + a shallow probe, so
@@ -597,8 +602,34 @@ def _ann_recall_summary(ann, exact, recall_bound: float, eager: bool = True):
     # serialized fill phases just idle the cores — paired A/B measured
     # sim_ann_persist wall 3.3 -> 9.4 s with eager fills, CPU flat. The
     # in-plan-training keys keep eager (ivfpq 51.9 -> 15.8 CPU-s).
-    exact_pairs = _persist_share(exact.select("query_id", "neighbor_id"), eager=eager)
-    ann_pairs = _persist_share(ann.select("query_id", "neighbor_id"), eager=eager)
+    #
+    # r15 (guide §2.6): the two fills are INDEPENDENT actions (the ANN
+    # serve probe vs the brute-force check), so the eager path fills them
+    # concurrently instead of back-to-back; the in-plan-training keys go
+    # further and pass ``exact`` as a Future submitted BEFORE their index
+    # training, overlapping the brute-force pass with the training fills
+    # (_overlapped_exact_fill below).
+    if isinstance(exact, Future):
+        ann_pairs = _persist_share(
+            ann.select("query_id", "neighbor_id"), eager=eager
+        )
+        exact_pairs = exact.result()
+    elif eager:
+        exact_pairs, ann_pairs = _fill_concurrently(
+            lambda: _persist_share(
+                exact.select("query_id", "neighbor_id"), eager=True
+            ),
+            lambda: _persist_share(
+                ann.select("query_id", "neighbor_id"), eager=True
+            ),
+        )
+    else:
+        exact_pairs = _persist_share(
+            exact.select("query_id", "neighbor_id"), eager=False
+        )
+        ann_pairs = _persist_share(
+            ann.select("query_id", "neighbor_id"), eager=False
+        )
     counts = ann_pairs.agg(
         F.count(F.lit(1)).alias("n_results"),
         F.countDistinct("query_id").alias("n_queries"),
@@ -625,14 +656,31 @@ _ANN_SUMMARY_ORACLE = f"""
 """
 
 
+def _overlapped_exact_fill(spark, sf_dir):
+    """Submit the brute-force exact-pairs checkpoint fill on a driver
+    thread and return the Future (r15, guide §2.6): the exact check is
+    independent of the index, so its corpus scan overlaps the training
+    fills the caller runs next instead of serializing after them.
+    _ann_recall_summary resolves the Future after filling the ANN side."""
+    from data_transform_spark.pipeline.e2e import _persist_share, _submit_fill
+
+    return _submit_fill(
+        lambda: _persist_share(
+            sim_topk_bruteforce(spark, sf_dir).select(
+                "query_id", "neighbor_id"
+            ),
+            eager=True,
+        )
+    )
+
+
 @register("sim_ann_ivf", oracle=_ANN_SUMMARY_ORACLE)
 def sim_ann_ivf(spark, sf_dir):
     """IVF-Flat ANN, bounds-checked: recall vs exact top-5 must be >= 0.45
     (measured 0.57–0.63 across sf0.001/0.01/0.1 with K=16, 4 probes)."""
     _fresh_shares()
-    return _ann_recall_summary(
-        sim_ann_ivf_topk(spark, sf_dir), sim_topk_bruteforce(spark, sf_dir), 0.45
-    )
+    exact_f = _overlapped_exact_fill(spark, sf_dir)
+    return _ann_recall_summary(sim_ann_ivf_topk(spark, sf_dir), exact_f, 0.45)
 
 
 @register("sim_ann_lsh", oracle=_ANN_SUMMARY_ORACLE)
@@ -646,9 +694,8 @@ def sim_ann_lsh(spark, sf_dir):
     0.57–0.63 at ~25% with 4/16 probes; full measured grid in SCALING.md
     "Round-8 LSH retune")."""
     _fresh_shares()
-    return _ann_recall_summary(
-        sim_ann_lsh_topk(spark, sf_dir), sim_topk_bruteforce(spark, sf_dir), 0.45
-    )
+    exact_f = _overlapped_exact_fill(spark, sf_dir)
+    return _ann_recall_summary(sim_ann_lsh_topk(spark, sf_dir), exact_f, 0.45)
 
 
 N_TABLES = 8  # independent LSH hash tables
@@ -974,13 +1021,12 @@ def sim_ann_pq(spark, sf_dir):
     codebook (no empty-cluster collapse; min cluster membership measured
     9/12/68 at the three SFs)."""
     _fresh_shares()
+    exact_f = _overlapped_exact_fill(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     cent, codes = _pq_train_encode(e)  # ONE training, shared by both branches
-    summary = _ann_recall_summary(
-        _pq_topk(e, cent, codes), sim_topk_bruteforce(spark, sf_dir), 0.45
-    )
+    summary = _ann_recall_summary(_pq_topk(e, cent, codes), exact_f, 0.45)
     shape = codes.agg(F.count(F.lit(1)).alias("n_code_rows")).crossJoin(
         cent.agg(F.count(F.lit(1)).alias("codebook_rows"))
     )
@@ -1143,14 +1189,13 @@ def sim_ann_ivfpq(spark, sf_dir):
     collapse; min membership 13/14/24 at the three SFs), and all IVF_K
     coarse lists materialized."""
     _fresh_shares()
+    exact_f = _overlapped_exact_fill(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     cent, _assign, books, codes_l = _ivfpq_index(e)  # ONE training
     summary = _ann_recall_summary(
-        _ivfpq_topk(e, cent, books, codes_l),
-        sim_topk_bruteforce(spark, sf_dir),
-        0.45,
+        _ivfpq_topk(e, cent, books, codes_l), exact_f, 0.45
     )
     shape = (
         codes_l.agg(F.count(F.lit(1)).alias("n_code_rows"))
@@ -1852,7 +1897,7 @@ def graph_stage_index(spark, sf_dir) -> str:
     return staged
 
 
-def sim_ann_graph_topk(spark, sf_dir, rounds: int = GRAPH_ROUNDS):
+def sim_ann_graph_topk(spark, sf_dir, rounds: int = GRAPH_ROUNDS, release: bool = True):
     """ANN top-k by beam search over the staged kNN graph.
 
     Entry points are GRAPH_SEEDS evenly spaced vec_ids (step = ⌊N/S⌋
@@ -1882,9 +1927,16 @@ def sim_ann_graph_topk(spark, sf_dir, rounds: int = GRAPH_ROUNDS):
     stays lazy so the returned frame's plan still shows the staged
     adjacency scan (plan-pinned by the serve-plan test); the 3-way
     intra-round sharing rides the checkpoint scan."""
-    from data_transform_spark.pipeline.e2e import _release_prior_shares
+    from data_transform_spark.pipeline.e2e import (
+        _persist_share,
+        _release_prior_shares,
+    )
 
-    _release_prior_shares()
+    # release=False when the caller already released at key entry AND has
+    # a concurrent share fill in flight that a release here would free
+    # from under it (the sim_ann_graph body, r15).
+    if release:
+        _release_prior_shares()
     staged = graph_stage_index(spark, sf_dir)
     adj = spark.read.parquet(f"{staged}/adjacency")
     e = load_table(spark, sf_dir, "embeddings").select(
@@ -1903,9 +1955,13 @@ def sim_ann_graph_topk(spark, sf_dir, rounds: int = GRAPH_ROUNDS):
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
     )
     score = F.round(_cos(F.col("q_emb"), F.col("n_emb")), 4)
-    visited = q.crossJoin(F.broadcast(seeds)).select(
-        "query_id", "node", score.alias("score")
-    ).localCheckpoint(eager=True)
+    # via _persist_share so the round checkpoints are release-tracked (r15)
+    visited = _persist_share(
+        q.crossJoin(F.broadcast(seeds)).select(
+            "query_id", "node", score.alias("score")
+        ),
+        eager=True,
+    )
     w_beam = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), "node"
     )
@@ -1939,7 +1995,7 @@ def sim_ann_graph_topk(spark, sf_dir, rounds: int = GRAPH_ROUNDS):
         )
         visited = visited.unionByName(scored_new)
         if r < rounds - 1:
-            visited = visited.localCheckpoint(eager=True)
+            visited = _persist_share(visited, eager=True)
     return (
         visited.filter(F.col("node") != F.col("query_id"))
         .withColumn("rn", F.row_number().over(w_beam))
@@ -1964,10 +2020,10 @@ def sim_ann_graph(spark, sf_dir):
     # (graph keeps the eager fill: unlike persist/append/compact its
     # serve+verify chains measured 6.8 vs 9.8 CPU-s in its favor with
     # walls equal — the beam rounds re-run per branch without it.)
+    _fresh_shares()
+    exact_f = _overlapped_exact_fill(spark, sf_dir)
     return _ann_recall_summary(
-        sim_ann_graph_topk(spark, sf_dir),
-        sim_topk_bruteforce(spark, sf_dir),
-        0.45,
+        sim_ann_graph_topk(spark, sf_dir, release=False), exact_f, 0.45
     )
 
 

@@ -699,6 +699,14 @@ def run_stream_dedup_incr(spark, sf_dir, run: str):
         pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch-{batch_id}")
         bands_b.write.mode("overwrite").parquet(f"{bands_dir}/batch-{batch_id}")
         sh_b.write.mode("overwrite").parquet(f"{sh_dir}/batch-{batch_id}")
+        # r15 (ADVICE): free the per-batch checkpoint blocks once the three
+        # writes are done — otherwise they accumulate across micro-batches
+        # until Python GC lets ContextCleaner at them, a slow executor
+        # storage leak on a long-running stream.
+        from data_transform_spark.pipeline.e2e import _free_local_checkpoint
+
+        _free_local_checkpoint(bands_b)
+        _free_local_checkpoint(sh_b)
 
     q = (
         spark.readStream.schema(schema)
