@@ -1066,14 +1066,31 @@ def _dsir_fit(lab):
     tok = lab.select(
         "doc_id", "is_target", F.explode("toks").alias("tok")
     ).select("doc_id", "is_target", _dsir_bucket("tok").alias("b"))
-    raw = tok.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cr"))
-    tgt = (
-        tok.filter("is_target")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    # ONE pass over the exploded/bucketed tokens (r15, guide §2.4): the
+    # raw and target counts come out of a single bucket-keyed aggregate.
+    # The old two-aggregate shape (raw, tgt) plus their two 1-row totals
+    # re-ran the explode + per-token md5 subtree once per consumer —
+    # aggregates meeting at broadcast crossJoins get no exchange reuse
+    # (the e2e ReusedExchange=0 measurement) — so the fit cost the corpus
+    # scan ~4x. ``ct`` is 0 where the old LEFT-joined tgt row was NULL;
+    # the weight expression already coalesced NULL to 0, so wu is
+    # numerically identical bucket by bucket, and nt = SUM(ct) is
+    # unchanged because the missing-bucket rows contribute zero.
+    cnt = tok.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("cr"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+        .cast("long")
+        .alias("ct"),
     )
-    tot = raw.agg(F.sum("cr").cast("long").alias("nr")).crossJoin(
-        F.broadcast(tgt.agg(F.sum("ct").cast("long").alias("nt")))
+    # share point: cnt feeds the totals aggregate AND the weight
+    # projection, which meet at a broadcast crossJoin — BUCKETS-sized
+    # (<= 1024 rows), lineage = the whole corpus explode, so the eager
+    # checkpoint rule applies (the _nb_fit cls precedent).
+    from data_transform_spark.pipeline.e2e import _persist_share
+
+    cnt = _persist_share(cnt, eager=True)
+    tot = cnt.agg(F.sum("cr").cast("long").alias("nr")).crossJoin(
+        F.broadcast(cnt.agg(F.sum("ct").cast("long").alias("nt")))
     )
     wu = F.round(
         (
@@ -1085,11 +1102,7 @@ def _dsir_fit(lab):
         * 1000000,
         0,
     ).cast("long")
-    w = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tot))
-        .select("b", wu.alias("wu"))
-    )
+    w = cnt.crossJoin(F.broadcast(tot)).select("b", wu.alias("wu"))
     return tok, w
 
 

@@ -1297,8 +1297,13 @@ def pipeline_e2e_llm_v4(spark, sf_dir):
             > F.size(F.filter(F.split("text", " "), lambda x: x.isin(*QNB_NEG)))
         ).alias("is_target"),
     )
-    _, dw0 = _dsir_fit(dlab)
-    dw_f = _submit_fill(lambda: _persist_share(dw0, eager=True))
+    def _dw_fill():
+        # the whole DSIR fit runs on this thread: _dsir_fit's internal
+        # bucket-count fill (r15) plus the weight checkpoint
+        _, dw0 = _dsir_fit(dlab)
+        return _persist_share(dw0, eager=True)
+
+    dw_f = _submit_fill(_dw_fill)
 
     # NB fit on the raw corpus + PR-curve threshold (v3's stage 5a)
     d0 = d.select("doc_id", F.split("text", " ").alias("toks"))
@@ -1321,24 +1326,46 @@ def pipeline_e2e_llm_v4(spark, sf_dir):
 
     lgate = lgate_f.result()
 
-    # member 1: NB at the picked threshold, on the CLEANED text
+    # members 1+3 in ONE pass (r15, VERDICT #2 / guide §2.4 "aggregate
+    # before you shuffle"): the NB weight lookup (broadcast join on tok)
+    # and the DSIR bucket lookup (broadcast join on b) are independent
+    # many-to-one joins over the SAME cleaned-text token explode, so one
+    # explode + ONE doc-keyed aggregate produces both signals together —
+    # the committee's two corpus explode+aggregate chains (and their two
+    # eager fills) collapse into one. Signal equivalence: ``su`` sums the
+    # identical rows (both broadcast sides are unique on their key, so
+    # row multiplicity is unchanged); ``sd`` sums dw matches only (SUM
+    # skips the left join's nulls, matching the old inner join), and
+    # ``nd`` (matched count) reproduces the old dscore's MEMBERSHIP —
+    # a doc appeared iff >= 1 of its token buckets was in dw.
+    dw = dw_f.result()
     ctok = lgate.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    cscore = (
-        ctok.join(F.broadcast(w), "tok", "left")
+    # SHARE POINT (r14/r15): the combined score frame feeds the committee
+    # join AND the g1/g3 count branches.
+    mscore = _persist_share(
+        ctok.select("doc_id", "tok", _dsir_bucket("tok").alias("b"))
+        .join(F.broadcast(w), "tok", "left")
+        .join(F.broadcast(dw.withColumnRenamed("wu", "dwu")), "b", "left")
         .groupBy("doc_id")
-        .agg(F.sum(F.coalesce("wu", F.lit(0))).cast("long").alias("su"))
+        .agg(
+            F.sum(F.coalesce("wu", F.lit(0))).cast("long").alias("su"),
+            F.sum("dwu").cast("long").alias("sd"),
+            F.count("dwu").alias("nd"),
+        ),
+        eager=True,
     )
-    # SHARE POINT (r14): m_nb feeds the committee join AND its own g1
-    # count branch — unshared, the cleaned-text scoring explode ran twice.
-    m_nb = _persist_share(
-        lgate.join(cscore, "doc_id")
-        .crossJoin(F.broadcast(prior))
+
+    # member 1: NB at the picked threshold — mscore covers exactly the
+    # lgate docs (split() yields >= 1 token for every text), so the old
+    # lgate equi-join added nothing; both derivations below are cheap
+    # scans of the one checkpointed frame.
+    m_nb = (
+        mscore.crossJoin(F.broadcast(prior))
         .crossJoin(F.broadcast(thr))
         .select(
             "doc_id",
             (F.col("su") + F.col("pu") >= F.col("thr_u")).alias("pass_nb"),
-        ),
-        eager=True,
+        )
     )
 
     # member 2: Gopher rules (frame-generic 4-rule form) on the CLEANED text
@@ -1359,17 +1386,9 @@ def pipeline_e2e_llm_v4(spark, sf_dir):
         ).alias("pass_rules"),
     )
 
-    # member 3: DSIR fit on the RAW corpus (filled above, concurrently
-    # with the NB chain), scored on the CLEANED text
-    dw = dw_f.result()
-    # SHARE POINT (r14): dscore feeds the committee join AND the g3 count.
-    dscore = _persist_share(
-        ctok.select("doc_id", _dsir_bucket("tok").alias("b"))
-        .join(F.broadcast(dw), "b")
-        .groupBy("doc_id")
-        .agg(F.sum("wu").cast("long").alias("sd")),
-        eager=True,
-    )
+    # member 3: DSIR (fit filled above, concurrently with the NB chain) —
+    # the old inner-join membership via the matched-count filter
+    dscore = mscore.filter(F.col("nd") > 0).select("doc_id", "sd")
 
     votes = (
         F.when(F.col("pass_nb"), 1).otherwise(0)
