@@ -98,7 +98,27 @@ def _jaccard_pairs_of_tok(tok, tau: float):
     """The PPJoin core over ANY distinct (doc_id, t) element frame — words
     (dedup_ngram_jaccard) or shingles (dedup_bakeoff's exact truth tier).
     The prefix filter is lossless at any tau (proof in
-    dedup_ngram_jaccard's docstring)."""
+    dedup_ngram_jaccard's docstring).
+
+    r15 (guide §3.2 candidate pruning / §2.3 shuffle fewer bytes), both
+    lossless — the surviving pair set is unchanged and re-verified by the
+    hash oracle:
+
+    - LENGTH filter at candidate generation: J(A,B) <= min(|A|,|B|) /
+      max(|A|,|B|), so J >= tau requires tau*|A| <= |B| <= |A|/tau. The
+      inequality is applied with a half-element of slack (n + 0.5 >=
+      tau*m) so double rounding can only let a doomed candidate THROUGH
+      to the exact verify, never drop a qualifying one.
+    - ARRAY verify: each doc's (already distinct) element set is
+      collected once per side and candidates intersect the two arrays
+      map-side (array_intersect on distinct arrays = exact shared
+      count), replacing the old verify join that exploded every
+      candidate pair by |A| rows and re-shuffled the explosion by
+      (doc, element) — measured 19 of the truth tier's 47 CPU-s at
+      sf0.1. Per-pair memory is bounded by the two documents' element
+      counts — the same bound the old shuffle carried per group — and
+      documents stay bounded at any corpus scale. ``jaccard`` is the
+      same integer ratio, so the double is bit-identical."""
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     df = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
 
@@ -108,33 +128,42 @@ def _jaccard_pairs_of_tok(tok, tau: float):
         .withColumn("rn", F.row_number().over(w_rarity))
         .join(sizes, "doc_id")
         .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + 1)
-        .select("doc_id", "t")
+        .select("doc_id", "t", "n")
     )
     pa = prefix.alias("pa")
     pb = prefix.alias("pb")
     cand = (
         pa.join(
             pb,
-            (F.col("pa.t") == F.col("pb.t")) & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+            (F.col("pa.t") == F.col("pb.t"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            # lossless length filter (loose by 0.5 against float slop)
+            & (F.col("pb.n") + 0.5 >= F.lit(tau) * F.col("pa.n"))
+            & (F.col("pa.n") + 0.5 >= F.lit(tau) * F.col("pb.n")),
         )
         .select(F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
 
-    ta = tok.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("t_a"))
-    tb = tok.select(F.col("doc_id").alias("b_id"), F.col("t").alias("t_b"))
-    shared = (
-        cand.join(ta, "doc_a")
-        .join(tb, (F.col("doc_b") == F.col("b_id")) & (F.col("t_a") == F.col("t_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
+    sets = tok.groupBy("doc_id").agg(
+        F.collect_list("t").alias("ts"), F.count(F.lit(1)).alias("n")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("ts").alias("ts_a"),
+        F.col("n").alias("na"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("ts").alias("ts_b"),
+        F.col("n").alias("nb"),
+    )
+    shared = F.size(F.array_intersect("ts_a", "ts_b"))
     jac = F.col("shared") * 1.0 / (F.col("na") + F.col("nb") - F.col("shared"))
     return (
-        shared.join(sa, "doc_a")
+        cand.join(sa, "doc_a")
         .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "na", "nb", shared.alias("shared"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= tau)
     )
@@ -362,23 +391,36 @@ def _exact_jaccard_of_pairs(docs, cand):
 
     Only candidate pairs are scored — never all pairs — so the cost is
     |candidates| × shingles-per-doc, linear in corpus size when the LSH
-    candidate set is."""
+    candidate set is.
+
+    r15 (guide §2.3): each doc's (distinct) shingle set is collected once
+    and candidates intersect the two arrays map-side — the old shape
+    exploded every candidate pair by |A| shingle rows and re-shuffled the
+    explosion by (doc, shingle) before counting. array_intersect on
+    distinct arrays is the exact shared count; per-pair memory is bounded
+    by the two documents' shingle counts (the same bound the old shuffle
+    carried per group), and ``jaccard`` is the same integer ratio, so the
+    double is bit-identical."""
     sh = _shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
-    sh_b = sh.select(F.col("doc_id").alias("b_id"), F.col("shingle").alias("sh_b"))
-    shared = (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, (F.col("doc_b") == F.col("b_id")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("c"))
+    sets = sh.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("ts"), F.count(F.lit(1)).alias("n")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("ts").alias("ts_a"),
+        F.col("n").alias("na"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("ts").alias("ts_b"),
+        F.col("n").alias("nb"),
+    )
+    c = F.size(F.array_intersect("ts_a", "ts_b"))
     jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
     return (
-        shared.join(sa, "doc_a")
+        cand.join(sa, "doc_a")
         .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "na", "nb", c.alias("c"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
 
