@@ -1711,21 +1711,30 @@ def _digest_jaccard_of_pairs(cand, sh_a, sh_b):
     """Exact shingle-set jaccard over DIGEST frames: ``cand`` (doc_a,
     doc_b) scored against sh_a/(doc_id, sh) for the a-side and sh_b for
     the b-side. The _exact_jaccard_of_pairs shape generalized to two
-    (possibly staged) shingle sources."""
-    sizes_a = sh_a.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
-    sizes_b = sh_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb"))
-    a = sh_a.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh_b.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
-    shared = (
-        cand.join(a, "doc_a")
-        .join(b, (F.col("doc_b") == F.col("b_id")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("c"))
+    (possibly staged) shingle sources.
+
+    r15 (guide §2.3, the _exact_jaccard_of_pairs array verify): each
+    side's digest sets are collected once per doc and candidates
+    intersect the arrays map-side, replacing the verify join that
+    exploded every candidate pair by |A| digest rows. When sh_a and sh_b
+    are the same frame (both incremental twins pass sh_all for both
+    sides) the two collects are IDENTICAL subtrees, so exchange reuse
+    runs the aggregate once — the old shape's two differently-keyed
+    verify joins (doc_a vs doc_b) shuffled the digest source twice and
+    reused nothing. ``jaccard`` is the same integer ratio, bit-identical
+    double."""
+    sets_a = sh_a.groupBy("doc_id").agg(
+        F.collect_list("sh").alias("ts_a"), F.count(F.lit(1)).alias("na")
     )
+    sets_b = sh_b.groupBy("doc_id").agg(
+        F.collect_list("sh").alias("ts_b"), F.count(F.lit(1)).alias("nb")
+    )
+    c = F.size(F.array_intersect("ts_a", "ts_b"))
     jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
     return (
-        shared.join(sizes_a.select(F.col("doc_id").alias("doc_a"), "na"), "doc_a")
-        .join(sizes_b.select(F.col("doc_id").alias("doc_b"), "nb"), "doc_b")
+        cand.join(sets_a.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(sets_b.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .select("doc_a", "doc_b", "na", "nb", c.alias("c"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
 

@@ -1710,6 +1710,13 @@ def sim_ann_index_append(spark, sf_dir):
     lists. At 100 TB this is how the index grows nightly: the training
     job never re-runs; each crawl batch pays one assignment scan."""
     _fresh_shares()
+    # r15 (profiled): unlike sim_ann_persist's shallow staged probe, the
+    # append serve chain carries the batch ENCODE + the merged-codes ADC
+    # scan (~12 of the key's ~26 CPU-s), and with lazy pair persists the
+    # summary's broadcast branches raced the cold cache and ran it twice.
+    # Eager fill + the overlapped exact (the in-plan-training treatment):
+    # interleaved A/B in OPTIMIZATION_r15.md.
+    exact_f = _overlapped_exact_fill(spark, sf_dir)
     staged = ivfpq_stage_hist_index(spark, sf_dir)
     cent, books, codes_hist = ivfpq_read_index(spark, staged)
     e = load_table(spark, sf_dir, "embeddings").select(
@@ -1719,10 +1726,7 @@ def sim_ann_index_append(spark, sf_dir):
     codes_batch = _ivfpq_encode(batch, cent, books)
     merged = codes_hist.unionByName(codes_batch.select(*codes_hist.columns))
     summary = _ann_recall_summary(
-        _ivfpq_topk(e, cent, books, merged),
-        sim_topk_bruteforce(spark, sf_dir),
-        0.45,
-        eager=False,
+        _ivfpq_topk(e, cent, books, merged), exact_f, 0.45
     )
     shape = (
         codes_hist.agg(F.count(F.lit(1)).alias("n_hist_codes"))
@@ -2184,11 +2188,13 @@ def sim_ann_index_compact(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
+    # r15: eager + overlapped exact, same rationale as sim_ann_index_append
+    # (the compact serve scans the compacted codes and shares the action
+    # with the exceptAll diffs and the staleness scan — the lazy pair
+    # persists re-ran it across the broadcast branches).
+    exact_f = _overlapped_exact_fill(spark, sf_dir)
     summary = _ann_recall_summary(
-        _ivfpq_topk(e, cent, books, compact_codes),
-        sim_topk_bruteforce(spark, sf_dir),
-        0.45,
-        eager=False,
+        _ivfpq_topk(e, cent, books, compact_codes), exact_f, 0.45
     )
     cols = codes_hist.columns
     diff = (
