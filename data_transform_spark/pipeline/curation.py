@@ -671,6 +671,11 @@ def _nb_fit(d):
         ).alias("is_train"),
     )
     tok = d.select("doc_id", F.explode("toks").alias("tok"))
+    # NOTE (r15 A/B): computing the label inline in the training explode
+    # (skipping this join) measured a 2x REGRESSION — the label exprs land
+    # in the projection ABOVE the Generate, so size(filter(toks)) re-runs
+    # per exploded token (quality_nb 1.9 -> 4.0 CPU-s, v3 34 -> 47).
+    # The doc-keyed join attaches the two booleans once per doc; keep it.
     ttr = tok.join(lab, "doc_id").filter("is_train")
     # r14 (guide §5): the vocab-sized class-count table feeds the 1-row
     # totals aggregate AND the weight projection, which meet at a
@@ -1554,14 +1559,21 @@ def quality_ensemble(spark, sf_dir):
     independently auditable (this op adds no new scoring logic — reuse,
     not re-derivation; the joins are three doc_id-keyed hash joins over
     the member outputs)."""
+    from data_transform_spark.pipeline.e2e import _fill_concurrently
+
     g = quality_gopher(spark, sf_dir).select(
         "doc_id", F.col("kept").alias("gopher_keep")
     )
-    nb = quality_nb(spark, sf_dir).select(
-        "doc_id", F.col("pred").alias("nb_keep")
-    )
-    ds = quality_dsir(spark, sf_dir).select(
-        "doc_id", F.col("kept").alias("dsir_keep")
+    # the NB and DSIR members each run an eager fit fill at construction
+    # (cls / bucket counts) — independent, so build them on concurrent
+    # driver threads (r15, guide §2.6); gopher is map-only and stays lazy
+    nb, ds = _fill_concurrently(
+        lambda: quality_nb(spark, sf_dir).select(
+            "doc_id", F.col("pred").alias("nb_keep")
+        ),
+        lambda: quality_dsir(spark, sf_dir).select(
+            "doc_id", F.col("kept").alias("dsir_keep")
+        ),
     )
     votes = (
         F.when(F.col("gopher_keep"), 1).otherwise(0)

@@ -1331,6 +1331,11 @@ def sim_ann_persist(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
+    # stays lazy (eager=False): the staged serve is a shallow parquet
+    # probe — r14 measured sequential eager fills at wall 3.3 -> 9.4 s,
+    # and the r15 overlapped-concurrent variant re-measured FLAT
+    # (3.34/23.6 vs 3.29/22.9 CPU-s interleaved), so the simpler lazy
+    # shape keeps the key.
     summary = _ann_recall_summary(
         _ivfpq_topk(e, cent, books, codes_l),
         sim_topk_bruteforce(spark, sf_dir),

@@ -966,6 +966,33 @@ def test_pr_curve_rank_is_two_phase_and_held_out_filter_pushed(
         "held-out filter was not pushed below the rank"
     )
 
+    # (d) COUPLING to the registered key (r14 ADVICE): the assertions above
+    # drive a hand-rebuilt chain — pin that the key actually routes through
+    # it. Source-level: quality_pr_curve's body calls _nb_scored and
+    # _nb_threshold (whose rank IS _held_ranked). Plan-level: the returned
+    # frame reads the eager checkpoint (a bare ExistingRDD scan), i.e. the
+    # two-phase shape executed inside the fill rather than being optimized
+    # away to something else.
+    import inspect
+
+    from data_transform_spark.registry import QUERIES
+
+    src = inspect.getsource(QUERIES["quality_pr_curve"])
+    assert "_held_ranked(" in src and "quality_nb(" in src, (
+        "key no longer routes through quality_nb/_held_ranked"
+    )
+    assert "_nb_scored" in inspect.getsource(QUERIES["quality_nb"]), (
+        "quality_nb no longer routes through _nb_scored"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES["quality_pr_curve"](spark, sf_dir).explain()
+    pk = buf.getvalue()
+    assert "ExistingRDD" in pk or "Scan ExistingRDD" in pk, (
+        "registered key's plan no longer reads the checkpointed rank — "
+        "re-point these pins at the key's own plan"
+    )
+
 
 def test_curriculum_buckets_ntile_is_two_phase(spark, sf_dir):
     """curriculum_buckets assigns SQL-ntile buckets via the closed form
